@@ -1,0 +1,82 @@
+package graft.eval
+
+import graft.model._
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Span-level P/R/F1 with conlleval semantics (the reference feeds the
+  * external conlleval package at models/bert.py:276-278 and reshapes its
+  * per-class output into frames at :282-301): a predicted span counts as
+  * TP iff (doc, span, start, end, type) all match a gold span.
+  */
+object SpanMetrics {
+
+  /** (tp, fp, fn) triple with merge — buffer of the typed Aggregator. */
+  case class Counts(tp: Long, fp: Long, fn: Long) {
+    def +(o: Counts): Counts = Counts(tp + o.tp, fp + o.fp, fn + o.fn)
+    def precision: Double = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+    def recall: Double = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+    def f1: Double = {
+      val p = precision; val r = recall
+      if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    }
+  }
+
+  /** Typed Aggregator over per-span match flags → Counts (SURVEY §2.11 M3:
+    * custom Aggregator[IN,BUF,OUT], no Catalyst Expression needed).
+    * Input: (goldPresent, predPresent) per outer-joined span key.
+    */
+  class CountsAgg extends Aggregator[(Boolean, Boolean), Counts, Counts] {
+    def zero: Counts = Counts(0, 0, 0)
+    def reduce(b: Counts, a: (Boolean, Boolean)): Counts = a match {
+      case (true, true) => b + Counts(1, 0, 0)
+      case (false, true) => b + Counts(0, 1, 0)
+      case (true, false) => b + Counts(0, 0, 1)
+      case _ => b
+    }
+    def merge(x: Counts, y: Counts): Counts = x + y
+    def finish(r: Counts): Counts = r
+    def bufferEncoder: Encoder[Counts] = Encoders.product[Counts]
+    def outputEncoder: Encoder[Counts] = Encoders.product[Counts]
+  }
+
+  /** Per-class + ALL rows, like the reference's metric frames
+    * (bert.py:282-301).
+    */
+  def evaluateMentions(spark: SparkSession, pred: Dataset[Mention],
+                       gold: Dataset[GoldMention]): Dataset[EvalRow] = {
+    import spark.implicits._
+    val p = pred.select(col("doc_id"), col("span_offset"), col("start_word"),
+      col("end_word"), col("entity_type")).withColumn("p", lit(true))
+    val g = gold.select(col("doc_id"), col("span_offset"), col("start_word"),
+      col("end_word"), col("entity_type")).withColumn("g", lit(true))
+    val joined = g.join(p,
+      Seq("doc_id", "span_offset", "start_word", "end_word", "entity_type"),
+      "full_outer")
+      .select(col("entity_type"),
+        coalesce(col("g"), lit(false)).as("g"),
+        coalesce(col("p"), lit(false)).as("p"))
+    val perType = joined.as[(String, Boolean, Boolean)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new CountsAgg().toColumn)
+      .map { case (typ: String, c: Counts) =>
+        EvalRow(typ, c.precision, c.recall, c.f1, c.tp, c.fp, c.fn) }
+    val all = joined.as[(String, Boolean, Boolean)]
+      .map(t => (t._2, t._3))
+      .select(new CountsAgg().toColumn)
+      .map(c => EvalRow("ALL", c.precision, c.recall, c.f1, c.tp, c.fp, c.fn))
+    perType.unionByName(all)
+  }
+
+  /** Triple-set P/R vs the golden fixture (BASELINE.md target ≥ 0.95). */
+  def tripleCounts(spark: SparkSession, produced: Dataset[Triple],
+                   golden: Dataset[GoldTriple]): Counts = {
+    import spark.implicits._
+    val p = produced.select("subj", "pred", "obj", "doc_id").distinct()
+    val g = golden.select("subj", "pred", "obj", "doc_id").distinct()
+    val tp = p.join(g, Seq("subj", "pred", "obj", "doc_id"), "left_semi").count()
+    Counts(tp, p.count() - tp, g.count() - tp)
+  }
+}

@@ -1,0 +1,255 @@
+package graft.gen
+
+import graft.model._
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic synthetic corpus generator (FIXTURES.md §1).
+  *
+  * Produces the engine's primary input relation — interleaved text+media
+  * documents shaped per BASELINE.json's input_hint — plus the plant-time
+  * gold tables (mentions, expected triples, alias dictionary, GT tokens).
+  *
+  * Determinism contract: every random draw is keyed by the document index
+  * through a splittable counter-based mix (no partition/task ids, no
+  * wall-clock), so `local[8]` and `local[32]` produce bit-identical
+  * corpora and gold sets — the precondition for the scaling-efficiency
+  * evidence demanded by BASELINE.md.
+  *
+  * Sentence shapes mirror the reference's GT corpora: CoNLL/GermEval-style
+  * German sentences with planted PER/LOC/ORG mentions
+  * (ground_truth/conll.py, germeval.py); surface frequency is Zipfian so
+  * head-entity skew is real and the salted-join path is exercised.
+  */
+object CorpusGen {
+
+  // ---- deterministic splittable PRNG (SplitMix64 over (docIdx, stream)) ----
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  final class Rng(docIdx: Long) {
+    private var ctr = 0L
+    def nextLong(): Long = { ctr += 1; mix64(mix64(docIdx) ^ ctr) }
+    def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
+    def nextInt(n: Int): Int = ((nextLong() >>> 1) % n).toInt
+  }
+
+  // ---- entity catalog (unique surfaces per entity; head skew via Zipf) ----
+  private val firstNames = Vector("Anna", "Karl", "Maria", "Otto", "Clara",
+    "Hans", "Ida", "Paul", "Emma", "Franz", "Luise", "Georg", "Berta",
+    "Ernst", "Martha", "Wilhelm", "Frieda", "Hermann", "Elsa", "Gustav")
+  private val lastNames = Vector("Müller", "Schmidt", "Meyer", "Wagner",
+    "Becker", "Hoffmann", "Schulz", "Richter", "Koch", "Bauer", "Weber",
+    "Braun", "Krüger", "Lehmann", "Vogel", "Winter", "Sommer", "Brandt",
+    "Arnold", "Berger")
+  private val cities = Vector("Berlin", "Paris", "München", "Hamburg",
+    "Wien", "London", "Dresden", "Leipzig", "Köln", "Frankfurt", "Stuttgart",
+    "Bremen", "Hannover", "Nürnberg", "Mainz", "Kassel", "Erfurt", "Weimar",
+    "Potsdam", "Augsburg", "Heidelberg", "Freiburg", "Regensburg", "Trier",
+    "Bamberg")
+  private val orgWords = Vector("Bank", "Verlag", "Werke", "Gesellschaft",
+    "Verein", "Institut", "Akademie", "Theater", "Museum", "Brauerei")
+  private val orgQuals = Vector("Deutsche", "Berliner", "Königliche",
+    "Allgemeine", "Vereinigte", "Norddeutsche", "Süddeutsche", "Städtische",
+    "Nationale", "Historische")
+
+  /** (entity_id, surface words, type). Surfaces are unique per entity. */
+  val persons: Vector[(String, Vector[String], String)] =
+    (0 until 20).toVector.map { i =>
+      (f"PER_$i%03d", Vector(firstNames(i), lastNames(i)), "PER")
+    }
+  val locations: Vector[(String, Vector[String], String)] =
+    cities.zipWithIndex.map { case (c, i) => (f"LOC_$i%03d", Vector(c), "LOC") }
+  val orgs: Vector[(String, Vector[String], String)] =
+    (0 until 20).toVector.map { i =>
+      (f"ORG_$i%03d", Vector(orgQuals(i % 10), orgWords((i * 3 + i / 10) % 10)), "ORG")
+    }
+
+  /** Zipf pick over n items: weight 1/(k+1). */
+  private def zipfCum(n: Int): Array[Double] = {
+    val w = Array.tabulate(n)(k => 1.0 / (k + 1))
+    val c = w.scanLeft(0.0)(_ + _).drop(1)
+    val t = c.last
+    c.map(_ / t)
+  }
+  private val perCum = zipfCum(persons.size)
+  private val locCum = zipfCum(locations.size)
+  private val orgCum = zipfCum(orgs.size)
+  private def pick(cum: Array[Double], u: Double): Int = {
+    val i = java.util.Arrays.binarySearch(cum, u)
+    val k = if (i >= 0) i else -i - 1
+    math.min(k, cum.length - 1)
+  }
+
+  /** Alias dictionary: each entity has two records (`ID#0`, `ID#1`) both
+    * aliased by the full surface (so canonicalization via connected
+    * components is load-bearing); persons get an extra last-name alias on
+    * record #0. Canonical id := min record id = `ID#0`.
+    */
+  def aliasDict: Seq[Alias] = {
+    val all = persons ++ locations ++ orgs
+    all.flatMap { case (id, words, typ) =>
+      val surf = normSurface(words.mkString(" "))
+      val base = Seq(
+        Alias(surf, id + "#0", typ, 0.9),
+        Alias(surf, id + "#1", typ, 0.8))
+      val extra =
+        if (typ == "PER") Seq(Alias(normSurface(words.last), id + "#0", typ, 0.7))
+        else Seq.empty
+      base ++ extra
+    }
+  }
+
+  /** Surface normalization shared by generator and linker. */
+  def normSurface(s: String): String =
+    graft.text.TextCore.stripAccents(s.toLowerCase).trim
+
+  // ---- sentence templates ----
+  // E slots are 0=PER 1=LOC 2=ORG; words are plain literals otherwise.
+  private val templates: Vector[Vector[String]] = Vector(
+    Vector("<PER>", "besuchte", "<LOC>", "."),
+    Vector("<ORG>", "wurde", "in", "<LOC>", "gegründet", "."),
+    Vector("<PER>", "arbeitet", "für", "<ORG>", "."),
+    Vector("Die", "Stadt", "<LOC>", "ist", "heute", "groß", "."),
+    Vector("<PER>", "traf", "<PER>", "in", "<LOC>", "."),
+    Vector("Das", "Jahr", "war", "gut", "und", "ruhig", "."),
+    Vector("<PER>", "sprach", "mit", "<PER>", "über", "<ORG>", "."),
+    Vector("<ORG>", "eröffnete", "ein", "Haus", "in", "<LOC>", "."),
+  )
+  private val fillers = Vector("und", "wieder", "weiter", "durch", "das",
+    "Land", "über", "Berge", "Täler", "Flüsse")
+
+  case class GenSentence(words: Vector[String], tags: Vector[String],
+                         mentions: Vector[(Int, Int, String, String, String)])
+  // mention tuple: (startWord, endWordExcl, surface, type, entityId)
+
+  /** Generate one sentence from a template; ~3% of sentences are long
+    * (>128 wordpieces) to exercise multi-window packing + re-glue.
+    */
+  def genSentence(rng: Rng): GenSentence = {
+    val tIdx = rng.nextInt(templates.size)
+    val t = templates(tIdx)
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tags = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ments = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, String)]
+    t.foreach {
+      case "<PER>" =>
+        val (id, ws, typ) = persons(pick(perCum, rng.nextDouble()))
+        // 40% of person mentions use the bare last name (alias record #0)
+        val use = if (rng.nextDouble() < 0.4) Vector(ws.last) else ws
+        val s = words.length
+        words ++= use
+        tags += ("B-" + typ); tags ++= Vector.fill(use.length - 1)("I-" + typ)
+        ments += ((s, s + use.length, use.mkString(" "), typ, id))
+      case "<LOC>" =>
+        val (id, ws, typ) = locations(pick(locCum, rng.nextDouble()))
+        val s = words.length
+        words ++= ws
+        tags += ("B-" + typ); tags ++= Vector.fill(ws.length - 1)("I-" + typ)
+        ments += ((s, s + ws.length, ws.mkString(" "), typ, id))
+      case "<ORG>" =>
+        val (id, ws, typ) = orgs(pick(orgCum, rng.nextDouble()))
+        val s = words.length
+        words ++= ws
+        tags += ("B-" + typ); tags ++= Vector.fill(ws.length - 1)("I-" + typ)
+        ments += ((s, s + ws.length, ws.mkString(" "), typ, id))
+      case w =>
+        words += w; tags += "O"
+    }
+    if (rng.nextDouble() < 0.03) { // long-sentence path (multi-window)
+      val extra = 120 + rng.nextInt(80)
+      var i = 0
+      while (i < extra) { words += fillers(rng.nextInt(fillers.size)); tags += "O"; i += 1 }
+      words += "."; tags += "O"
+    }
+    GenSentence(words.toVector, tags.toVector, ments.toVector)
+  }
+
+  case class GenDoc(doc: Doc, gold: Vector[GoldMention],
+                    gt: Vector[GtToken], sentences: Vector[Sentence])
+
+  def docId(i: Long): String = f"doc_$i%010d"
+
+  /** Generate one full document: 2-6 text spans, media spans interleaved
+    * with p=0.25, media linked at plant time to entities of the adjacent
+    * text spans.
+    */
+  def genDoc(i: Long): GenDoc = {
+    val rng = new Rng(i)
+    val id = docId(i)
+    val nSent = 2 + rng.nextInt(5)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
+    val gold = scala.collection.mutable.ArrayBuffer.empty[GoldMention]
+    val gt = scala.collection.mutable.ArrayBuffer.empty[GtToken]
+    val sents = scala.collection.mutable.ArrayBuffer.empty[Sentence]
+    var offset = 0
+    var sentIdx = 0
+    var mediaIdx = 0
+    while (sentIdx < nSent) {
+      val s = genSentence(rng)
+      val text = s.words.mkString(" ")
+      spans += Span("text", text, null, offset)
+      val guid = s"$id/$offset/$sentIdx" // doc_id / span offset / sentence idx
+      sents += Sentence(guid, s.words.toArray, s.tags.toArray)
+      s.mentions.foreach { case (a, b, surf, typ, eid) =>
+        gold += GoldMention(id, offset, sentIdx, a, b, surf, typ, eid)
+      }
+      s.words.indices.foreach { w =>
+        gt += GtToken(i * 64 + offset, w, s.words(w), s.tags(w), "SYNTH")
+      }
+      offset += 1
+      sentIdx += 1
+      if (rng.nextDouble() < 0.25) {
+        spans += Span("media", "", s"media://img/${i}_$mediaIdx", offset)
+        offset += 1
+        mediaIdx += 1
+      }
+    }
+    GenDoc(Doc(id, spans.toArray), gold.toVector, gt.toVector, sents.toVector)
+  }
+
+  /** Expected triples (the golden fixture the pipeline must reproduce).
+    * Canonical entity id is `<entity>#0` — the min alias record in each
+    * connected component by construction.
+    */
+  def expectedTriples(gd: GenDoc): Vector[GoldTriple] = {
+    val id = gd.doc.doc_id
+    def canon(eid: String) = eid + "#0"
+    val mentions = gd.gold.map(m => GoldTriple(id, "mentions", canon(m.entity_id), id)).distinct
+    val ents = gd.gold.map(m => canon(m.entity_id)).distinct.sorted
+    val co = for {
+      a <- ents; b <- ents if a < b
+    } yield GoldTriple(a, "co_occurs_with", b, id)
+    val byOffset = gd.gold.groupBy(_.span_offset)
+    val media = gd.doc.spans.filter(_.kind == "media").toVector.flatMap { sp =>
+      val adj = byOffset.getOrElse(sp.offset - 1, Vector.empty) ++
+                byOffset.getOrElse(sp.offset + 1, Vector.empty)
+      adj.map(m => GoldTriple(canon(m.entity_id), "depicted_in", sp.media_ref, id)).distinct
+    }
+    mentions ++ co ++ media
+  }
+
+  // ---- Spark-side table constructors (partition-independent) ----
+  def docs(spark: SparkSession, n: Long, parts: Int = 32): Dataset[Doc] = {
+    import spark.implicits._
+    spark.range(0, n, 1, parts).mapPartitions(_.map(i => genDoc(i).doc))
+  }
+  def goldMentions(spark: SparkSession, n: Long, parts: Int = 32): Dataset[GoldMention] = {
+    import spark.implicits._
+    spark.range(0, n, 1, parts).mapPartitions(_.flatMap(i => genDoc(i).gold))
+  }
+  def goldTriples(spark: SparkSession, n: Long, parts: Int = 32): Dataset[GoldTriple] = {
+    import spark.implicits._
+    spark.range(0, n, 1, parts).mapPartitions(_.flatMap(i => expectedTriples(genDoc(i))))
+  }
+  def gtTokens(spark: SparkSession, n: Long, parts: Int = 32): Dataset[GtToken] = {
+    import spark.implicits._
+    spark.range(0, n, 1, parts).mapPartitions(_.flatMap(i => genDoc(i).gt))
+  }
+  def aliases(spark: SparkSession): Dataset[Alias] = {
+    import spark.implicits._
+    spark.createDataset(aliasDict)
+  }
+}

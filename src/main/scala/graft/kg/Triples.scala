@@ -1,0 +1,72 @@
+package graft.kg
+
+import graft.model._
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** (subj, pred, obj) triple materialization.
+  *
+  * Three triple families (north rule + FIXTURES.md §6):
+  *   - (doc, mentions, entity)     one per distinct (doc, canonical entity)
+  *   - (a, co_occurs_with, b)      per unordered entity pair within a doc
+  *   - (entity, depicted_in, ref)  entity in a text span ADJACENT to a
+  *                                 media span of the same doc
+  *
+  * Shuffle budget: one groupByKey on doc_id covers both the per-doc
+  * distinct and the pair expansion (entity sets per doc are tiny); the
+  * media adjacency is an equi-join co-partitioned on (doc_id, offset).
+  * Output is bucketed by hash(doc_id) for stable lineage partition ids.
+  */
+object Triples {
+
+  /** Deterministic bucket (stable across JVMs — String.hashCode is
+    * specified by the JLS; never partition/task dependent).
+    */
+  def bucketOf(docId: String, buckets: Int): Int =
+    (docId.hashCode & Int.MaxValue) % buckets
+
+  /** All triples of a document, computed from its canonically-linked
+    * mentions and media adjacency rows. Pure per-doc function → used
+    * inside one grouped stage.
+    */
+  def triplesOfDoc(docId: String, buckets: Int,
+                   ms: Seq[LinkedMention],
+                   media: Seq[(Int, String)]): Seq[Triple] = {
+    val b = bucketOf(docId, buckets)
+    // mentions: distinct entity, first occurrence as provenance, max conf
+    val mentionTriples = ms.groupBy(_.entity_id).toSeq.map { case (eid, occ) =>
+      val first = occ.minBy(m => (m.span_offset, m.sentence_idx))
+      Triple(docId, "mentions", eid, docId, b, occ.map(_.conf).max,
+        first.span_offset, first.sentence_idx)
+    }
+    // co-occurrence: unordered pairs of distinct entities
+    val ents = ms.map(_.entity_id).distinct.sorted
+    val coTriples = for {
+      i <- ents.indices; j <- (i + 1) until ents.size
+    } yield Triple(ents(i), "co_occurs_with", ents(j), docId, b, 1.0, -1, -1)
+    // media adjacency: entity in span at media offset ± 1
+    val byOffset = ms.groupBy(_.span_offset)
+    val mediaTriples = media.flatMap { case (off, ref) =>
+      val adj = byOffset.getOrElse(off - 1, Seq.empty) ++
+                byOffset.getOrElse(off + 1, Seq.empty)
+      adj.map(_.entity_id).distinct.map { eid =>
+        Triple(eid, "depicted_in", ref, docId, b, 1.0, off, -1)
+      }
+    }
+    (mentionTriples ++ coTriples ++ mediaTriples).sortBy(t => (t.pred, t.subj, t.obj))
+  }
+
+  /** Assemble triples from linked mentions + media spans: ONE shuffle
+    * (cogroup on doc_id); everything else is per-group Scala.
+    */
+  def build(spark: SparkSession,
+            linked: Dataset[LinkedMention],
+            mediaSpans: Dataset[(String, Int, String)], // (doc_id, offset, media_ref)
+            buckets: Int): Dataset[Triple] = {
+    import spark.implicits._
+    linked.groupByKey(_.doc_id)
+      .cogroup(mediaSpans.groupByKey(_._1)) { (docId, ms, media) =>
+        triplesOfDoc(docId, buckets, ms.toSeq,
+          media.map(m => (m._2, m._3)).toSeq)
+      }
+  }
+}

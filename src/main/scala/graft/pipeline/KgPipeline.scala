@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import graft.decode.Decode
+import graft.gen.CorpusGen
+import graft.kg.{ConnectedComponents, Linker, Triples}
+import graft.model._
+import graft.tag.{GazetteerTagger, MentionTagger}
+import graft.text._
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** End-to-end KG construction pipeline (the flagship "query"):
+  *
+  *   docs → sentences → encoded windows → batched tagger →
+  *   re-glue+re-align → BIO mentions → entity linking →
+  *   canonicalization (connected components) → triples
+  *
+  * Stage structure mirrors the reference's inference lifecycle
+  * (webapp/app.py:215-317, SURVEY.md §3.1) but is expressed as ONE lazy
+  * Spark plan: sentence extraction, window packing, tagging and decoding
+  * all live in a single mapPartitions stage (no shuffle — windows of a
+  * sentence are produced and consumed in the same task, batched across
+  * sentences like the reference's DataLoader, data_processor.py:360);
+  * the only exchanges are the linking join (broadcast by default) and
+  * the per-doc cogroup that materializes triples.
+  */
+object KgPipeline {
+
+  case class Config(
+      buckets: Int = 64,
+      batchSize: Int = 256, // windows per tagger batch (webapp/config.json:2)
+      sentBatch: Int = 64,  // sentences buffered per encode batch
+      maxSeqLen: Int = 128, // Makefile:38
+      saltBuckets: Int = 8,
+      broadcastLink: Boolean = true)
+
+  /** Build the standard tagger/encoder pair over the built-in vocab and
+    * the generator's gazetteer (normalized surface → type).
+    */
+  def defaultGazetteer: Map[String, String] = {
+    val all = CorpusGen.persons ++ CorpusGen.locations ++ CorpusGen.orgs
+    val full = all.map { case (_, ws, typ) => CorpusGen.normSurface(ws.mkString(" ")) -> typ }
+    val lastNames = CorpusGen.persons.map { case (_, ws, typ) =>
+      CorpusGen.normSurface(ws.last) -> typ
+    }
+    (full ++ lastNames).toMap
+  }
+
+  /** docs → sentences: one per text span; guid = doc/offset/sentIdx. */
+  def sentences(spark: SparkSession, docs: Dataset[Doc]): Dataset[Sentence] = {
+    import spark.implicits._
+    docs.flatMap { d =>
+      d.spans.filter(_.kind == "text").sortBy(_.offset).zipWithIndex.map {
+        case (sp, sidx) =>
+          val words = TextCore.whitespaceTokenize(sp.text)
+          Sentence(s"${d.doc_id}/${sp.offset}/$sidx", words,
+            Array.fill(words.length)("O"))
+      }
+    }
+  }
+
+  /** The fused detect stage: encode → batched tag → decode → mentions.
+    * Batches windows ACROSS sentences (cfg.sentBatch at a time) so the
+    * tagger sees production-sized batches, then re-glues within the task.
+    */
+  def detectMentions(spark: SparkSession, sents: Dataset[Sentence],
+                     tagger: MentionTagger, cfg: Config = Config()): Dataset[Mention] = {
+    import spark.implicits._
+    val bcTagger = spark.sparkContext.broadcast(tagger)
+    val bcEncoder = spark.sparkContext.broadcast(
+      new WindowEncoder(Vocab.default, Vocab.tokenToId, Tags.labelMap, cfg.maxSeqLen))
+    val bcRealigner = spark.sparkContext.broadcast(new Realigner(Vocab.default))
+    val batchSize = cfg.batchSize
+    val sentBatch = cfg.sentBatch
+    sents.mapPartitions { it =>
+      val enc = bcEncoder.value
+      val tag = bcTagger.value
+      val real = bcRealigner.value
+      it.grouped(sentBatch).flatMap { group =>
+        val perSent = group.map(s => (s, enc.encode(s.guid, s.words, s.tags)))
+        val allWins = perSent.iterator.flatMap(_._2).toSeq
+        val tagged = allWins.grouped(batchSize).flatMap(tag.tagBatch)
+          .map(w => (w.guid, w.winIdx) -> w).toMap
+        perSent.flatMap { case (s, wins) =>
+          val tws = wins.map(w => tagged((w.guid, w.winIdx)))
+          val wordTags = Decode.decodeSentence(real, s, tws).map(_._2)
+          Decode.mentionsOf(s.guid, s.words, wordTags)
+        }
+      }
+    }
+  }
+
+  /** Media spans table for the adjacency join. */
+  def mediaSpans(spark: SparkSession, docs: Dataset[Doc]): Dataset[(String, Int, String)] = {
+    import spark.implicits._
+    docs.flatMap(d => d.spans.filter(_.kind == "media")
+      .map(sp => (d.doc_id, sp.offset, sp.media_ref)))
+  }
+
+  /** Full run: docs + alias dict → triples. */
+  def run(spark: SparkSession, docs: Dataset[Doc], aliases: Dataset[Alias],
+          gazetteer: Map[String, String] = defaultGazetteer,
+          cfg: Config = Config()): Dataset[Triple] = {
+    import spark.implicits._
+    val sents = sentences(spark, docs)
+    val mentions = detectMentions(spark, sents, new GazetteerTagger(gazetteer), cfg)
+    val dict: Map[String, Seq[Alias]] =
+      aliases.collect().toSeq.groupBy(_.surface_norm)
+    val linked =
+      if (cfg.broadcastLink) Linker.linkBroadcast(spark, mentions, dict)
+      else Linker.linkSaltedJoin(spark, mentions, aliases, cfg.saltBuckets)
+    // canonicalization: CC over the alias graph (dictionary-scale input,
+    // scalable DF algorithm), then broadcast the record→canonical map
+    val canonDf = ConnectedComponents.canonicalMap(spark, aliases.toDF())
+    val canonMap = canonDf.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val bcCanon = spark.sparkContext.broadcast(canonMap)
+    val canonical = linked.map { lm =>
+      lm.copy(entity_id = bcCanon.value.getOrElse(lm.entity_id, lm.entity_id))
+    }
+    Triples.build(spark, canonical, mediaSpans(spark, docs), cfg.buckets)
+  }
+
+  /** Per-row span-sequence invariant (BASELINE.json input_hint; the
+    * reference's reconstruction asserts, app.py:301-313): the pipeline's
+    * view of a document must preserve (kind, text, media_ref, order).
+    * Returns the number of VIOLATING docs (0 expected). Checks the
+    * sentence+media extraction round trip against the input spans.
+    */
+  def spanSequenceViolations(spark: SparkSession, docs: Dataset[Doc]): Long = {
+    import spark.implicits._
+    docs.map { d =>
+      val sorted = d.spans.sortBy(_.offset)
+      val roundTrip = sorted.map { sp =>
+        if (sp.kind == "text")
+          Span("text", TextCore.whitespaceTokenize(sp.text).mkString(" "), null, sp.offset)
+        else sp
+      }
+      val ok = roundTrip.zip(sorted).forall { case (a, b) =>
+        a.kind == b.kind && a.text == b.text &&
+        a.media_ref == b.media_ref && a.offset == b.offset
+      }
+      if (ok) 0L else 1L
+    }.reduce(_ + _)
+  }
+}

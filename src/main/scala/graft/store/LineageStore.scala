@@ -1,0 +1,101 @@
+package graft.store
+
+import graft.kg.Triples
+import graft.model._
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style checkpoint/lineage layer on Parquet (no Iceberg jar in
+  * /opt/spark/jars — SURVEY.md §7.3).
+  *
+  * Contract (north rule; reference analog: epoch-checkpoint resume,
+  * models/bert.py:147-162, 171-173):
+  *  - triples are written partitioned by `bucket = hash(doc_id) % B`;
+  *  - after each bucket's data lands, one lineage row per bucket is
+  *    APPENDED: (stage, partition_id, offset range, triple_count, rows_in,
+  *    snapshot_id);
+  *  - on restart, buckets already present in lineage are skipped via a
+  *    LEFT ANTI join; pending buckets are recomputed and their partitions
+  *    idempotently overwritten (dynamic partition overwrite), so a kill
+  *    BETWEEN data write and lineage append cannot double-count — the
+  *    bucket is simply rewritten with identical content (deterministic
+  *    generator + deterministic pipeline).
+  */
+object LineageStore {
+
+  def lineagePath(root: String) = s"$root/_lineage"
+  def triplesPath(root: String) = s"$root/triples"
+
+  def readLineage(spark: SparkSession, root: String): Dataset[LineageRow] = {
+    import spark.implicits._
+    val p = lineagePath(root)
+    if (new java.io.File(p).exists())
+      spark.read.parquet(p).as[LineageRow]
+    else spark.emptyDataset[LineageRow]
+  }
+
+  def committedBuckets(spark: SparkSession, root: String, stage: String): Set[Int] = {
+    import spark.implicits._
+    readLineage(spark, root).filter(_.stage == stage)
+      .map(_.partition_id).distinct().collect().toSet
+  }
+
+  /** Write triples for (possibly a subset of) buckets + lineage rows.
+    * snapshotId should be a content/config hash — the Spark analog of the
+    * reference's request-hash memoization key (webapp/app.py:157-158).
+    */
+  def commit(spark: SparkSession, root: String, stage: String,
+             triples: Dataset[Triple], snapshotId: String): Unit = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val persisted = triples.persist()
+    persisted.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(triplesPath(root))
+    val now = System.currentTimeMillis()
+    val rows = persisted.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("span_offset")).as("omin"),
+        max(col("span_offset")).as("omax"),
+        countDistinct(col("doc_id")).as("docs"))
+      .collect()
+      .map { r =>
+        LineageRow(stage, r.getAs[Int]("bucket"),
+          r.getAs[Int]("omin").toLong, r.getAs[Int]("omax").toLong,
+          r.getAs[Long]("n"), r.getAs[Long]("docs"), snapshotId, now)
+      }
+    persisted.unpersist()
+    if (rows.nonEmpty)
+      spark.createDataset(rows.toSeq).write.mode(SaveMode.Append)
+        .parquet(lineagePath(root))
+  }
+
+  /** Resumable run: process only buckets NOT yet in lineage. Returns the
+    * number of buckets processed this invocation.
+    */
+  def runResumable(spark: SparkSession, root: String, stage: String,
+                   docs: Dataset[Doc],
+                   pipeline: Dataset[Doc] => Dataset[Triple],
+                   buckets: Int, snapshotId: String): Int = {
+    import spark.implicits._
+    val done = committedBuckets(spark, root, stage)
+    val bcDone = spark.sparkContext.broadcast(done)
+    // left-anti-join semantics against the lineage table (SURVEY §2.9 ST3);
+    // the committed set is dictionary-sized (≤ buckets), so a broadcast
+    // filter replaces the shuffle an actual anti join would cost.
+    val pending = docs.filter(d => !bcDone.value.contains(Triples.bucketOf(d.doc_id, buckets)))
+    if (pending.isEmpty) return 0
+    val triples = pipeline(pending)
+    commit(spark, root, stage, triples, snapshotId)
+    committedBuckets(spark, root, stage).size - done.size
+  }
+
+  def readTriples(spark: SparkSession, root: String): Dataset[Triple] = {
+    import spark.implicits._
+    spark.read.parquet(triplesPath(root))
+      .select("subj", "pred", "obj", "doc_id", "bucket", "conf",
+        "span_offset", "sentence_idx")
+      .as[Triple]
+  }
+}

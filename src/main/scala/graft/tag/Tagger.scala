@@ -1,0 +1,97 @@
+package graft.tag
+
+import graft.model._
+
+/** The heavyweight "model" operator interface — the Spark analog of the
+  * reference's batched `BertForTokenClassification` forward
+  * (models/bert.py:363-393): consume a BATCH of encoded windows, emit
+  * per-token tag predictions. Implementations must be Serializable and
+  * cheap to broadcast; one instance is reused per executor JVM (the
+  * reference keeps a warm singleton model per process, webapp/app.py:126-149).
+  *
+  * The production implementation would wrap an ONNX-exported BERT session;
+  * no ONNX runtime jar exists in this sandbox, so [[GazetteerTagger]] is
+  * the deterministic mention-detection oracle with the same interface and
+  * batch shape.
+  */
+trait MentionTagger extends Serializable {
+  def tagBatch(batch: Seq[EncodedWindow]): Seq[TaggedWindow]
+}
+
+/** Deterministic oracle tagger: reconstructs words from window wordpieces
+  * (`##` continuation marks) and greedily matches a broadcast gazetteer of
+  * normalized surfaces (longest match first, up to 3 words). Continuation
+  * pieces receive `X` — exactly the label scheme the encoder plants
+  * (data_processor.py:388-402) — so the decode rule "last non-X wins"
+  * (app.py:292-293) recovers word-level tags.
+  *
+  * gazetteer: normalized surface (space-joined lowercase words) → type.
+  */
+final class GazetteerTagger(gazetteer: Map[String, String], maxWords: Int = 3)
+    extends MentionTagger {
+
+  override def tagBatch(batch: Seq[EncodedWindow]): Seq[TaggedWindow] =
+    batch.map(tagWindow)
+
+  private def tagWindow(w: EncodedWindow): TaggedWindow = {
+    val toks = w.tokens
+    val preds = Array.fill(toks.length)("O")
+    // group token indices into words: a word starts at a non-## token
+    val wordStarts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t == "[CLS]" || t == "[SEP]" || t == "[PAD]") {
+        preds(i) = "O"
+        i += 1
+      } else if (!t.startsWith("##")) {
+        wordStarts += i
+        val b = new StringBuilder(t)
+        i += 1
+        while (i < toks.length && toks(i).startsWith("##")) {
+          b.append(toks(i).substring(2)); preds(i) = "X"; i += 1
+        }
+        words += b.toString
+      } else { // stray continuation at window start (hard-cut fallback)
+        preds(i) = "X"; i += 1
+      }
+    }
+    // greedy longest-match over reconstructed words
+    var wi = 0
+    while (wi < words.length) {
+      var matched = 0
+      var typ: String = null
+      var len = math.min(maxWords, words.length - wi)
+      while (len > 0 && typ == null) {
+        val key = words.slice(wi, wi + len).mkString(" ")
+        gazetteer.get(key) match {
+          case Some(t) => typ = t; matched = len
+          case None => len -= 1
+        }
+      }
+      if (typ != null) {
+        var k = 0
+        while (k < matched) {
+          preds(wordStarts(wi + k)) = (if (k == 0) "B-" else "I-") + typ
+          k += 1
+        }
+        wi += matched
+      } else wi += 1
+    }
+    TaggedWindow(w.guid, w.winIdx, toks, preds)
+  }
+}
+
+/** Gold-label passthrough tagger — the eval-path analog of
+  * `model_predict_compare` (bert.py:312-360) run with a perfect model:
+  * predictions are the window's own gold labelIds decoded to tags. Used
+  * to validate the encode→decode round trip independently of detection.
+  */
+final class GoldLabelTagger(invLabelMap: Array[String]) extends MentionTagger {
+  override def tagBatch(batch: Seq[EncodedWindow]): Seq[TaggedWindow] =
+    batch.map { w =>
+      val preds = w.tokens.indices.map(i => invLabelMap(w.labelIds(i))).toArray
+      TaggedWindow(w.guid, w.winIdx, w.tokens, preds)
+    }
+}

@@ -1,0 +1,87 @@
+package graft.text
+
+/** Deterministic word tokenizer + rule-based sentence splitter — the
+  * in-scope subset of the reference's SoMaJo usage
+  * (webapp/app.py:104-123: `Tokenizer(split_camel_case=True)` +
+  * `SentenceSplitter`). Defines the sentence boundaries of the raw-text
+  * ingestion path; the GT corpora path arrives pre-tokenized.
+  */
+object SentenceSplitter {
+
+  private val abbrevs = Set(
+    "dr", "prof", "nr", "st", "bzw", "z.b", "u.a", "ca", "vgl", "usw",
+    "etc", "hr", "fr", "geb", "gest")
+
+  /** Camel-case split ("EisenbahnGesellschaft" → two tokens), mirroring
+    * SoMaJo's split_camel_case=True option.
+    */
+  def splitCamelCase(tok: String): Seq[String] = {
+    if (tok.length < 2) return Seq(tok)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < tok.length) {
+      val c = tok.charAt(i)
+      if (i > 0 && c.isUpper && tok.charAt(i - 1).isLower) {
+        out += cur.toString; cur.clear()
+      }
+      cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  /** Word-tokenize one raw text: whitespace split, then detach leading/
+    * trailing punctuation as separate tokens (keeping internal hyphens
+    * and abbreviation dots), then camel-case split.
+    */
+  def tokenizeWords(text: String): Array[String] = {
+    TextCore.whitespaceTokenize(TextCore.cleanText(text)).flatMap { raw =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var s = raw
+      // leading punct
+      while (s.nonEmpty && TextCore.isPunctuation(s.charAt(0)) && s.length > 1) {
+        out += s.substring(0, 1); s = s.substring(1)
+      }
+      // trailing punct (collect then reverse)
+      val trail = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (s.nonEmpty && TextCore.isPunctuation(s.charAt(s.length - 1)) &&
+             !(s.charAt(s.length - 1) == '.' && abbrevs.contains(s.dropRight(1).toLowerCase)) &&
+             s.length > 1) {
+        trail += s.substring(s.length - 1); s = s.dropRight(1)
+      }
+      if (s.nonEmpty) out ++= splitCamelCase(s)
+      out ++= trail.reverse
+      out.toSeq
+    }.filter(_.nonEmpty)
+  }
+
+  /** Sentence-split a token sequence: boundary after `.`/`!`/`?`/`:` not
+    * belonging to an abbreviation or a number, mirroring the regex
+    * end-of-sentence rule of europeana_historic.py:35-44 (word matches
+    * `.*[.?!]$` with numeric/short-token guards).
+    */
+  def splitSentences(tokens: Array[String]): Array[Array[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      cur += t
+      val isEnd = (t == "." || t == "!" || t == "?") ||
+        (t.length > 1 && ".!?".contains(t.last) &&
+          !t.dropRight(1).forall(_.isDigit) &&
+          !abbrevs.contains(t.dropRight(1).toLowerCase))
+      if (isEnd && cur.nonEmpty) {
+        out += cur.toArray; cur.clear()
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toArray
+    out.filter(_.nonEmpty).toArray // app.py:118-119: drop empties
+  }
+
+  def sentences(text: String): Array[Array[String]] =
+    splitSentences(tokenizeWords(text))
+}

@@ -1,0 +1,96 @@
+package graft.text
+
+/** Greedy longest-match wordpiece tokenizer.
+  *
+  * Re-expresses the reference WordpieceTokenizer
+  * (qurator/sbb_ner/models/tokenization.py:326-379) including its
+  * load-bearing modification vs the upstream BERT code: on a failed match
+  * the reference emits a PER-CHARACTER `[UNK]` and advances one character
+  * (tokenization.py:347-349, 365-369) instead of replacing the whole word
+  * with a single `[UNK]`. This keeps |consumed original chars| recoverable
+  * from the token stream, which is what makes word re-alignment
+  * (webapp/app.py:221-317) an exact inverse.
+  */
+final class Wordpiece(vocab: Set[String], maxInputCharsPerWord: Int = 100) extends Serializable {
+
+  val unk = "[UNK]"
+
+  /** Tokenize one already-basic-tokenized word into wordpieces. */
+  def tokenizeWord(word: String): Array[String] = {
+    if (word.length > maxInputCharsPerWord)
+      return word.map(_ => unk).toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    while (start < word.length) {
+      var end = word.length
+      var cur: String = null
+      while (end > start && cur == null) {
+        val sub0 = word.substring(start, end)
+        val sub = if (start > 0) "##" + sub0 else sub0
+        if (vocab.contains(sub)) cur = sub else end -= 1
+      }
+      if (cur == null) { out += unk; start += 1 } // per-char UNK, advance 1
+      else { out += cur; start = end }
+    }
+    out.toArray
+  }
+
+  /** chars of original word consumed by one token ([UNK] consumes 1). */
+  def tokenLen(tok: String): Int =
+    if (tok == unk) 1
+    else if (tok.startsWith("##")) tok.length - 2
+    else tok.length
+}
+
+/** Deterministic built-in vocabulary (no external files in this sandbox;
+  * mirrors the shape of the reference's vocab.txt load,
+  * tokenization.py:50-62). Covers all lowercase latin letters, digits,
+  * common punctuation and German chars both as word-starts and as `##`
+  * continuations, plus frequent German word(piece)s, so wordpiece always
+  * terminates; a few characters (e.g. Cyrillic) are deliberately absent to
+  * exercise the per-char-[UNK] + re-alignment recovery path.
+  */
+object Vocab {
+  val specials: Array[String] = Array("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+
+  private val chars: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9') ++ "äöüß.,:;!?-()\"'/&%".toSeq).map(_.toString)
+
+  private val words: Seq[String] = Seq(
+    "der", "die", "das", "und", "in", "von", "zu", "mit", "auf", "für",
+    "ist", "im", "den", "nicht", "ein", "eine", "als", "auch", "es", "an",
+    "herr", "frau", "stadt", "berlin", "paris", "münchen", "hamburg",
+    "wien", "london", "deutschland", "frankreich", "europa", "amerika",
+    "müller", "schmidt", "meyer", "wagner", "becker", "hoffmann", "schulz",
+    "bank", "verlag", "universität", "gesellschaft", "verein", "kaiser",
+    "könig", "graf", "professor", "doktor", "minister", "president",
+    "besuchte", "wurde", "gegründet", "sagte", "arbeitet", "lebt", "reiste",
+    "traf", "sprach", "schrieb", "kaufte", "verkaufte", "eröffnete",
+    "geboren", "gestorben", "heute", "gestern", "morgen", "jahr", "jahre",
+    "##er", "##en", "##e", "##n", "##s", "##t", "##te", "##ten", "##ung",
+    "##lich", "##isch", "##chen", "##stadt", "##berg", "##burg", "##dorf",
+    "##heim", "##hausen", "##mann", "##sohn", "##feld", "##bach", "##see",
+  )
+
+  /** token → id; ids are line numbers like the reference's vocab load.
+    * Word entries are accent-stripped to match the do_lower_case pipeline
+    * (basicTokenize lowercases + NFD-strips before wordpiece), so "müller"
+    * is stored — and matched — as "muller".
+    */
+  val tokenToId: Map[String, Int] = {
+    val norm = words.map { w =>
+      if (w.startsWith("##")) "##" + TextCore.stripAccents(w.substring(2))
+      else TextCore.stripAccents(w)
+    }
+    val all = (specials ++ chars ++ chars.map("##" + _) ++ norm).distinct
+    all.zipWithIndex.toMap
+  }
+  val idToToken: Array[String] = {
+    val inv = new Array[String](tokenToId.size)
+    tokenToId.foreach { case (t, i) => inv(i) = t }
+    inv
+  }
+  val asSet: Set[String] = tokenToId.keySet
+
+  def default: Wordpiece = new Wordpiece(asSet)
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.eval.SpanMetrics
+import graft.gen.CorpusGen
+import graft.kg.{ConnectedComponents, Linker, Triples}
+import graft.model._
+import graft.pipeline.KgPipeline
+import graft.store.LineageStore
+import graft.tag.GazetteerTagger
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTest {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("ERROR")
+}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  val N = 120L // tiny corpus for e2e
+
+  test("span-sequence invariant holds for every generated doc") {
+    val docs = CorpusGen.docs(spark, N, parts = 4)
+    assert(KgPipeline.spanSequenceViolations(spark, docs) == 0L)
+  }
+
+  test("mention detection matches gold exactly (P=R=1.0)") {
+    val docs = CorpusGen.docs(spark, N, parts = 4)
+    val sents = KgPipeline.sentences(spark, docs)
+    val mentions = KgPipeline.detectMentions(spark, sents,
+      new GazetteerTagger(KgPipeline.defaultGazetteer))
+    val gold = CorpusGen.goldMentions(spark, N, parts = 4)
+    val rows = SpanMetrics.evaluateMentions(spark, mentions, gold).collect()
+    val all = rows.find(_.slot == "ALL").get
+    assert(all.fp == 0 && all.fn == 0, rows.mkString("\n"))
+    assert(all.precision == 1.0 && all.recall == 1.0)
+  }
+
+  test("e2e triples match the golden fixture (P=R=1.0 ≥ 0.95 target)") {
+    val docs = CorpusGen.docs(spark, N, parts = 4)
+    val produced = KgPipeline.run(spark, docs, CorpusGen.aliases(spark))
+    val golden = CorpusGen.goldTriples(spark, N, parts = 4)
+    val c = SpanMetrics.tripleCounts(spark, produced, golden)
+    assert(c.fp == 0 && c.fn == 0, s"tp=${c.tp} fp=${c.fp} fn=${c.fn}")
+    assert(c.precision == 1.0 && c.recall == 1.0)
+    assert(c.tp > 0)
+  }
+
+  test("connected components canonicalize alias records to min id") {
+    val canon = ConnectedComponents.canonicalMap(spark,
+      CorpusGen.aliases(spark).toDF()).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // every record of an entity maps to its #0 record
+    assert(canon("PER_000#0") == "PER_000#0")
+    assert(canon("PER_000#1") == "PER_000#0")
+    assert(canon("LOC_003#1") == "LOC_003#0")
+    // distinct entities stay distinct
+    assert(canon("PER_000#0") != canon("PER_001#0"))
+  }
+
+  test("salted-join linking agrees with broadcast linking") {
+    val docs = CorpusGen.docs(spark, N, parts = 4)
+    val sents = KgPipeline.sentences(spark, docs)
+    val mentions = KgPipeline.detectMentions(spark, sents,
+      new GazetteerTagger(KgPipeline.defaultGazetteer)).persist()
+    val dict = CorpusGen.aliasDict.groupBy(_.surface_norm)
+    val a = Linker.linkBroadcast(spark, mentions, dict)
+      .map(l => (l.doc_id, l.span_offset, l.surface, l.entity_id)).collect().toSet
+    val b = Linker.linkSaltedJoin(spark, mentions, CorpusGen.aliases(spark))
+      .map(l => (l.doc_id, l.span_offset, l.surface, l.entity_id)).collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+    mentions.unpersist()
+  }
+
+  test("resume: kill-after-partial-commit yields identical final triples") {
+    val root = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val docs = CorpusGen.docs(spark, N, parts = 4)
+    val aliases = CorpusGen.aliases(spark)
+    val buckets = 8
+    val pipe: org.apache.spark.sql.Dataset[Doc] => org.apache.spark.sql.Dataset[Triple] =
+      ds => KgPipeline.run(spark, ds, aliases, cfg = KgPipeline.Config(buckets = buckets))
+    // simulated partial run: only docs of buckets 0..3 processed, committed
+    val firstHalf = docs.filter(d => Triples.bucketOf(d.doc_id, buckets) < 4)
+    LineageStore.commit(spark, root, "triples", pipe(firstHalf), "snap-1")
+    val committed = LineageStore.committedBuckets(spark, root, "triples")
+    assert(committed.nonEmpty && committed.forall(_ < 4))
+    // resume processes ONLY the remaining buckets
+    val n = LineageStore.runResumable(spark, root, "triples", docs, pipe, buckets, "snap-2")
+    assert(n > 0)
+    // final result identical to a single full run
+    val resumed = LineageStore.readTriples(spark, root)
+      .select("subj", "pred", "obj", "doc_id").collect().toSet
+    val full = pipe(docs).select("subj", "pred", "obj", "doc_id").collect().toSet
+    assert(resumed == full)
+    // second resume is a no-op
+    assert(LineageStore.runResumable(spark, root, "triples", docs, pipe, buckets, "snap-3") == 0)
+  }
+
+  test("determinism: same corpus and triples at different partition counts") {
+    val t1 = CorpusGen.docs(spark, 40, parts = 2)
+    val t2 = CorpusGen.docs(spark, 40, parts = 7)
+    assert(t1.collect().map(d => (d.doc_id, d.spans.toSeq)).toSet ==
+      t2.collect().map(d => (d.doc_id, d.spans.toSeq)).toSet)
+  }
+}
