@@ -1,24 +1,75 @@
 package graft
+
+import graft.gen.CorpusGen
+import graft.pipeline.KgPipeline
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR at
+  * local[SPARK_GRAFT_CPUS]; prints ONE JSON line. Also reports the KG
+  * pipeline's triples/sec (the BASELINE.json headline metric) at the
+  * session's parallelism.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** KG pipeline wall time + triple count on n generated docs. Dictionary
+    * setup (alias collect + connected components) is prepared once via
+    * ctx — O(dictionary), excluded from per-doc throughput.
+    */
+  def kgRun(spark: SparkSession, n: Long, parts: Int,
+            ctx: Option[KgPipeline.LinkContext] = None): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val docs = CorpusGen.docs(spark, n, parts)
+    val triples = KgPipeline.run(spark, docs, CorpusGen.aliases(spark), ctx = ctx)
+    val cnt = triples.count()
+    ((System.nanoTime() - t0) / 1e9, cnt)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = session(cpus)
+
+    // headline SQL queries (warm once to exclude first-touch JIT/IO noise)
+    val headline = Seq("q01_agg", "q02_filter", "q03_join", "q06_window",
+      "q11_grouped_topk", "q12_dedup_exact", "q13_token_count")
+    headline.foreach { q => SparkEntry.queries(q)(spark, sfDir).count() }
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    headline.foreach { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries(q)(spark, sfDir).count()
+      results(q) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // KG pipeline throughput: docs scaled by the sf dir name
+    val nDocs: Long =
+      if (sfDir.contains("0.01")) 6000L
+      else if (sfDir.contains("0.1")) 60000L else 600L
+    val parts = cpus.toInt * 2
+    val ctx = Some(KgPipeline.prepareLinkContext(spark, CorpusGen.aliases(spark)))
+    kgRun(spark, math.max(nDocs / 10, 200), parts, ctx) // warm
+    val (kgSec, nTriples) = kgRun(spark, nDocs, parts, ctx)
+    results("kg_pipeline") = kgSec
+    val tps = nTriples / kgSec
+
+    val total = results.values.sum
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalS = f"$total%.3f"
+    val tpsS = f"$tps%.1f"
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$nDocs,"kg_triples":$nTriples,"triples_per_sec":$tpsS}""")
     spark.stop()
   }
 }

@@ -49,8 +49,10 @@ object ConnectedComponents {
         .where(col("src") >= col("dst"))
         .distinct()
         .localCheckpoint()
-      // converged when the edge multiset is stable
-      val changed = next.exceptAll(e).limit(1).count() + e.exceptAll(next).limit(1).count()
+      // converged when the edge multiset is stable (single action: both
+      // difference directions unioned, probed with limit 1)
+      val changed = next.exceptAll(e).limit(1)
+        .union(e.exceptAll(next).limit(1)).count()
       converged = changed == 0
       e = next
       iter += 1

@@ -76,13 +76,18 @@ object KgPipeline {
       val tag = bcTagger.value
       val real = bcRealigner.value
       it.grouped(sentBatch).flatMap { group =>
-        val perSent = group.map(s => (s, enc.encode(s.guid, s.words, s.tags)))
+        val perSent = group.map { s =>
+          val (wins, counts) = enc.encodeWithCounts(s.guid, s.words, s.tags)
+          (s, wins, counts)
+        }
         val allWins = perSent.iterator.flatMap(_._2).toSeq
         val tagged = allWins.grouped(batchSize).flatMap(tag.tagBatch)
           .map(w => (w.guid, w.winIdx) -> w).toMap
-        perSent.flatMap { case (s, wins) =>
+        perSent.flatMap { case (s, wins, counts) =>
           val tws = wins.map(w => tagged((w.guid, w.winIdx)))
-          val wordTags = Decode.decodeSentence(real, s, tws).map(_._2)
+          val (_, preds) = real.reglue(
+            tws.sortBy(_.winIdx).map(w => (w.tokens, w.preds)))
+          val wordTags = real.realignWithCounts(s.words, counts, preds).map(_._2)
           Decode.mentionsOf(s.guid, s.words, wordTags)
         }
       }
@@ -96,24 +101,37 @@ object KgPipeline {
       .map(sp => (d.doc_id, sp.offset, sp.media_ref)))
   }
 
-  /** Full run: docs + alias dict → triples. */
+  /** Dictionary-side preparation: alias lookup map + canonicalization map
+    * from connected components over the alias graph. This is O(dictionary)
+    * one-time setup, independent of the document corpus — at 10^12 docs it
+    * amortizes to zero and is shared across every job over the same
+    * dictionary snapshot (the reference's warm-singleton-model pattern,
+    * webapp/app.py:126-149).
+    */
+  case class LinkContext(dict: Map[String, Seq[Alias]], canon: Map[String, String])
+
+  def prepareLinkContext(spark: SparkSession, aliases: Dataset[Alias]): LinkContext = {
+    val all = aliases.collect().toSeq
+    val canonMap = ConnectedComponents.canonicalMap(spark, aliases.toDF())
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    LinkContext(all.groupBy(_.surface_norm), canonMap)
+  }
+
+  /** Full run: docs + alias dict → triples. Pass a prepared [[LinkContext]]
+    * to reuse dictionary-side setup across runs.
+    */
   def run(spark: SparkSession, docs: Dataset[Doc], aliases: Dataset[Alias],
           gazetteer: Map[String, String] = defaultGazetteer,
-          cfg: Config = Config()): Dataset[Triple] = {
+          cfg: Config = Config(),
+          ctx: Option[LinkContext] = None): Dataset[Triple] = {
     import spark.implicits._
     val sents = sentences(spark, docs)
     val mentions = detectMentions(spark, sents, new GazetteerTagger(gazetteer), cfg)
-    val dict: Map[String, Seq[Alias]] =
-      aliases.collect().toSeq.groupBy(_.surface_norm)
+    val context = ctx.getOrElse(prepareLinkContext(spark, aliases))
     val linked =
-      if (cfg.broadcastLink) Linker.linkBroadcast(spark, mentions, dict)
+      if (cfg.broadcastLink) Linker.linkBroadcast(spark, mentions, context.dict)
       else Linker.linkSaltedJoin(spark, mentions, aliases, cfg.saltBuckets)
-    // canonicalization: CC over the alias graph (dictionary-scale input,
-    // scalable DF algorithm), then broadcast the record→canonical map
-    val canonDf = ConnectedComponents.canonicalMap(spark, aliases.toDF())
-    val canonMap = canonDf.collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    val bcCanon = spark.sparkContext.broadcast(canonMap)
+    val bcCanon = spark.sparkContext.broadcast(context.canon)
     val canonical = linked.map { lm =>
       lm.copy(entity_id = bcCanon.value.getOrElse(lm.entity_id, lm.entity_id))
     }

@@ -30,6 +30,22 @@ trait MentionTagger extends Serializable {
 final class GazetteerTagger(gazetteer: Map[String, String], maxWords: Int = 3)
     extends MentionTagger {
 
+  /** first word → longest phrase length starting with it; lets the match
+    * loop skip non-trigger words with a single probe instead of building
+    * maxWords candidate strings per position.
+    */
+  @transient private lazy val triggerMaxLen: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    gazetteer.keysIterator.foreach { k =>
+      val sp = k.indexOf(' ')
+      val first = if (sp < 0) k else k.substring(0, sp)
+      val len = k.count(_ == ' ') + 1
+      val prev = m.getOrDefault(first, 0)
+      if (len > prev) m.put(first, len)
+    }
+    m
+  }
+
   override def tagBatch(batch: Seq[EncodedWindow]): Seq[TaggedWindow] =
     batch.map(tagWindow)
 
@@ -57,14 +73,15 @@ final class GazetteerTagger(gazetteer: Map[String, String], maxWords: Int = 3)
         preds(i) = "X"; i += 1
       }
     }
-    // greedy longest-match over reconstructed words
+    // greedy longest-match over reconstructed words (trigger-indexed)
     var wi = 0
     while (wi < words.length) {
       var matched = 0
       var typ: String = null
-      var len = math.min(maxWords, words.length - wi)
+      val cap = triggerMaxLen.getOrDefault(words(wi), 0)
+      var len = math.min(math.min(maxWords, cap), words.length - wi)
       while (len > 0 && typ == null) {
-        val key = words.slice(wi, wi + len).mkString(" ")
+        val key = if (len == 1) words(wi) else words.slice(wi, wi + len).mkString(" ")
         gazetteer.get(key) match {
           case Some(t) => typ = t; matched = len
           case None => len -= 1

@@ -72,12 +72,41 @@ final class WindowEncoder(
     out.toArray
   }
 
+  /** Like [[tokenizeWithLabels]] but also returns pieces-per-word, so the
+    * decode stage can re-align by construction instead of re-tokenizing
+    * (the fused-stage fast path; Realigner.realignWithCounts).
+    */
+  def tokenizeWithCounts(words: Array[String], tags: Array[String])
+      : (Array[String], Array[String], Array[Int]) = {
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val labs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val counts = new Array[Int](words.length)
+    var i = 0
+    while (i < words.length) {
+      val pieces = tokenizeWord(words(i))
+      counts(i) = pieces.length
+      var j = 0
+      while (j < pieces.length) {
+        toks += pieces(j)
+        labs += (if (j == 0) tags(i) else "X")
+        j += 1
+      }
+      i += 1
+    }
+    (toks.toArray, labs.toArray, counts)
+  }
+
   /** Full encode of one sentence; guid keys windows back to the sentence
     * (webapp/app.py:76-87).
     */
-  def encode(guid: String, words: Array[String], tags: Array[String]): Seq[EncodedWindow] = {
-    val (toks, labs) = tokenizeWithLabels(words, tags)
-    windowBounds(toks).zipWithIndex.map { case ((s, e), w) =>
+  def encode(guid: String, words: Array[String], tags: Array[String]): Seq[EncodedWindow] =
+    encodeWithCounts(guid, words, tags)._1
+
+  /** Encode + pieces-per-word (fused-stage fast path). */
+  def encodeWithCounts(guid: String, words: Array[String], tags: Array[String])
+      : (Seq[EncodedWindow], Array[Int]) = {
+    val (toks, labs, counts) = tokenizeWithCounts(words, tags)
+    val wins = windowBounds(toks).zipWithIndex.map { case ((s, e), w) =>
       val t = Array("[CLS]") ++ toks.slice(s, e) ++ Array("[SEP]")
       val l = Array("[CLS]") ++ labs.slice(s, e) ++ Array("[SEP]")
       val n = t.length
@@ -91,6 +120,7 @@ final class WindowEncoder(
         s"feature-shape invariant violated for $guid") // data_processor.py:431-434
       EncodedWindow(guid, w, inputIds, mask, seg, labelIds, t)
     }.toSeq
+    (wins, counts)
   }
 }
 
@@ -147,6 +177,31 @@ final class Realigner(wp: Wordpiece, doLowerCase: Boolean = true) extends Serial
         val p = preds(ti)
         if (p != "X" && p != "[SEP]" && p != "[CLS]") tag = p
         ti += 1
+      }
+      out(wi) = (words(wi), tag)
+      wi += 1
+    }
+    out
+  }
+
+  /** Fast exact variant used by the fused encode→tag→decode stage: each
+    * word's token count is known from encoding, so consume exactly that
+    * many predictions per word — no re-tokenization. Semantically
+    * identical to [[realign]] (property-tested).
+    */
+  def realignWithCounts(words: Array[String], piecesPerWord: Array[Int],
+                        preds: Array[String]): Array[(String, String)] = {
+    val out = new Array[(String, String)](words.length)
+    var ti = 0
+    var wi = 0
+    while (wi < words.length) {
+      var k = piecesPerWord(wi)
+      var tag = "O"
+      while (k > 0 && ti < preds.length) {
+        val p = preds(ti)
+        if (p != "X" && p != "[SEP]" && p != "[CLS]") tag = p
+        ti += 1
+        k -= 1
       }
       out(wi) = (words(wi), tag)
       wi += 1

@@ -15,6 +15,52 @@ final class Wordpiece(vocab: Set[String], maxInputCharsPerWord: Int = 100) exten
 
   val unk = "[UNK]"
 
+  /** Char-trie for zero-allocation longest-match scans (the naive
+    * substring probe is O(L²) allocations per word — measurably the hot
+    * path at bench scale). Rebuilt lazily per executor after broadcast
+    * deserialization.
+    */
+  private final class TNode {
+    var isWord = false
+    var children: java.util.HashMap[Char, TNode] = null
+    def child(c: Char): TNode = if (children == null) null else children.get(c)
+    def add(c: Char): TNode = {
+      if (children == null) children = new java.util.HashMap[Char, TNode](4)
+      var n = children.get(c)
+      if (n == null) { n = new TNode; children.put(c, n) }
+      n
+    }
+  }
+  @transient private lazy val (rootStart, rootCont) = {
+    val rs = new TNode; val rc = new TNode
+    vocab.foreach { piece =>
+      val (root, body) =
+        if (piece.startsWith("##")) (rc, piece.substring(2)) else (rs, piece)
+      if (body.nonEmpty) {
+        var n = root
+        var i = 0
+        while (i < body.length) { n = n.add(body.charAt(i)); i += 1 }
+        n.isWord = true
+      }
+    }
+    (rs, rc)
+  }
+
+  /** Longest vocab match starting at word(start); returns end index
+    * (exclusive) or -1.
+    */
+  private def longestMatch(word: String, start: Int): Int = {
+    var n = if (start == 0) rootStart else rootCont
+    var best = -1
+    var i = start
+    while (i < word.length && n != null) {
+      n = n.child(word.charAt(i))
+      i += 1
+      if (n != null && n.isWord) best = i
+    }
+    best
+  }
+
   /** Tokenize one already-basic-tokenized word into wordpieces. */
   def tokenizeWord(word: String): Array[String] = {
     if (word.length > maxInputCharsPerWord)
@@ -22,15 +68,13 @@ final class Wordpiece(vocab: Set[String], maxInputCharsPerWord: Int = 100) exten
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var start = 0
     while (start < word.length) {
-      var end = word.length
-      var cur: String = null
-      while (end > start && cur == null) {
-        val sub0 = word.substring(start, end)
-        val sub = if (start > 0) "##" + sub0 else sub0
-        if (vocab.contains(sub)) cur = sub else end -= 1
+      val end = longestMatch(word, start)
+      if (end < 0) { out += unk; start += 1 } // per-char UNK, advance 1
+      else {
+        out += (if (start > 0) "##" + word.substring(start, end)
+                else word.substring(start, end))
+        start = end
       }
-      if (cur == null) { out += unk; start += 1 } // per-char UNK, advance 1
-      else { out += cur; start = end }
     }
     out.toArray
   }
