@@ -138,6 +138,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- text analysis (training-data ops) ----
+    "q15_langid" -> ((s, dir) =>
+      graft.ops.TextOps.langId(t(s, dir, "documents")).orderBy("doc_id")),
+    "q16_quality" -> ((s, dir) =>
+      graft.ops.TextOps.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
+    "q17_fp_shingle" -> ((s, dir) =>
+      graft.ops.TextOps.fingerprintShingles(t(s, dir, "documents")).orderBy("doc_id")),
+    // ---- dedup family ----
+    "q18_minhash_sig" -> ((s, dir) =>
+      graft.ops.Dedup.minhashSignatures(t(s, dir, "documents"))
+        .orderBy("doc_id", "h")),
+    "q19_minhash_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.minhashPairs(t(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b")),
+    "q20_simhash" -> ((s, dir) =>
+      graft.ops.Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")),
+    "q21_jaccard" -> ((s, dir) =>
+      graft.ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.05)
+        .orderBy("doc_a", "doc_b")),
+    "q22_embed_neardup" -> ((s, dir) =>
+      graft.ops.Dedup.embeddingNearDup(t(s, dir, "embeddings"), 0.35)
+        .orderBy("vec_a", "vec_b")),
+    // ---- similarity search ----
+    "q23_ann_top1" -> ((s, dir) =>
+      graft.ops.Ann.bruteTop1(t(s, dir, "embeddings")).orderBy("q_id")),
+    "q24_ann_lsh" -> ((s, dir) =>
+      graft.ops.Ann.lshTop1(t(s, dir, "embeddings")).orderBy("q_id")),
+    // ---- time-window aggregation (events) ----
+    "q25_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:00:00").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+        .orderBy("hour", "event_type")),
+    // ---- multimodal plumbing (deterministic fake decode; rows-only) ----
+    "mm_features" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.mediaTable(t(s, dir, "documents"))
+      graft.ops.Multimodal.decodeFeatures(s, media).toDF()
+        .select("doc_id", "media_ref", "width", "height", "n_bytes")
+        .orderBy("doc_id")
+    }),
+
     // ---- KG pipeline stages (exact-verified in PipelineSpec) ----
     "kg_triples" -> ((s, dir) => {
       val docs = CorpusGen.docs(s, 500, parts = 8)
@@ -225,5 +267,146 @@ object SparkEntry {
         |length(text) AS n_chars_obs FROM documents ORDER BY doc_id""".stripMargin,
     "q14_fingerprint" ->
       "SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id",
+    "q15_langid" ->
+      """WITH s AS (SELECT doc_id,
+        | len(list_filter(str_split(text,' '), w -> w = 'the'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'and'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'is')) AS score_en,
+        | len(list_filter(str_split(text,' '), w -> w = 'der'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'und'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'das')) AS score_de,
+        | len(list_filter(str_split(text,' '), w -> w = 'le'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'et'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'la')) AS score_fr,
+        | len(list_filter(str_split(text,' '), w -> w = 'el'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'y'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'la')) AS score_es
+        | FROM documents)
+        |SELECT doc_id, score_en, score_de, score_fr, score_es,
+        | CASE WHEN score_en = greatest(score_en,score_de,score_fr,score_es) THEN 'en'
+        |      WHEN score_de = greatest(score_en,score_de,score_fr,score_es) THEN 'de'
+        |      WHEN score_fr = greatest(score_en,score_de,score_fr,score_es) THEN 'fr'
+        |      ELSE 'es' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q16_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_obs,
+        | round(length(regexp_replace(text,'[^a-zA-Z]','','g'))::DOUBLE / length(text), 6) AS alpha_ratio,
+        | round(length(regexp_replace(text,'[^0-9]','','g'))::DOUBLE / length(text), 6) AS digit_ratio,
+        | round((length(text)::DOUBLE - len(str_split(text,' ')) + 1) / len(str_split(text,' ')), 6) AS mean_token_len,
+        | round(length(regexp_replace(text,'[^a-zA-Z]','','g'))::DOUBLE / length(text)
+        |   * least(len(str_split(text,' '))::DOUBLE / 50.0, 1.0), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q17_fp_shingle" ->
+      """WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM w)
+        |SELECT doc_id,
+        | min(('0x'||substr(md5(shingle),1,15))::BIGINT) AS min_hash,
+        | max(('0x'||substr(md5(shingle),1,15))::BIGINT) AS max_hash,
+        | count(*) AS n_shingles
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q18_minhash_sig" ->
+      """WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM w),
+        | seeded AS (SELECT doc_id, shingle, h FROM sh, range(0,8) t(h))
+        |SELECT doc_id, h,
+        | min(('0x'||substr(md5(h||'_'||shingle),1,15))::BIGINT) AS minhash
+        |FROM seeded GROUP BY doc_id, h ORDER BY doc_id, h""".stripMargin,
+    "q19_minhash_pairs" ->
+      """WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM w),
+        | seeded AS (SELECT doc_id, shingle, h FROM sh, range(0,8) t(h)),
+        | sig AS (SELECT doc_id, h,
+        |   min(('0x'||substr(md5(h||'_'||shingle),1,15))::BIGINT) AS minhash
+        |   FROM seeded GROUP BY doc_id, h),
+        | bands AS (SELECT doc_id, h//2 AS band,
+        |   md5(string_agg(h||':'||minhash, ',' ORDER BY h||':'||minhash)) AS band_key
+        |   FROM sig GROUP BY doc_id, h//2)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q20_simhash" ->
+      """WITH words AS (SELECT doc_id, unnest(str_split(text,' ')) AS word FROM documents),
+        | hb AS (SELECT doc_id, ('0x'||substr(md5(word),1,15))::BIGINT AS h, j
+        |        FROM words, range(0,16) t(j)),
+        | bits AS (SELECT doc_id, j,
+        |   sum(CASE WHEN (h >> j::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |   FROM hb GROUP BY doc_id, j)
+        |SELECT doc_id,
+        | sum(CASE WHEN s > 0 THEN 1::BIGINT << j::INT ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q21_jaccard" ->
+      """WITH w AS (SELECT doc_id, source, str_split(text,' ') AS ws FROM documents),
+        | sh AS (SELECT DISTINCT doc_id, source,
+        |   unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |     i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM w),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |   FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+        |     AND a.doc_id < b.doc_id
+        |   GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        | round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        |           JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q22_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(list_reduce(list_transform(range(1, len(a.v)+1),
+        |         i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))), 6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_reduce(list_transform(range(1, len(a.v)+1),
+        |         i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))), 6) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q23_ann_top1" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+        | scored AS (SELECT q_id, vec_id,
+        |   round(list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))), 6) AS cosine
+        |   FROM q JOIN e ON q_id <> vec_id),
+        | ranked AS (SELECT q_id, vec_id, cosine,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn
+        |   FROM scored)
+        |SELECT q_id, vec_id AS nn_id, cosine FROM ranked WHERE rn = 1
+        |ORDER BY q_id""".stripMargin,
+    "q24_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        | dims AS (SELECT vec_id, d-1 AS d0, v[d] AS x FROM e, range(1, 65) t(d)),
+        | proj AS (SELECT vec_id, p,
+        |   sum(((('0x'||substr(md5(p||'_'||d0),1,15))::BIGINT % 2001 + 2001) % 2001 - 1000) * x) AS proj
+        |   FROM dims, range(0,8) t(p) GROUP BY vec_id, p),
+        | buckets AS (SELECT vec_id,
+        |   sum(CASE WHEN proj >= 0 THEN 1::BIGINT << p::INT ELSE 0 END) AS bucket
+        |   FROM proj GROUP BY vec_id),
+        | eb AS (SELECT e.vec_id, v, bucket FROM e JOIN buckets ON e.vec_id = buckets.vec_id),
+        | q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM eb WHERE vec_id % 25 = 0),
+        | scored AS (SELECT q_id, eb.vec_id,
+        |   round(list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))), 6) AS cosine
+        |   FROM q JOIN eb ON qb = bucket AND q_id <> eb.vec_id),
+        | ranked AS (SELECT q_id, vec_id, cosine,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn
+        |   FROM scored)
+        |SELECT q_id, vec_id AS nn_id, cosine FROM ranked WHERE rn = 1
+        |ORDER BY q_id""".stripMargin,
+    "q25_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+        | event_type, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
   )
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextOps.hexInt
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  *  - [[bruteTop1]]: exact cosine top-1 — the baseline; O(Q·N·d) via an
+  *    equi-free join, fine when Q is a bounded query set; at 100 TB the
+  *    query side is broadcast and the corpus side streamed.
+  *  - [[lshBuckets]] / [[lshTop1]]: random-hyperplane LSH — deterministic
+  *    integer plane coefficients derived from md5 (cross-engine
+  *    reproducible), bucket = sign-bit string; candidate search within
+  *    bucket only — the scale path (pairs drop from N² to Σ bucket²).
+  *
+  * Dot products use `zip_with` + `aggregate` fold in array order with
+  * double promotion — bit-identical to the DuckDB oracle's 1-based
+  * list-indexed sum in the same order.
+  */
+object Ann {
+
+  private def vcol: Column = transform(col("embedding"), x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact cosine top-1 neighbor for each query vector
+    * (query set: vec_id % queryMod == 0).
+    */
+  def bruteTop1(emb: DataFrame, queryMod: Int = 25): DataFrame = {
+    val e = emb.select(col("vec_id"), vcol.as("v"))
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("q_id"), col("vec_id").as("nn_id"), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH bucket per vector: plane p's coefficient for
+    * dimension d is md5-derived integer in [-1000, 1000]; bit_p =
+    * 1{Σ_d c_{p,d}·x_d ≥ 0}; bucket = Σ bit_p << p.
+    */
+  def lshBuckets(emb: DataFrame, planes: Int = 8): DataFrame = {
+    val byDim = emb.select(col("vec_id"),
+        posexplode(transform(col("embedding"), x => x.cast("double"))))
+      .withColumnRenamed("pos", "d0") // 0-based dim
+      .withColumn("p", explode(sequence(lit(0), lit(planes - 1))))
+    val coef = (pmod(hexInt(concat(col("p"), lit("_"), col("d0"))), lit(2001)) - 1000)
+    val sums = byDim
+      .groupBy("vec_id", "p")
+      .agg(sum(coef * col("col")).as("proj"))
+    sums.groupBy("vec_id")
+      .agg(sum(when(col("proj") >= 0, expr("shiftleft(1L, cast(p as int))"))
+        .otherwise(0L)).as("bucket"))
+  }
+
+  /** Bucketed cosine top-1: exact search restricted to the LSH bucket. */
+  def lshTop1(emb: DataFrame, planes: Int = 8, queryMod: Int = 25): DataFrame = {
+    val b = lshBuckets(emb, planes)
+    val e = emb.select(col("vec_id"), vcol.as("v")).join(b, "vec_id")
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
+    val scored = q.join(e, col("qb") === col("bucket") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("q_id"), col("vec_id").as("nn_id"), col("cosine"))
+  }
+}

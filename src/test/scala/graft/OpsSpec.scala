@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops.{Ann, Dedup, Multimodal, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val d = docs((1, "a b c", "s"), (2, "a b c", "s"), (3, "x y z", "s"))
+    val r = Dedup.exact(d).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(r == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles3: 3-gram windows, short docs empty") {
+    val r = docs((1, "a b c d", "s")).select(TextOps.shingles3(col("text")))
+      .collect()(0).getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+    val short = docs((1, "a b", "s")).select(TextOps.shingles3(col("text")))
+      .collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("minhash pairs detect a planted near-duplicate") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val d = docs((1, base, "s"), (2, nearDup, "s"), (3, other, "s"))
+    val pairs = Dedup.minhashPairs(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs equal, disjoint docs differ") {
+    val d = docs((1, "a b c d e", "s"), (2, "a b c d e", "s"), (3, "p q r s t", "s"))
+    val m = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1) == m(2))
+    assert(m(1) != m(3))
+  }
+
+  test("ngram jaccard: identical docs = 1.0") {
+    val d = docs((1, "a b c d e", "s"), (2, "a b c d e", "s"))
+    val r = Dedup.ngramJaccardPairs(d, 0.5).collect()
+    assert(r.length == 1 && r(0).getDouble(2) == 1.0)
+  }
+
+  test("langid picks the marker-dominant language") {
+    val d = docs(
+      (1, "the cat and the dog is here", "s"),
+      (2, "der hund und das haus und der baum", "s"))
+    val r = TextOps.langId(d).collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(r(1) == "en" && r(2) == "de")
+  }
+
+  test("brute-force ANN top1 finds the planted neighbor") {
+    val mk = (id: Long, base: Float, label: Int) =>
+      (id, Array.tabulate(8)(i => base + i * 0.1f), label)
+    val e = Seq(
+      mk(0, 1.0f, 0), mk(50, 1.01f, 0), // near-identical direction to id 0
+      (75L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Ann.bruteTop1(e, queryMod = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(0L) == 50L && r(50L) == 0L)
+  }
+
+  test("LSH buckets: identical vectors share a bucket") {
+    val e = Seq(
+      (1L, Array.tabulate(8)(_ * 0.5f), 0),
+      (2L, Array.tabulate(8)(_ * 0.5f), 0),
+      (3L, Array.tabulate(8)(i => -i * 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val b = Ann.lshBuckets(e).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L) != b(3L)) // opposite vectors flip every plane sign
+  }
+
+  test("multimodal stub: binary payloads decode deterministically in batches") {
+    val d = docs((1, "hello world text", "s"), (2, "other doc", "s"))
+    val media = Multimodal.mediaTable(d)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val f = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(f.length == 2)
+    assert(f.forall(x => x.n_bytes == 16 && x.width >= 16 && x.height >= 16))
+    // determinism
+    val f2 = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(f.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+  }
+}
