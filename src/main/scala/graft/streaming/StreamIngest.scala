@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.model.{Alias, Doc, LineageRow, Triple}
+import graft.pipeline.KgPipeline
+import graft.store.LineageStore
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming ingestion of interleaved documents → incremental
+  * triple materialization.
+  *
+  * The reference is request/response + batch (SURVEY §2.9) — its closest
+  * analogs map here: per-request micro-batch with result cache (ST2) →
+  * foreachBatch with idempotent batch commits; epoch-checkpoint resume
+  * (ST3) → batch-id-keyed lineage rows.
+  *
+  * Exactly-once contract: each micro-batch writes its triples under
+  * `triples_stream/batch=<id>/` with DYNAMIC partition overwrite (a
+  * replayed batch rewrites the same partition with identical content —
+  * the pipeline is deterministic), then appends one lineage row per
+  * bucket keyed `snapshot_id = "batch-<id>"`. A batch whose snapshot is
+  * already in lineage is skipped entirely.
+  */
+object StreamIngest {
+
+  def streamPath(root: String) = s"$root/triples_stream"
+
+  /** Start the ingestion query over a parquet-directory doc stream. */
+  def run(spark: SparkSession, docsStream: Dataset[Doc], root: String,
+          ctx: KgPipeline.LinkContext,
+          aliases: Dataset[Alias],
+          cfg: KgPipeline.Config = KgPipeline.Config(),
+          checkpoint: String): StreamingQuery = {
+    docsStream.writeStream
+      .queryName("graft-kg-ingest")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
+        commitBatch(spark, batch, batchId, root, ctx, aliases, cfg)
+      }
+      .start()
+  }
+
+  /** Idempotent micro-batch commit (also usable directly in tests). */
+  def commitBatch(spark: SparkSession, batch: Dataset[Doc], batchId: Long,
+                  root: String, ctx: KgPipeline.LinkContext,
+                  aliases: Dataset[Alias], cfg: KgPipeline.Config): Unit = {
+    import spark.implicits._
+    val snap = s"batch-$batchId"
+    val done = LineageStore.readLineage(spark, root)
+      .filter(l => l.stage == "stream_triples" && l.snapshot_id == snap)
+      .limit(1).count() > 0
+    if (done) return
+    val triples = KgPipeline.run(spark, batch, aliases, cfg = cfg, ctx = Some(ctx))
+      .withColumn("batch", lit(batchId))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val persisted = triples.persist()
+    persisted.write.mode(SaveMode.Overwrite)
+      .partitionBy("batch", "bucket")
+      .parquet(streamPath(root))
+    val now = System.currentTimeMillis()
+    val rows = persisted.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("span_offset")).as("omin"), max(col("span_offset")).as("omax"),
+        countDistinct(col("doc_id")).as("docs"))
+      .collect().map { r =>
+        LineageRow("stream_triples", r.getAs[Int]("bucket"),
+          r.getAs[Int]("omin").toLong, r.getAs[Int]("omax").toLong,
+          r.getAs[Long]("n"), r.getAs[Long]("docs"), snap, now)
+      }
+    persisted.unpersist()
+    if (rows.nonEmpty)
+      spark.createDataset(rows.toSeq).write.mode(SaveMode.Append)
+        .parquet(LineageStore.lineagePath(root))
+  }
+
+  def readStreamTriples(spark: SparkSession, root: String): Dataset[Triple] = {
+    import spark.implicits._
+    spark.read.parquet(streamPath(root))
+      .select("subj", "pred", "obj", "doc_id", "bucket", "conf",
+        "span_offset", "sentence_idx")
+      .as[Triple]
+  }
+
+  /** Streaming windowed aggregation over the events table (watermark +
+    * tumbling window — SURVEY §2.9 note): the generic streaming-agg
+    * operator of the engine.
+    */
+  def eventsHourly(spark: SparkSession, eventsDir: String): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ → event-time type
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+  }
+}
