@@ -30,6 +30,13 @@ object Assembly {
   def selectDatasets(gt: Dataset[GtToken], sets: Seq[String]): Dataset[GtToken] =
     gt.where(col("dataset").isin(sets: _*))
 
+  /** ST1 — seeded epoch shuffle (data_processor.py:141-193): the
+    * reference's 1000-slot random queue becomes a deterministic sort by a
+    * seeded hash — stable under any partitioning, different per epoch.
+    */
+  def shuffledEpoch(sents: Dataset[Sentence], epoch: Int, seed: Long): Dataset[Sentence] =
+    sents.orderBy(xxhash64(col("guid"), lit(seed), lit(epoch)))
+
   /** A2 — label inference: distinct tags sorted (data_processor.py:308-317);
     * collected to a driver-side map for broadcast, UNK → 0.
     */
