@@ -1,0 +1,79 @@
+package graft.store
+
+import graft.model.Triple
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style snapshot chain on Parquet (no Iceberg jar ships in
+  * /opt/spark/jars — hand-rolled manifest per SURVEY §7.3).
+  *
+  * Each commit appends one row to `_snapshots`: (snapshot_id, parent_id,
+  * stage, created_at, n_rows, config_hash). Streaming batch partitions
+  * (`triples_stream/batch=<id>/`) are immutable, so "read table AS OF
+  * snapshot" is a partition-pruned union of batches ≤ the snapshot's
+  * batch id — genuine time travel with no data copies. The config hash
+  * is the memoization key pattern of the reference's request cache
+  * (webapp/app.py:157-158): identical stage config + input snapshot →
+  * identical snapshot id → skip recompute.
+  */
+object Snapshots {
+
+  case class SnapshotRow(
+      snapshot_id: String, parent_id: String, stage: String,
+      created_at: Long, n_rows: Long, config_hash: String)
+
+  def snapshotsPath(root: String) = s"$root/_snapshots"
+
+  def read(spark: SparkSession, root: String): Dataset[SnapshotRow] = {
+    import spark.implicits._
+    val p = snapshotsPath(root)
+    if (new java.io.File(p).exists()) spark.read.parquet(p).as[SnapshotRow]
+    else spark.emptyDataset[SnapshotRow]
+  }
+
+  def current(spark: SparkSession, root: String, stage: String): Option[SnapshotRow] = {
+    val rows = read(spark, root).filter(col("stage") === stage)
+      .orderBy(desc("created_at"), desc("snapshot_id")).limit(1).collect()
+    rows.headOption
+  }
+
+  /** sha-256 config hash — F9, the cache-key function of the reference. */
+  def configHash(spark: SparkSession, parts: String*): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(parts.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  def append(spark: SparkSession, root: String, row: SnapshotRow): Unit = {
+    import spark.implicits._
+    spark.createDataset(Seq(row)).write.mode(SaveMode.Append)
+      .parquet(snapshotsPath(root))
+  }
+
+  /** Record a streaming batch commit in the snapshot chain. */
+  def commitStreamBatch(spark: SparkSession, root: String, batchId: Long,
+                        nRows: Long, cfgHash: String): Unit = {
+    val parent = current(spark, root, "stream_triples")
+      .map(_.snapshot_id).getOrElse("none")
+    append(spark, root, SnapshotRow(s"batch-$batchId", parent,
+      "stream_triples", System.currentTimeMillis(), nRows, cfgHash))
+  }
+
+  /** Time travel: the stream table AS OF a snapshot — partition-pruned
+    * union of immutable batch partitions up to that batch id.
+    */
+  def readStreamAsOf(spark: SparkSession, root: String, snapshotId: String): Dataset[Triple] = {
+    import spark.implicits._
+    val batchId = snapshotId.stripPrefix("batch-").toLong
+    spark.read.parquet(StreamIngestPaths.streamPath(root))
+      .where(col("batch") <= batchId) // partition pruning on batch=
+      .select("subj", "pred", "obj", "doc_id", "bucket", "conf",
+        "span_offset", "sentence_idx")
+      .as[Triple]
+  }
+}
+
+/** Path indirection (avoids a circular dep on graft.streaming). */
+object StreamIngestPaths {
+  def streamPath(root: String) = s"$root/triples_stream"
+}

@@ -70,9 +70,14 @@ object StreamIngest {
           r.getAs[Long]("n"), r.getAs[Long]("docs"), snap, now)
       }
     persisted.unpersist()
-    if (rows.nonEmpty)
+    if (rows.nonEmpty) {
       spark.createDataset(rows.toSeq).write.mode(SaveMode.Append)
         .parquet(LineageStore.lineagePath(root))
+      graft.store.Snapshots.commitStreamBatch(spark, root, batchId,
+        rows.map(_.triple_count).sum,
+        graft.store.Snapshots.configHash(spark,
+          cfg.toString, s"buckets=${cfg.buckets}"))
+    }
   }
 
   def readStreamTriples(spark: SparkSession, root: String): Dataset[Triple] = {

@@ -33,6 +33,17 @@ class StreamingSpec extends AnyFunSuite {
     val snaps = graft.store.LineageStore.readLineage(spark, root)
       .collect().map(_.snapshot_id).distinct.sorted
     assert(snaps.toSeq == Seq("batch-0", "batch-1"))
+    // snapshot chain: batch-1 points at batch-0; current is batch-1
+    val chain = graft.store.Snapshots.read(spark, root).collect()
+      .sortBy(_.snapshot_id)
+    assert(chain.map(_.snapshot_id).toSeq == Seq("batch-0", "batch-1"))
+    assert(chain(0).parent_id == "none" && chain(1).parent_id == "batch-0")
+    assert(graft.store.Snapshots.current(spark, root, "stream_triples")
+      .get.snapshot_id == "batch-1")
+    // time travel: AS OF batch-0 shows only batch-0 triples
+    val asOf0 = graft.store.Snapshots.readStreamAsOf(spark, root, "batch-0")
+      .select("doc_id").distinct().collect().map(_.getString(0))
+    assert(asOf0.forall(_ < CorpusGen.docId(20)) && asOf0.nonEmpty)
   }
 
   test("streaming doc source end-to-end via AvailableNow trigger") {
