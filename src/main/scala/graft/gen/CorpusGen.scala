@@ -103,8 +103,7 @@ object CorpusGen {
   }
 
   /** Surface normalization shared by generator and linker. */
-  def normSurface(s: String): String =
-    graft.text.TextCore.stripAccents(s.toLowerCase).trim
+  def normSurface(s: String): String = graft.text.TextCore.normalizeSurface(s)
 
   // ---- sentence templates ----
   // E slots are 0=PER 1=LOC 2=ORG; words are plain literals otherwise.

@@ -46,21 +46,47 @@ object Linker {
     }
   }
 
-  /** DataFrame salted-join path for dictionaries beyond broadcast size. */
+  /** Skewed surface keys: sampled mention-frequency heads. At 100 TB this
+    * is a cheap sample+count over the mention stream; the Zipf head is
+    * tiny (tens of keys) and broadcast as a literal set.
+    */
+  def inferSkewKeys(spark: SparkSession, mentions: Dataset[Mention],
+                    topK: Int = 20, sampleFraction: Double = 1.0): Seq[String] = {
+    NormalizeSurface.register(spark)
+    val m = if (sampleFraction < 1.0) mentions.sample(sampleFraction, 42) else mentions
+    m.toDF()
+      .groupBy(NormalizeSurface(col("surface")).as("surface_norm"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("surface_norm")).limit(topK)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** DataFrame salted-join path for dictionaries beyond broadcast size.
+    * SKEW-AWARE: only head surfaces (Zipf skew) get salted — the
+    * dictionary rows of skewed keys are replicated S×, everything else
+    * joins unreplicated on salt 0. Surface normalization runs through the
+    * native codegen expression [[NormalizeSurfaceExpr]] so the mention
+    * side never leaves whole-stage codegen.
+    */
   def linkSaltedJoin(spark: SparkSession, mentions: Dataset[Mention],
-                     aliases: Dataset[Alias], saltBuckets: Int = 8): Dataset[LinkedMention] = {
+                     aliases: Dataset[Alias], saltBuckets: Int = 8,
+                     skewKeys: Option[Seq[String]] = None): Dataset[LinkedMention] = {
     import spark.implicits._
-    // surface normalization in a typed map (shares normSurface with the
-    // broadcast path — exactness over a lossy lower() builtin)
-    val m = mentions
-      .map(mn => (mn.doc_id, mn.span_offset, mn.sentence_idx, mn.surface,
-        mn.entity_type, normSurface(mn.surface)))
-      .toDF("doc_id", "span_offset", "sentence_idx", "surface",
-        "entity_type", "surface_norm")
-      .withColumn("salt", pmod(hash(col("doc_id")), lit(saltBuckets)))
+    NormalizeSurface.register(spark)
+    val skew = skewKeys.getOrElse(inferSkewKeys(spark, mentions))
+    val skewArr = array(skew.map(lit): _*)
+    val m = mentions.toDF()
+      .withColumn("surface_norm", NormalizeSurface(col("surface")))
+      .withColumn("salt",
+        when(array_contains(skewArr, col("surface_norm")),
+          pmod(hash(col("doc_id")), lit(saltBuckets))).otherwise(lit(0)))
     val a = aliases
       .withColumnRenamed("entity_type", "alias_type")
-      .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+      .withColumn("salts",
+        when(array_contains(skewArr, col("surface_norm")),
+          sequence(lit(0), lit(saltBuckets - 1)))
+          .otherwise(array(lit(0))))
+      .withColumn("salt", explode(col("salts"))).drop("salts")
     val joined = m.join(a, Seq("surface_norm", "salt"), "inner")
     // candidate scoring: prefer type match, then max prior, then min id —
     // one min_by aggregation over a lexicographic key struct (no window).

@@ -128,6 +128,12 @@ object TextCore {
     out.toArray
   }
 
+  /** Canonical surface normalization shared by the generator, the
+    * broadcast linker, and the native Catalyst expression
+    * (graft.kg.NormalizeSurfaceExpr): lowercase + NFD accent strip + trim.
+    */
+  def normalizeSurface(s: String): String = stripAccents(s.toLowerCase).trim
+
   /** Full basic tokenization of one raw text (tokenization.py:195-226):
     * clean → CJK-pad → whitespace split → [lower+accent-strip] →
     * punct split → re-split on whitespace.

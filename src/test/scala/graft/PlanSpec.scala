@@ -72,3 +72,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"unexpected shuffle in detect stage:\n$p")
   }
 }
+
+/** Native Catalyst expression: eval + codegen parity, umlaut exactness. */
+class NormalizeSurfaceSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import org.apache.spark.sql.functions._
+
+  test("normalize_surface: codegen path equals Scala semantics incl NFD") {
+    graft.kg.NormalizeSurface.register(spark)
+    import spark.implicits._
+    val df = Seq("Anna MÜLLER", "café", "Straße ", "ÉCOLE").toDF("s")
+      .select(col("s"), expr("normalize_surface(s)").as("n"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("Anna MÜLLER") == "anna muller")
+    assert(got("café") == "cafe")
+    assert(got("Straße ") == "straße")
+    assert(got("ÉCOLE") == "ecole")
+    // stays inside whole-stage codegen over a real scan (a local Seq is
+    // constant-folded; parquet-backed input exercises doGenCode)
+    val pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(expr("normalize_surface(text)").as("n"))
+    assert(pq.count() > 0)
+    pq.collect()
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") && plan.toLowerCase.contains("normalizesurface"), plan)
+  }
+
+  test("skew-aware salting: only head keys replicated, results unchanged") {
+    import spark.implicits._
+    val mentions = graft.pipeline.KgPipeline.detectMentions(spark,
+      graft.pipeline.KgPipeline.sentences(spark,
+        graft.gen.CorpusGen.docs(spark, 60, parts = 2)),
+      new graft.tag.GazetteerTagger(graft.pipeline.KgPipeline.defaultGazetteer))
+      .persist()
+    val aliases = graft.gen.CorpusGen.aliases(spark)
+    val skew = graft.kg.Linker.inferSkewKeys(spark, mentions, topK = 5)
+    assert(skew.nonEmpty && skew.size <= 5)
+    val dict = graft.gen.CorpusGen.aliasDict.groupBy(_.surface_norm)
+    val viaBroadcast = graft.kg.Linker.linkBroadcast(spark, mentions, dict)
+      .map(l => (l.doc_id, l.span_offset, l.surface, l.entity_id)).collect().toSet
+    val viaSalted = graft.kg.Linker.linkSaltedJoin(spark, mentions, aliases,
+        skewKeys = Some(skew))
+      .map(l => (l.doc_id, l.span_offset, l.surface, l.entity_id)).collect().toSet
+    assert(viaBroadcast == viaSalted && viaSalted.nonEmpty)
+    mentions.unpersist()
+  }
+}
