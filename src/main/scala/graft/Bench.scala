@@ -44,7 +44,8 @@ object Bench {
 
     // headline SQL queries (warm once to exclude first-touch JIT/IO noise)
     val headline = Seq("q01_agg", "q02_filter", "q03_join", "q06_window",
-      "q11_grouped_topk", "q12_dedup_exact", "q13_token_count")
+      "q11_grouped_topk", "q12_dedup_exact", "q13_token_count",
+      "q18_minhash_sig", "q20_simhash", "q23_ann_top1")
     headline.foreach { q => SparkEntry.queries(q)(spark, sfDir).count() }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { q =>
@@ -59,8 +60,10 @@ object Bench {
       else if (sfDir.contains("0.1")) 60000L else 600L
     val parts = cpus.toInt * 2
     val ctx = Some(KgPipeline.prepareLinkContext(spark, CorpusGen.aliases(spark)))
-    kgRun(spark, math.max(nDocs / 10, 200), parts, ctx) // warm
-    val (kgSec, nTriples) = kgRun(spark, nDocs, parts, ctx)
+    kgRun(spark, nDocs, parts, ctx) // full-size JIT warm-up (C2 needs a pass)
+    val (kgSec, nTriples) =
+      Seq(kgRun(spark, nDocs, parts, ctx), kgRun(spark, nDocs, parts, ctx))
+        .minBy(_._1)
     results("kg_pipeline") = kgSec
     val tps = nTriples / kgSec
 

@@ -111,5 +111,13 @@ class PipelineSpec extends AnyFunSuite {
     val t2 = CorpusGen.docs(spark, 40, parts = 7)
     assert(t1.collect().map(d => (d.doc_id, d.spans.toSeq)).toSet ==
       t2.collect().map(d => (d.doc_id, d.spans.toSeq)).toSet)
+    // full pipeline output is partitioning-invariant (scaling contract)
+    val aliases = CorpusGen.aliases(spark)
+    val ctx = Some(KgPipeline.prepareLinkContext(spark, aliases))
+    val r1 = KgPipeline.run(spark, t1, aliases, ctx = ctx)
+      .select("subj", "pred", "obj", "doc_id").collect().toSet
+    val r2 = KgPipeline.run(spark, t2, aliases, ctx = ctx)
+      .select("subj", "pred", "obj", "doc_id").collect().toSet
+    assert(r1 == r2 && r1.nonEmpty)
   }
 }
