@@ -194,6 +194,62 @@ object SparkEntry {
           new graft.tag.GazetteerTagger(KgPipeline.defaultGazetteer)).toDF()
         .orderBy("doc_id", "span_offset", "start_word")
     }),
+    // ---- ETL parsers on deterministic fixture files (exact-verified in EtlSpec) ----
+    "etl_gt_union" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_etl_q")
+      def w(n: String, c: String): String = {
+        val p = tmp.resolve(n); java.nio.file.Files.writeString(p, c); p.toString
+      }
+      val conllP = w("c.txt",
+        "-DOCSTART- -X- O O\n\nParis NNP I-NP B-LOC\nist VERB I-VP O\n.. . O O\n\nAnna NNP I-NP B-PER\nMüller NNP I-NP I-PER\n")
+      val germP = w("g.tsv", "# c\n1\tBerliner\tB-LOCderiv\tO\n2\tKind\tO\tO\n")
+      val euP = w("e.bio", "Wien B-LOC\nist O\ngross. O\n")
+      val wikiP = w("w.txt", "Paris|NPP|I-LOC ist|V|O\n")
+      graft.etl.Parsers.joinGt(
+        graft.etl.Parsers.conll(s, conllP, "DE-CONLL-TEST"),
+        graft.etl.Parsers.germeval(s, germP, "GERM-EVAL-TEST"),
+        graft.etl.Parsers.europeana(s, euP, "EU-TEST"),
+        graft.etl.Parsers.wikiner(s, wikiP, "WIKINER-TEST")).toDF()
+        .orderBy("nsentence", "nword")
+    }),
+    // ---- salted-link path end-to-end (skew-aware; parity-tested) ----
+    "kg_linked_salted" -> ((s, dir) => {
+      val docs = CorpusGen.docs(s, 300, parts = 8)
+      val sents = KgPipeline.sentences(s, docs)
+      val mentions = KgPipeline.detectMentions(s, sents,
+        new graft.tag.GazetteerTagger(KgPipeline.defaultGazetteer))
+      graft.kg.Linker.linkSaltedJoin(s, mentions, CorpusGen.aliases(s)).toDF()
+        .orderBy("doc_id", "span_offset", "surface")
+    }),
+    // ---- GT eval path: gold-label tagger roundtrip metrics (F1 = 1.0) ----
+    "kg_gt_eval" -> ((s, dir) => {
+      import s.implicits._
+      val gt = CorpusGen.gtTokens(s, 300, parts = 8)
+      val sents = graft.etl.Assembly.sentences(s, gt)
+      val enc = new graft.text.WindowEncoder(
+        graft.text.Vocab.default, graft.text.Vocab.tokenToId, graft.text.Tags.labelMap)
+      val realigner = new graft.text.Realigner(graft.text.Vocab.default)
+      val tagger = new graft.tag.GoldLabelTagger(graft.text.Tags.invLabelMap)
+      val pred = sents.flatMap { sn =>
+        val (wins, counts) = enc.encodeWithCounts(sn.guid, sn.words, sn.tags)
+        val tagged = tagger.tagBatch(wins)
+        val (_, preds) = realigner.reglue(tagged.map(w => (w.tokens, w.preds)))
+        val tags = realigner.realignWithCounts(sn.words, counts, preds).map(_._2)
+        graft.decode.Decode.mentionsOf(sn.guid, sn.words, tags)
+      }
+      val gold = sents.flatMap(sn =>
+        graft.decode.Decode.mentionsOf(sn.guid, sn.words, sn.tags))
+        .map(m => graft.model.GoldMention(m.doc_id, m.span_offset,
+          m.sentence_idx, m.start_word, m.end_word, m.surface, m.entity_type, "E"))
+      graft.eval.SpanMetrics.evaluateMentions(s, pred, gold).toDF().orderBy("slot")
+    }),
+    // ---- per-row span-sequence invariant (BASELINE.json input_hint) ----
+    "kg_span_invariant" -> ((s, dir) => {
+      import s.implicits._
+      val docs = CorpusGen.docs(s, 500, parts = 8)
+      Seq((docs.count(), KgPipeline.spanSequenceViolations(s, docs)))
+        .toDF("docs_checked", "violations")
+    }),
     "kg_eval_metrics" -> ((s, dir) => {
       val docs = CorpusGen.docs(s, 500, parts = 8)
       val sents = KgPipeline.sentences(s, docs)

@@ -9,56 +9,74 @@ import org.apache.spark.sql.functions._
   * MapReduce and Beyond", SoCC'14 — public algorithm) since no
   * GraphFrames jar ships in /opt/spark/jars.
   *
-  * Scale notes: each iteration is two shuffles on the node id; lineage is
-  * truncated with localCheckpoint every iteration so the plan does not
-  * grow exponentially (SURVEY.md §4). Converges in O(log n) rounds; node
-  * ids are compared as strings, so the component representative — the
-  * minimum id — is deterministic under any parallelism.
+  * The two phases are applied SEQUENTIALLY each round (large-star then
+  * small-star — interleaving them on the same input does not contract
+  * chains and stalls on diameter ≥ 4 components; caught by CcScaleSpec).
+  *
+  * Scale notes: each phase is one shuffle on the node id; lineage is
+  * truncated with localCheckpoint every round so the plan does not grow
+  * unboundedly. Converges in O(log n) rounds; node ids compare as
+  * strings, so the component representative — the minimum id — is
+  * deterministic under any parallelism.
   */
 object ConnectedComponents {
+
+  /** large-star: ∀u, m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    sym.groupBy("src")
+      .agg(collect_set(col("dst")).as("nbrs"))
+      .select(col("src"),
+        least(col("src"), array_min(col("nbrs"))).as("m"),
+        explode(col("nbrs")).as("v"))
+      .where(col("v") > col("src"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** small-star: orient edges large→small; ∀u, m = min(Γ≤(u) ∪ {u});
+    * emit (v, m) for v ∈ Γ≤(u) ∪ {u}, v ≠ m.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(
+      greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    oriented.groupBy("src")
+      .agg(collect_set(col("dst")).as("nbrs"))
+      .select(col("src"), array_min(col("nbrs")).as("m"),
+        explode(concat(col("nbrs"), array(col("src")))).as("v"))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
 
   /** edges: DataFrame with string columns (src, dst).
     * Returns (node, component) with component = min node id reachable.
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // undirected closure + self-loops so isolated endpoints keep themselves
-    var e = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .union(edges.select(col("src"), col("src").as("dst")))
-      .distinct()
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-
-    var converged = false
+    var e = edges.where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      // large-star: connect every strictly-larger neighbor to the minimum
-      // neighbor (including self) of each node
-      val largeStar = e.groupBy("src")
-        .agg(min(col("dst")).as("m"), collect_set(col("dst")).as("nbrs"))
-        .select(col("m"), explode(col("nbrs")).as("n"), col("src"))
-        .where(col("n") > col("src"))
-        .select(col("n").as("src"), col("m").as("dst"))
-      // small-star: connect all smaller-or-equal neighbors to the minimum
-      val smallStar = e.where(col("dst") <= col("src"))
-        .groupBy("src")
-        .agg(min(col("dst")).as("m"), collect_set(col("dst")).as("nbrs"))
-        .select(col("m"), explode(col("nbrs")).as("n"))
-        .select(col("n").as("src"), col("m").as("dst"))
-      val next = largeStar.union(smallStar)
-        .union(e.select(col("src"), col("src").as("dst"))) // keep self-loops
-        .where(col("src") >= col("dst"))
-        .distinct()
-        .localCheckpoint()
-      // converged when the edge multiset is stable (single action: both
-      // difference directions unioned, probed with limit 1)
+      val next = smallStar(largeStar(e)).localCheckpoint()
       val changed = next.exceptAll(e).limit(1)
         .union(e.exceptAll(next).limit(1)).count()
       converged = changed == 0
       e = next
       iter += 1
     }
-    e.groupBy("src").agg(min(col("dst")).as("component"))
-      .select(col("src").as("node"), col("component"))
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    // after convergence every edge points node → component root
+    val mapped = e.select(col("src").as("node"), col("dst").as("component"))
+    nodes.join(mapped, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
   /** Canonical entity map from the alias dictionary: bipartite graph of

@@ -121,3 +121,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1 == r2 && r1.nonEmpty)
   }
 }
+
+/** Dictionary-scale canonicalization: CC over a synthetic alias graph two
+  * orders larger than the default dictionary — convergence in O(log n)
+  * rounds and correct min-id representatives.
+  */
+class CcScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("connected components at 20k entities / 100k edges") {
+    val n = 20000
+    // entity i has records i#0, i#1, i#2 chained through two surfaces
+    val edges = (0 until n).flatMap { i =>
+      Seq((s"s:surf_${i}_a", s"e:E${"%06d".format(i)}#0"),
+          (s"s:surf_${i}_a", s"e:E${"%06d".format(i)}#1"),
+          (s"s:surf_${i}_b", s"e:E${"%06d".format(i)}#1"),
+          (s"s:surf_${i}_b", s"e:E${"%06d".format(i)}#2"))
+    }.toDF("src", "dst")
+    val cc = graft.kg.ConnectedComponents.run(spark, edges)
+    val comps = cc.where($"node".startsWith("e:"))
+      .groupBy("component").count().collect()
+    assert(comps.length == n)            // one component per entity
+    assert(comps.forall(_.getLong(1) == 3)) // all three records merged
+    // representative is the min record via the canonical map
+    val canon = graft.kg.ConnectedComponents.canonicalMap(spark,
+      (0 until 100).flatMap { i =>
+        Seq(("surf_${i}_a".replace("${i}", i.toString), s"X$i#0", "PER", 0.9),
+            ("surf_${i}_a".replace("${i}", i.toString), s"X$i#1", "PER", 0.8))
+      }.toDF("surface_norm", "entity_id", "entity_type", "prior"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((0 until 100).forall(i => canon(s"X$i#1") == s"X$i#0"))
+  }
+}
