@@ -172,6 +172,10 @@ object SparkEntry {
           "yyyy-MM-dd HH:00:00").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
         .orderBy("hour", "event_type")),
+    // ---- gap-based sessionization (window lag + running sum) ----
+    "q26_sessionize" -> ((s, dir) =>
+      graft.ops.Sessionize.sessions(t(s, dir, "events"))
+        .orderBy("user_id", "session_id")),
     // ---- multimodal plumbing (deterministic fake decode; rows-only) ----
     "mm_features" -> ((s, dir) => {
       val media = graft.ops.Multimodal.mediaTable(t(s, dir, "documents"))
@@ -464,5 +468,21 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
         | event_type, count(*) AS n, round(sum(value), 4) AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q26_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS epoch,
+        |   lag(floor(epoch(ts))::BIGINT) OVER
+        |     (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        | flagged AS (SELECT user_id, event_id, ts, epoch,
+        |   CASE WHEN prev IS NULL OR epoch - prev > 1800 THEN 1 ELSE 0 END AS ns
+        | FROM e),
+        | sess AS (SELECT user_id, event_id, epoch,
+        |   sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+        | FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(epoch) AS session_start, max(epoch) AS session_end
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
   )
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Sessionization + stateful streaming counters over the events table.
+  *
+  * Batch path: gap-based sessions as pure window functions (lag → gap
+  * flag → running sum = session id) — fully codegen'd, one shuffle on
+  * user_id, DuckDB-oracle-verified (q26).
+  *
+  * Streaming path: per-user running state via
+  * `KeyValueGroupedDataset.mapGroupsWithState` — the engine's custom-
+  * state operator (SURVEY §2.9 note); batch/stream parity is tested.
+  */
+object Sessionize {
+
+  /** Gap-based sessions: a new session starts when the previous event of
+    * the same user is more than gapSeconds older. Output one row per
+    * session with counts and bounds (epoch seconds).
+    */
+  def sessions(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("epoch", col("ts").cast("timestamp").cast("long"))
+      .withColumn("prev", lag("epoch", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("epoch") - col("prev") > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("epoch").as("session_start"),
+        max("epoch").as("session_end"))
+  }
+
+  case class UserEvent(user_id: Long, event_id: Long, value: Double)
+  case class UserCount(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Streaming running per-user counters with explicit state — survives
+    * across micro-batches; Update-mode output emits the current state
+    * each batch.
+    */
+  def runningUserCounts(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserCount] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserCount, UserCount](GroupStateTimeout.NoTimeout) {
+        (user, it, state: GroupState[UserCount]) =>
+          val prev = state.getOption.getOrElse(UserCount(user, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          it.foreach { e => n += 1; tot += e.value }
+          val next = UserCount(user, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}

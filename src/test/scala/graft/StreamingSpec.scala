@@ -85,3 +85,38 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS ev_hourly")
   }
 }
+
+/** Stateful streaming: mapGroupsWithState counters across micro-batches. */
+class StatefulStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+  import graft.ops.Sessionize
+
+  test("mapGroupsWithState running counts match batch aggregation") {
+    val dir = Files.createTempDirectory("graft_state").toString
+    val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", $"event_id", $"value").as[Sessionize.UserEvent]
+    // first micro-batch lands before the query starts; the second lands
+    // while the SAME query is live — state carries across batches
+    all.where($"event_id" % 2 === 0).write.parquet(s"$dir/in/b0")
+    val stream = spark.readStream
+      .schema(all.schema).option("pathGlobFilter", "*.parquet")
+      .parquet(s"$dir/in/*").as[Sessionize.UserEvent]
+    val q = Sessionize.runningUserCounts(spark, stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("running_counts")
+      .start()
+    q.processAllAvailable()
+    all.where($"event_id" % 2 === 1).write.parquet(s"$dir/in/b1")
+    q.processAllAvailable()
+    q.stop()
+    // latest state per user = batch aggregation over ALL events
+    val streamed = spark.sql(
+      "SELECT user_id, max(n_events) AS n FROM running_counts GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = all.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    spark.sql("DROP TABLE IF EXISTS running_counts")
+  }
+}
