@@ -24,12 +24,18 @@ object Triples {
   def bucketOf(docId: String, buckets: Int): Int =
     (docId.hashCode & Int.MaxValue) % buckets
 
+  /** Shuffle-slim mention projection: only what triple assembly needs
+    * (the surface/type columns would double the exchange payload).
+    */
+  case class SlimMention(span_offset: Int, sentence_idx: Int,
+                         entity_id: String, conf: Double)
+
   /** All triples of a document, computed from its canonically-linked
     * mentions and media adjacency rows. Pure per-doc function → used
     * inside one grouped stage.
     */
   def triplesOfDoc(docId: String, buckets: Int,
-                   ms: Seq[LinkedMention],
+                   ms: Seq[SlimMention],
                    media: Seq[(Int, String)]): Seq[Triple] = {
     val b = bucketOf(docId, buckets)
     // mentions: distinct entity, first occurrence as provenance, max conf
@@ -56,16 +62,19 @@ object Triples {
   }
 
   /** Assemble triples from linked mentions + media spans: ONE shuffle
-    * (cogroup on doc_id); everything else is per-group Scala.
+    * (cogroup on doc_id) over the slim projection; everything else is
+    * per-group Scala.
     */
   def build(spark: SparkSession,
             linked: Dataset[LinkedMention],
             mediaSpans: Dataset[(String, Int, String)], // (doc_id, offset, media_ref)
             buckets: Int): Dataset[Triple] = {
     import spark.implicits._
-    linked.groupByKey(_.doc_id)
+    val slim = linked.map(l =>
+      (l.doc_id, SlimMention(l.span_offset, l.sentence_idx, l.entity_id, l.conf)))
+    slim.groupByKey(_._1)
       .cogroup(mediaSpans.groupByKey(_._1)) { (docId, ms, media) =>
-        triplesOfDoc(docId, buckets, ms.toSeq,
+        triplesOfDoc(docId, buckets, ms.map(_._2).toSeq,
           media.map(m => (m._2, m._3)).toSeq)
       }
   }

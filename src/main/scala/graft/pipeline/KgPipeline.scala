@@ -80,13 +80,16 @@ object KgPipeline {
           val (wins, counts) = enc.encodeWithCounts(s.guid, s.words, s.tags)
           (s, wins, counts)
         }
+        // tagBatch preserves order, so tagged windows zip back to their
+        // sentences positionally — no keyed map, no tuple boxing
         val allWins = perSent.iterator.flatMap(_._2).toSeq
-        val tagged = allWins.grouped(batchSize).flatMap(tag.tagBatch)
-          .map(w => (w.guid, w.winIdx) -> w).toMap
+        val tagged = allWins.grouped(batchSize).flatMap(tag.tagBatch).toArray
+        var cursor = 0
         perSent.flatMap { case (s, wins, counts) =>
-          val tws = wins.map(w => tagged((w.guid, w.winIdx)))
-          val (_, preds) = real.reglue(
-            tws.sortBy(_.winIdx).map(w => (w.tokens, w.preds)))
+          val tws = tagged.slice(cursor, cursor + wins.length)
+          cursor += wins.length
+          // windows of one sentence were emitted in winIdx order
+          val (_, preds) = real.reglue(tws.map(w => (w.tokens, w.preds)))
           val wordTags = real.realignWithCounts(s.words, counts, preds).map(_._2)
           Decode.mentionsOf(s.guid, s.words, wordTags)
         }

@@ -15,6 +15,9 @@ import graft.model._
   * batch shape.
   */
 trait MentionTagger extends Serializable {
+  /** MUST return one TaggedWindow per input, in input order — the fused
+    * pipeline stage zips results back to sentences positionally.
+    */
   def tagBatch(batch: Seq[EncodedWindow]): Seq[TaggedWindow]
 }
 
