@@ -58,12 +58,23 @@ object Bench {
     val nDocs: Long =
       if (sfDir.contains("0.01")) 6000L
       else if (sfDir.contains("0.1")) 60000L else 600L
-    val parts = cpus.toInt * 2
+    // fixed 256 input partitions: ~8 waves at 32 threads — tail-tolerant
+    // load balance matching ScalingBench
+    val parts = 256
     val ctx = Some(KgPipeline.prepareLinkContext(spark, CorpusGen.aliases(spark)))
     kgRun(spark, nDocs, parts, ctx) // full-size JIT warm-up (C2 needs a pass)
     val (kgSec, nTriples) =
-      Seq(kgRun(spark, nDocs, parts, ctx), kgRun(spark, nDocs, parts, ctx))
-        .minBy(_._1)
+      (1 to 3).map(_ => kgRun(spark, nDocs, parts, ctx)).minBy(_._1)
+    // skew-aware salted-join linking path (broadcastLink = false)
+    val saltedCfg = KgPipeline.Config(broadcastLink = false)
+    def saltedRun(): Double = {
+      val t0 = System.nanoTime()
+      KgPipeline.run(spark, CorpusGen.docs(spark, nDocs, parts),
+        CorpusGen.aliases(spark), cfg = saltedCfg, ctx = ctx).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    saltedRun() // warm
+    results("kg_pipeline_salted") = (1 to 2).map(_ => saltedRun()).min
     results("kg_pipeline") = kgSec
     val tps = nTriples / kgSec
 

@@ -94,6 +94,23 @@ class WindowsSpec extends AnyFunSuite {
     })
   }
 
+  test("property: realignWithCounts equals the re-tokenizing realign") {
+    val sentGen = for {
+      n <- Gen.choose(1, 10)
+      words <- Gen.listOfN(n, wordGen)
+      tags <- Gen.listOfN(n, tagGen)
+    } yield (words.toArray, Tags.repairBio(tags.toArray))
+    val tagger = new GoldLabelTagger(Tags.invLabelMap)
+    check(Prop.forAll(sentGen) { case (words, tags) =>
+      val (wins, counts) = enc.encodeWithCounts("d/0/0", words, tags)
+      val tagged = tagger.tagBatch(wins)
+      val (toks, preds) = realigner.reglue(tagged.map(w => (w.tokens, w.preds)))
+      val a = realigner.realign(words, toks, preds).toSeq
+      val b = realigner.realignWithCounts(words, counts, preds).toSeq
+      a == b
+    })
+  }
+
   test("reglue strips [CLS]/[SEP]/[PAD] and preserves order across windows") {
     val words = Array.fill(6)("donaudampfschiff")
     val tags = Array.fill(6)("O")
