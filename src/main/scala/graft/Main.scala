@@ -1,0 +1,64 @@
+package graft
+
+import graft.gen.CorpusGen
+import graft.model.Doc
+import graft.pipeline.KgPipeline
+import graft.store.LineageStore
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point — the deployable surface of the engine
+  * (north rule: "run via spark-submit on a multi-executor cluster").
+  *
+  * Modes:
+  *   run <docsParquetDir|gen:N> <outRoot> [buckets]
+  *     batch KG construction with lineage + exact resume: rerunning after
+  *     a kill processes only buckets missing from the lineage table.
+  *   stream <docsStreamDir> <outRoot> <checkpointDir>
+  *     Structured-Streaming ingestion (exactly-once micro-batches).
+  *   verify <sfDir> <outDir>   — driver correctness dump (graft.Verify)
+  *   bench                      — graft.Bench (env-configured)
+  *
+  * No master/config is set here: spark-submit supplies them (the local
+  * test harnesses configure their own sessions).
+  */
+object Main {
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("run") =>
+      val spark = SparkSession.builder().appName("graft-kg-run").getOrCreate()
+      import spark.implicits._
+      val docs: org.apache.spark.sql.Dataset[Doc] =
+        if (args(1).startsWith("gen:"))
+          CorpusGen.docs(spark, args(1).stripPrefix("gen:").toLong,
+            spark.sparkContext.defaultParallelism * 4)
+        else spark.read.parquet(args(1)).as[Doc]
+      val outRoot = args(2)
+      val buckets = if (args.length > 3) args(3).toInt else 64
+      val aliases = CorpusGen.aliases(spark)
+      val ctx = KgPipeline.prepareLinkContext(spark, aliases)
+      val cfg = KgPipeline.Config(buckets = buckets)
+      val snap = graft.store.Snapshots.configHash(spark, cfg.toString, args(1))
+      val n = LineageStore.runResumable(spark, outRoot, "triples", docs,
+        ds => KgPipeline.run(spark, ds, aliases, cfg = cfg, ctx = Some(ctx)),
+        buckets, snap)
+      println(s"processed $n new bucket(s); triples at ${LineageStore.triplesPath(outRoot)}")
+      spark.stop()
+
+    case Some("stream") =>
+      val spark = SparkSession.builder().appName("graft-kg-stream").getOrCreate()
+      import spark.implicits._
+      val aliases = CorpusGen.aliases(spark)
+      val ctx = KgPipeline.prepareLinkContext(spark, aliases)
+      val schema = org.apache.spark.sql.Encoders.product[Doc].schema
+      val stream = spark.readStream.schema(schema).parquet(args(1)).as[Doc]
+      val q = graft.streaming.StreamIngest.run(spark, stream, args(2), ctx,
+        aliases, KgPipeline.Config(), args(3))
+      q.awaitTermination()
+      spark.stop()
+
+    case Some("verify") => Verify.main(args.drop(1))
+    case Some("bench") => Bench.main(Array.empty)
+    case _ =>
+      System.err.println("usage: graft.Main run|stream|verify|bench ...")
+      sys.exit(2)
+  }
+}

@@ -172,6 +172,10 @@ object SparkEntry {
           "yyyy-MM-dd HH:00:00").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
         .orderBy("hour", "event_type")),
+    // ---- scale-path dedup: LSH candidates + exact Jaccard verify ----
+    "q27_lsh_jaccard" -> ((s, dir) =>
+      graft.ops.Dedup.lshJaccardPairs(t(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b")),
     // ---- gap-based sessionization (window lag + running sum) ----
     "q26_sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.sessions(t(s, dir, "events"))
@@ -468,6 +472,31 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
         | event_type, count(*) AS n, round(sum(value), 4) AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q27_lsh_jaccard" ->
+      """WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+        | shd AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM w),
+        | seeded AS (SELECT doc_id, shingle, h FROM shd, range(0,8) t(h)),
+        | sig AS (SELECT doc_id, h,
+        |   min(('0x'||substr(md5(h||'_'||shingle),1,15))::BIGINT) AS minhash
+        |   FROM seeded GROUP BY doc_id, h),
+        | bands AS (SELECT doc_id, h//2 AS band,
+        |   md5(string_agg(h||':'||minhash, ',' ORDER BY h||':'||minhash)) AS band_key
+        |   FROM sig GROUP BY doc_id, h//2),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |   FROM bands a JOIN bands b
+        |     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        | sh AS (SELECT DISTINCT doc_id, shingle FROM shd),
+        | sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        | inter AS (SELECT doc_a, doc_b, count(*) AS i
+        |   FROM cand JOIN sh sa ON sa.doc_id = doc_a
+        |             JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+        |   GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b,
+        | round(i::DOUBLE / (za.sz + zb.sz - i), 6) AS jaccard
+        |FROM inter JOIN sizes za ON za.doc_id = doc_a
+        |           JOIN sizes zb ON zb.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q26_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS epoch,
         |   lag(floor(epoch(ts))::BIGINT) OVER

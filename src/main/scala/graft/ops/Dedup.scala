@@ -51,6 +51,35 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** The scale-path dedup pipeline: exact Jaccard computed ONLY for LSH
+    * candidate pairs — O(candidates) instead of the O(n²)-per-source
+    * self-join of [[ngramJaccardPairs]]. This is the composition a 100 TB
+    * corpus requires: shingle → minhash → band-bucket join → verify.
+    */
+  def lshJaccardPairs(docs: DataFrame, bands: Int = 4, rows: Int = 2,
+                      minJaccard: Double = 0.0): DataFrame = {
+    val cand = minhashPairs(docs, bands, rows)
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.shingles3(col("text"))).as("shingle")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("shingle", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("shingle", "sh_b"), "doc_b")
+      .where(col("sh_a") === col("sh_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6)
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash (nBits-wide) over word occurrences: per-bit majority vote of
     * md5-derived word hashes.
     */
