@@ -49,9 +49,12 @@ object Bench {
     headline.foreach { q => SparkEntry.queries(q)(spark, sfDir).count() }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { q =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, sfDir).count()
-      results(q) = (System.nanoTime() - t0) / 1e9
+      // best-of-2: the host VM has intermittent CPU-steal spikes
+      results(q) = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
 
     // KG pipeline throughput: docs scaled by the sf dir name
@@ -75,6 +78,16 @@ object Bench {
     }
     saltedRun() // warm
     results("kg_pipeline_salted") = (1 to 2).map(_ => saltedRun()).min
+    // detect stage under real per-window FLOPs (dense stub model)
+    def denseRun(): Double = {
+      val t0 = System.nanoTime()
+      KgPipeline.detectMentions(spark,
+        KgPipeline.sentences(spark, CorpusGen.docs(spark, nDocs, parts)),
+        new graft.tag.DenseStubTagger(graft.text.Vocab.tokenToId.size)).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    denseRun() // warm
+    results("kg_detect_dense") = (1 to 2).map(_ => denseRun()).min
     results("kg_pipeline") = kgSec
     val tps = nTriples / kgSec
 

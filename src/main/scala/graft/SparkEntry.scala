@@ -172,6 +172,19 @@ object SparkEntry {
           "yyyy-MM-dd HH:00:00").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
         .orderBy("hour", "event_type")),
+    // ---- SQL front end: the same engine through spark.sql text ----
+    "q28_sql_revenue" -> ((s, dir) => {
+      Seq("lineitem", "orders", "customer", "nation").foreach { n =>
+        t(s, dir, n).createOrReplaceTempView(n)
+      }
+      s.sql(
+        """SELECT n_name, count(*) AS n_items,
+          | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    }),
     // ---- scale-path dedup: LSH candidates + exact Jaccard verify ----
     "q27_lsh_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.lshJaccardPairs(t(s, dir, "documents"))
@@ -472,6 +485,13 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
         | event_type, count(*) AS n, round(sum(value), 4) AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q28_sql_revenue" ->
+      """SELECT n_name, count(*) AS n_items,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q27_lsh_jaccard" ->
       """WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
         | shd AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),

@@ -103,6 +103,74 @@ final class GazetteerTagger(gazetteer: Map[String, String], maxWords: Int = 3)
   }
 }
 
+/** Deterministic dense scorer with the cost profile of a small neural
+  * tagger: embedding lookup (vocab × dim floats) → ±2 context mean-pool →
+  * linear layer to the label space → per-token argmax. Consumes
+  * inputIds/inputMask exactly as an ONNX session would (the north star's
+  * broadcast BERT encoder slot, models/bert.py:363-393); weights are
+  * derived from SplitMix64 so every executor materializes identical
+  * parameters with no model file. Predictions are NOT meaningful — this
+  * class exists to exercise and benchmark the batched harness under real
+  * per-window FLOPs; GazetteerTagger is the accuracy oracle.
+  */
+final class DenseStubTagger(vocabSize: Int, dim: Int = 64,
+                            labels: Array[String] = graft.text.Tags.labelList)
+    extends MentionTagger {
+
+  @transient private lazy val emb: Array[Float] = {
+    val a = new Array[Float](vocabSize * dim)
+    var i = 0
+    while (i < a.length) {
+      a(i) = ((graft.gen.CorpusGen.mix64(i.toLong) >>> 40) / 16777216.0f) - 0.5f
+      i += 1
+    }
+    a
+  }
+  @transient private lazy val w: Array[Float] = {
+    val a = new Array[Float](dim * labels.length)
+    var i = 0
+    while (i < a.length) {
+      a(i) = ((graft.gen.CorpusGen.mix64(0x5EED + i.toLong) >>> 40) / 16777216.0f) - 0.5f
+      i += 1
+    }
+    a
+  }
+
+  override def tagBatch(batch: Seq[EncodedWindow]): Seq[TaggedWindow] =
+    batch.map { win =>
+      val n = win.tokens.length
+      val preds = new Array[String](n)
+      val h = new Array[Float](dim)
+      var p = 0
+      while (p < n) {
+        java.util.Arrays.fill(h, 0.0f)
+        var c = math.max(0, p - 2)
+        val hi = math.min(n - 1, p + 2)
+        var cnt = 0
+        while (c <= hi) {
+          val base = (win.inputIds(c) % vocabSize) * dim
+          var d = 0
+          while (d < dim) { h(d) += emb(base + d); d += 1 }
+          cnt += 1
+          c += 1
+        }
+        var best = 0
+        var bestScore = Float.NegativeInfinity
+        var l = 0
+        while (l < labels.length) {
+          var s = 0.0f
+          var d = 0
+          while (d < dim) { s += h(d) / cnt * w(d * labels.length + l); d += 1 }
+          if (s > bestScore) { bestScore = s; best = l }
+          l += 1
+        }
+        preds(p) = labels(best)
+        p += 1
+      }
+      TaggedWindow(win.guid, win.winIdx, win.tokens, preds)
+    }
+}
+
 /** Gold-label passthrough tagger — the eval-path analog of
   * `model_predict_compare` (bert.py:312-360) run with a perfect model:
   * predictions are the window's own gold labelIds decoded to tags. Used

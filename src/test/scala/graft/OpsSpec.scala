@@ -92,3 +92,23 @@ class OpsSpec extends AnyFunSuite {
     assert(f.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
   }
 }
+
+class DenseTaggerSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.tag.DenseStubTagger
+  import graft.text.{Tags, Vocab, WindowEncoder}
+
+  test("dense stub tagger: deterministic, order-preserving, valid labels") {
+    val enc = new WindowEncoder(Vocab.default, Vocab.tokenToId, Tags.labelMap)
+    val wins = Seq(
+      enc.encode("a/0/0", Array("Anna", "besuchte", "Paris", "."),
+        Array.fill(4)("O")),
+      enc.encode("b/0/0", Array("Die", "Stadt", "ist", "gut", "."),
+        Array.fill(5)("O"))).flatten
+    val t = new DenseStubTagger(Vocab.tokenToId.size)
+    val r1 = t.tagBatch(wins)
+    val r2 = t.tagBatch(wins)
+    assert(r1.map(_.guid) == wins.map(_.guid)) // order preserved
+    assert(r1.map(_.preds.toSeq) == r2.map(_.preds.toSeq)) // deterministic
+    assert(r1.forall(_.preds.forall(Tags.labelList.contains)))
+  }
+}

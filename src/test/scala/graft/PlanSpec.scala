@@ -73,6 +73,26 @@ class PlanSpec extends AnyFunSuite {
   }
 }
 
+/** Bucket-partitioned triple store: reads with a bucket predicate must
+  * prune partitions at the source, not filter post-scan. */
+class PartitionPruneSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+
+  test("triple reads with bucket predicate are partition-pruned") {
+    val root = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val docs = graft.gen.CorpusGen.docs(spark, 60, parts = 4)
+    val aliases = graft.gen.CorpusGen.aliases(spark)
+    val triples = graft.pipeline.KgPipeline.run(spark, docs, aliases,
+      cfg = graft.pipeline.KgPipeline.Config(buckets = 8))
+    graft.store.LineageStore.commit(spark, root, "triples", triples, "snap")
+    val df = spark.read.parquet(graft.store.LineageStore.triplesPath(root))
+      .where(org.apache.spark.sql.functions.col("bucket") === 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
+  }
+}
+
 /** Native Catalyst expression: eval + codegen parity, umlaut exactness. */
 class NormalizeSurfaceSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
