@@ -121,8 +121,23 @@ object CorpusGen {
     "Land", "über", "Berge", "Täler", "Flüsse")
 
   case class GenSentence(words: Vector[String], tags: Vector[String],
-                         mentions: Vector[(Int, Int, String, String, String)])
+                         mentions: Vector[(Int, Int, String, String, String)],
+                         relations: Vector[(Int, String, Int)])
   // mention tuple: (startWord, endWordExcl, surface, type, entityId)
+  // relation tuple: (subj mention idx, relation, obj mention idx)
+
+  /** Typed relations planted per template (mention indices in template
+    * order) — the extractor's verb lexicon (kg.Relations) must recover
+    * exactly these.
+    */
+  private val templateRelations: Map[Int, Vector[(Int, String, Int)]] = Map(
+    0 -> Vector((0, "visited", 1)),      // PER besuchte LOC
+    1 -> Vector((0, "founded_in", 1)),   // ORG wurde in LOC gegründet
+    2 -> Vector((0, "works_for", 1)),    // PER arbeitet für ORG
+    4 -> Vector((0, "met", 1)),          // PER traf PER in LOC
+    6 -> Vector((0, "spoke_with", 1)),   // PER sprach mit PER über ORG
+    7 -> Vector((0, "opened_in", 1)),    // ORG eröffnete ein Haus in LOC
+  )
 
   /** Generate one sentence from a template; ~3% of sentences are long
     * (>128 wordpieces) to exercise multi-window packing + re-glue.
@@ -163,11 +178,13 @@ object CorpusGen {
       while (i < extra) { words += fillers(rng.nextInt(fillers.size)); tags += "O"; i += 1 }
       words += "."; tags += "O"
     }
-    GenSentence(words.toVector, tags.toVector, ments.toVector)
+    GenSentence(words.toVector, tags.toVector, ments.toVector,
+      templateRelations.getOrElse(tIdx, Vector.empty))
   }
 
   case class GenDoc(doc: Doc, gold: Vector[GoldMention],
-                    gt: Vector[GtToken], sentences: Vector[Sentence])
+                    gt: Vector[GtToken], sentences: Vector[Sentence],
+                    relations: Vector[(String, String, String)]) // (subjEid, rel, objEid)
 
   def docId(i: Long): String = f"doc_$i%010d"
 
@@ -183,6 +200,7 @@ object CorpusGen {
     val gold = scala.collection.mutable.ArrayBuffer.empty[GoldMention]
     val gt = scala.collection.mutable.ArrayBuffer.empty[GtToken]
     val sents = scala.collection.mutable.ArrayBuffer.empty[Sentence]
+    val rels = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     var offset = 0
     var sentIdx = 0
     var mediaIdx = 0
@@ -195,6 +213,9 @@ object CorpusGen {
       s.mentions.foreach { case (a, b, surf, typ, eid) =>
         gold += GoldMention(id, offset, sentIdx, a, b, surf, typ, eid)
       }
+      s.relations.foreach { case (si, rel, oi) =>
+        rels += ((s.mentions(si)._5, rel, s.mentions(oi)._5))
+      }
       s.words.indices.foreach { w =>
         gt += GtToken(i * 64 + offset, w, s.words(w), s.tags(w), "SYNTH")
       }
@@ -206,7 +227,8 @@ object CorpusGen {
         mediaIdx += 1
       }
     }
-    GenDoc(Doc(id, spans.toArray), gold.toVector, gt.toVector, sents.toVector)
+    GenDoc(Doc(id, spans.toArray), gold.toVector, gt.toVector, sents.toVector,
+      rels.toVector)
   }
 
   /** Expected triples (the golden fixture the pipeline must reproduce).
@@ -227,7 +249,10 @@ object CorpusGen {
                 byOffset.getOrElse(sp.offset + 1, Vector.empty)
       adj.map(m => GoldTriple(canon(m.entity_id), "depicted_in", sp.media_ref, id)).distinct
     }
-    mentions ++ co ++ media
+    // typed verb relations (template-planted)
+    val rels = gd.relations
+      .map { case (s, r, o) => GoldTriple(canon(s), r, canon(o), id) }.distinct
+    mentions ++ co ++ media ++ rels
   }
 
   // ---- Spark-side table constructors (partition-independent) ----

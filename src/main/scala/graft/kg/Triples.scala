@@ -30,13 +30,21 @@ object Triples {
   case class SlimMention(span_offset: Int, sentence_idx: Int,
                          entity_id: String, conf: Double)
 
+  /** Canonically-linked relation, slim for the shuffle. */
+  case class SlimRelation(span_offset: Int, sentence_idx: Int,
+                          subj: String, rel: String, obj: String)
+
+  /** One per-doc unit for the cogroup: exactly one of m / r non-null. */
+  case class DocUnit(doc_id: String, m: SlimMention, r: SlimRelation)
+
   /** All triples of a document, computed from its canonically-linked
     * mentions and media adjacency rows. Pure per-doc function → used
     * inside one grouped stage.
     */
   def triplesOfDoc(docId: String, buckets: Int,
                    ms: Seq[SlimMention],
-                   media: Seq[(Int, String)]): Seq[Triple] = {
+                   media: Seq[(Int, String)],
+                   rels: Seq[SlimRelation] = Seq.empty): Seq[Triple] = {
     val b = bucketOf(docId, buckets)
     // mentions: distinct entity, first occurrence as provenance, max conf
     val mentionTriples = ms.groupBy(_.entity_id).toSeq.map { case (eid, occ) =>
@@ -58,7 +66,15 @@ object Triples {
         Triple(eid, "depicted_in", ref, docId, b, 1.0, off, -1)
       }
     }
-    (mentionTriples ++ coTriples ++ mediaTriples).sortBy(t => (t.pred, t.subj, t.obj))
+    // typed verb relations: distinct (subj, rel, obj), first occurrence
+    // as provenance
+    val relTriples = rels.groupBy(r => (r.subj, r.rel, r.obj)).toSeq.map {
+      case ((s, r, o), occ) =>
+        val first = occ.minBy(x => (x.span_offset, x.sentence_idx))
+        Triple(s, r, o, docId, b, 1.0, first.span_offset, first.sentence_idx)
+    }
+    (mentionTriples ++ coTriples ++ mediaTriples ++ relTriples)
+      .sortBy(t => (t.pred, t.subj, t.obj))
   }
 
   /** Assemble triples from linked mentions + media spans: ONE shuffle
@@ -70,12 +86,24 @@ object Triples {
             mediaSpans: Dataset[(String, Int, String)], // (doc_id, offset, media_ref)
             buckets: Int): Dataset[Triple] = {
     import spark.implicits._
-    val slim = linked.map(l =>
-      (l.doc_id, SlimMention(l.span_offset, l.sentence_idx, l.entity_id, l.conf)))
-    slim.groupByKey(_._1)
-      .cogroup(mediaSpans.groupByKey(_._1)) { (docId, ms, media) =>
-        triplesOfDoc(docId, buckets, ms.map(_._2).toSeq,
-          media.map(m => (m._2, m._3)).toSeq)
+    val units = linked.map(l => DocUnit(l.doc_id,
+      SlimMention(l.span_offset, l.sentence_idx, l.entity_id, l.conf), null))
+    buildUnits(spark, units, mediaSpans, buckets)
+  }
+
+  /** Unit-level variant: mentions AND relations in one cogroup. */
+  def buildUnits(spark: SparkSession,
+                 units: Dataset[DocUnit],
+                 mediaSpans: Dataset[(String, Int, String)],
+                 buckets: Int): Dataset[Triple] = {
+    import spark.implicits._
+    units.groupByKey(_.doc_id)
+      .cogroup(mediaSpans.groupByKey(_._1)) { (docId, us, media) =>
+        val all = us.toSeq
+        triplesOfDoc(docId, buckets,
+          all.filter(_.m != null).map(_.m),
+          media.map(m => (m._2, m._3)).toSeq,
+          all.filter(_.r != null).map(_.r))
       }
   }
 }

@@ -66,6 +66,20 @@ case class EvalRow(
 /** Alias-dictionary entry: surface form → canonical entity. */
 case class Alias(surface_norm: String, entity_id: String, entity_type: String, prior: Double)
 
+/** A typed relation candidate between two mentions of one sentence
+  * (verb-pattern extraction; surfaces unresolved until linking).
+  */
+case class RelationCandidate(
+    doc_id: String, span_offset: Int, sentence_idx: Int,
+    subj_surface: String, subj_type: String,
+    rel: String,
+    obj_surface: String, obj_type: String)
+
+/** One output row of the fused detect stage: exactly one of mention /
+  * relation is non-null (sum-type encoding for a single-pass stage).
+  */
+case class DetectRow(mention: Mention, relation: RelationCandidate)
+
 /** Generator-side gold mention (plant-time knowledge, FIXTURES.md §1). */
 case class GoldMention(
     doc_id: String, span_offset: Int, sentence_idx: Int,

@@ -58,10 +58,50 @@ object KgPipeline {
     }
   }
 
-  /** The fused detect stage: encode → batched tag → decode → mentions.
-    * Batches windows ACROSS sentences (cfg.sentBatch at a time) so the
-    * tagger sees production-sized batches, then re-glues within the task.
+  /** The fused detect stage: encode → batched tag → decode → mentions +
+    * typed relation candidates (verb-pattern extraction over the same
+    * sentence, zero extra passes). Batches windows ACROSS sentences
+    * (cfg.sentBatch at a time) so the tagger sees production-sized
+    * batches, then re-glues within the task.
     */
+  def detectRows(spark: SparkSession, sents: Dataset[Sentence],
+                 tagger: MentionTagger, cfg: Config = Config()): Dataset[DetectRow] = {
+    import spark.implicits._
+    val bcTagger = spark.sparkContext.broadcast(tagger)
+    val bcEncoder = spark.sparkContext.broadcast(
+      new WindowEncoder(Vocab.default, Vocab.tokenToId, Tags.labelMap, cfg.maxSeqLen))
+    val bcRealigner = spark.sparkContext.broadcast(new Realigner(Vocab.default))
+    val batchSize = cfg.batchSize
+    val sentBatch = cfg.sentBatch
+    sents.mapPartitions { it =>
+      val enc = bcEncoder.value
+      val tag = bcTagger.value
+      val real = bcRealigner.value
+      it.grouped(sentBatch).flatMap { group =>
+        val perSent = group.map { s =>
+          val (wins, counts) = enc.encodeWithCounts(s.guid, s.words, s.tags)
+          (s, wins, counts)
+        }
+        val allWins = perSent.iterator.flatMap(_._2).toSeq
+        val tagged = allWins.grouped(batchSize).flatMap(tag.tagBatch).toArray
+        var cursor = 0
+        perSent.flatMap { case (s, wins, counts) =>
+          val tws = tagged.slice(cursor, cursor + wins.length)
+          cursor += wins.length
+          val (_, preds) = real.reglue(tws.map(w => (w.tokens, w.preds)))
+          val wordTags = real.realignWithCounts(s.words, counts, preds).map(_._2)
+          val mentions = Decode.mentionsOf(s.guid, s.words, wordTags)
+          val rels = graft.kg.Relations.extract(s.words, mentions).map {
+            case (a, rel, b) => RelationCandidate(a.doc_id, a.span_offset,
+              a.sentence_idx, a.surface, a.entity_type, rel, b.surface, b.entity_type)
+          }
+          mentions.map(DetectRow(_, null)) ++ rels.map(DetectRow(null, _))
+        }
+      }
+    }
+  }
+
+  /** Mention-only view of the fused stage (driver queries, salted path). */
   def detectMentions(spark: SparkSession, sents: Dataset[Sentence],
                      tagger: MentionTagger, cfg: Config = Config()): Dataset[Mention] = {
     import spark.implicits._
@@ -128,17 +168,62 @@ object KgPipeline {
           cfg: Config = Config(),
           ctx: Option[LinkContext] = None): Dataset[Triple] = {
     import spark.implicits._
+    import graft.kg.Triples.{DocUnit, SlimMention, SlimRelation}
     val sents = sentences(spark, docs)
-    val mentions = detectMentions(spark, sents, new GazetteerTagger(gazetteer), cfg)
     val context = ctx.getOrElse(prepareLinkContext(spark, aliases))
-    val linked =
-      if (cfg.broadcastLink) Linker.linkBroadcast(spark, mentions, context.dict)
-      else Linker.linkSaltedJoin(spark, mentions, aliases, cfg.saltBuckets)
+    val bcDict = spark.sparkContext.broadcast(context.dict)
     val bcCanon = spark.sparkContext.broadcast(context.canon)
-    val canonical = linked.map { lm =>
-      lm.copy(entity_id = bcCanon.value.getOrElse(lm.entity_id, lm.entity_id))
+    def linkCanon(surface: String, typ: String): Option[(String, Double)] = {
+      val cands = bcDict.value.getOrElse(CorpusGen.normSurface(surface), Seq.empty)
+      Linker.bestCandidate(cands, typ).map { a =>
+        (bcCanon.value.getOrElse(a.entity_id, a.entity_id), a.prior)
+      }
     }
-    Triples.build(spark, canonical, mediaSpans(spark, docs), cfg.buckets)
+    val units: Dataset[DocUnit] =
+      if (cfg.broadcastLink) {
+        // single pass: fused detect emits mentions + relations; linking +
+        // canonicalization inline via broadcast dictionary
+        detectRows(spark, sents, new GazetteerTagger(gazetteer), cfg).flatMap { row =>
+          if (row.mention != null) {
+            val m = row.mention
+            linkCanon(m.surface, m.entity_type).map { case (eid, conf) =>
+              DocUnit(m.doc_id,
+                SlimMention(m.span_offset, m.sentence_idx, eid, conf), null)
+            }
+          } else {
+            val r = row.relation
+            for {
+              (s, _) <- linkCanon(r.subj_surface, r.subj_type)
+              (o, _) <- linkCanon(r.obj_surface, r.obj_type)
+            } yield DocUnit(r.doc_id, null,
+              SlimRelation(r.span_offset, r.sentence_idx, s, r.rel, o))
+          }
+        }
+      } else {
+        // salted path: mentions through the shuffle join (skew-defused);
+        // relations (dictionary-light) linked via broadcast in a second
+        // detect pass
+        val mentions = detectMentions(spark, sents, new GazetteerTagger(gazetteer), cfg)
+        val linked = Linker.linkSaltedJoin(spark, mentions, aliases, cfg.saltBuckets)
+        val mUnits = linked.map { lm =>
+          DocUnit(lm.doc_id, SlimMention(lm.span_offset, lm.sentence_idx,
+            bcCanon.value.getOrElse(lm.entity_id, lm.entity_id), lm.conf), null)
+        }
+        val rUnits = detectRows(spark, sents, new GazetteerTagger(gazetteer), cfg)
+          .flatMap { row =>
+            if (row.relation == null) None
+            else {
+              val r = row.relation
+              for {
+                (s, _) <- linkCanon(r.subj_surface, r.subj_type)
+                (o, _) <- linkCanon(r.obj_surface, r.obj_type)
+              } yield DocUnit(r.doc_id, null,
+                SlimRelation(r.span_offset, r.sentence_idx, s, r.rel, o))
+            }
+          }
+        mUnits.unionByName(rUnits)
+      }
+    Triples.buildUnits(spark, units, mediaSpans(spark, docs), cfg.buckets)
   }
 
   /** Per-row span-sequence invariant (BASELINE.json input_hint; the

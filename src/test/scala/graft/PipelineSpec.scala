@@ -53,6 +53,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(c.fp == 0 && c.fn == 0, s"tp=${c.tp} fp=${c.fp} fn=${c.fn}")
     assert(c.precision == 1.0 && c.recall == 1.0)
     assert(c.tp > 0)
+    // every triple family is non-trivially present (incl. typed relations)
+    val preds = produced.select("pred").distinct().collect()
+      .map(_.getString(0)).toSet
+    for (p <- Seq("mentions", "co_occurs_with", "depicted_in",
+                  "visited", "works_for", "met"))
+      assert(preds.contains(p), s"missing triple family $p in $preds")
   }
 
   test("connected components canonicalize alias records to min id") {
