@@ -22,9 +22,24 @@ import org.apache.spark.sql.SparkSession
   * test harnesses configure their own sessions).
   */
 object Main {
+
+  /** spark-submit supplies the master; SPARK_MASTER env enables local
+    * smoke runs (e.g. SPARK_MASTER=local[8] sbt "runMain graft.Main ...").
+    */
+  private def session(name: String): SparkSession = {
+    val b = SparkSession.builder().appName(name)
+    sys.env.get("SPARK_MASTER").foreach { m =>
+      b.master(m).config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors().toString)
+    }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("run") =>
-      val spark = SparkSession.builder().appName("graft-kg-run").getOrCreate()
+      val spark = session("graft-kg-run")
       import spark.implicits._
       val docs: org.apache.spark.sql.Dataset[Doc] =
         if (args(1).startsWith("gen:"))
@@ -44,7 +59,7 @@ object Main {
       spark.stop()
 
     case Some("stream") =>
-      val spark = SparkSession.builder().appName("graft-kg-stream").getOrCreate()
+      val spark = session("graft-kg-stream")
       import spark.implicits._
       val aliases = CorpusGen.aliases(spark)
       val ctx = KgPipeline.prepareLinkContext(spark, aliases)
