@@ -165,6 +165,8 @@ object SparkEntry {
       graft.ops.Ann.bruteTop1(t(s, dir, "embeddings")).orderBy("q_id")),
     "q24_ann_lsh" -> ((s, dir) =>
       graft.ops.Ann.lshTop1(t(s, dir, "embeddings")).orderBy("q_id")),
+    "q29_ann_ivf" -> ((s, dir) =>
+      graft.ops.Ann.ivfTop1(t(s, dir, "embeddings")).orderBy("q_id")),
     // ---- time-window aggregation (events) ----
     "q25_hourly" -> ((s, dir) =>
       t(s, dir, "events")
@@ -476,6 +478,29 @@ object SparkEntry {
         |    / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
         |     * sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))), 6) AS cosine
         |   FROM q JOIN eb ON qb = bucket AND q_id <> eb.vec_id),
+        | ranked AS (SELECT q_id, vec_id, cosine,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn
+        |   FROM scored)
+        |SELECT q_id, vec_id AS nn_id, cosine FROM ranked WHERE rn = 1
+        |ORDER BY q_id""".stripMargin,
+    "q29_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        | cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        | dots AS (SELECT e.vec_id, cent_id,
+        |   round(list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]), (x,y) -> x+y), 6) AS dot
+        |   FROM e, cents),
+        | cells AS (SELECT vec_id, cent_id AS cell FROM (
+        |   SELECT vec_id, cent_id,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cent_id ASC) AS rn
+        |   FROM dots) WHERE rn = 1),
+        | ec AS (SELECT e.vec_id, v, cell FROM e JOIN cells ON e.vec_id = cells.vec_id),
+        | q AS (SELECT vec_id AS q_id, v AS qv, cell AS qc FROM ec WHERE vec_id % 25 = 0),
+        | scored AS (SELECT q_id, ec.vec_id,
+        |   round(list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))), 6) AS cosine
+        |   FROM q JOIN ec ON qc = cell AND q_id <> ec.vec_id),
         | ranked AS (SELECT q_id, vec_id, cosine,
         |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn
         |   FROM scored)

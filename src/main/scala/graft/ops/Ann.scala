@@ -63,6 +63,43 @@ object Ann {
         .otherwise(0L)).as("bucket"))
   }
 
+  /** IVF coarse quantization: deterministic centroid set (every
+    * (N/k)-th vector by id — reproducible without a k-means job; a real
+    * deployment would plug trained centroids in), cell = argmax-dot
+    * centroid. Search restricted to the cell — the inverted-file ANN
+    * variant alongside the hyperplane LSH.
+    */
+  def ivfCells(emb: DataFrame, centroidMod: Int = 50): DataFrame = {
+    val e = emb.select(col("vec_id"), vcol.as("v"))
+    val cents = e.where(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("dot"), asc("cent_id"))
+    e.join(broadcast(cents))
+      .select(col("vec_id"),
+        col("cent_id"),
+        round(dot(col("v"), col("cv")), 6).as("dot"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
+  /** Cell-restricted cosine top-1 (probe = 1). */
+  def ivfTop1(emb: DataFrame, centroidMod: Int = 50, queryMod: Int = 25): DataFrame = {
+    val cells = ivfCells(emb, centroidMod)
+    val e = emb.select(col("vec_id"), vcol.as("v")).join(cells, "vec_id")
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell").as("qc"))
+    val scored = q.join(e, col("qc") === col("cell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("q_id"), col("vec_id").as("nn_id"), col("cosine"))
+  }
+
   /** Bucketed cosine top-1: exact search restricted to the LSH bucket. */
   def lshTop1(emb: DataFrame, planes: Int = 8, queryMod: Int = 25): DataFrame = {
     val b = lshBuckets(emb, planes)

@@ -112,3 +112,38 @@ class DenseTaggerSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r1.forall(_.preds.forall(Tags.labelList.contains)))
   }
 }
+
+class RelationsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.kg.Relations
+  import graft.model.Mention
+  private def m(a: Int, b: Int, surf: String, typ: String) =
+    Mention("d", 0, 0, a, b, surf, typ)
+
+  test("verb-pattern extraction over consecutive mention pairs") {
+    val words = "Anna Müller besuchte Paris .".split(" ")
+    val ms = Seq(m(0, 2, "Anna Müller", "PER"), m(3, 4, "Paris", "LOC"))
+    val r = Relations.extract(words, ms)
+    assert(r.map(x => (x._1.surface, x._2, x._3.surface)) ==
+      Seq(("Anna Müller", "visited", "Paris")))
+  }
+
+  test("no relation for non-lexicon gaps or distant mentions") {
+    val words = "Anna sah gestern vielleicht irgendwo Paris .".split(" ")
+    val ms = Seq(m(0, 1, "Anna", "PER"), m(5, 6, "Paris", "LOC"))
+    assert(Relations.extract(words, ms).isEmpty)
+    val words2 = "Anna kennt Paris .".split(" ")
+    assert(Relations.extract(words2,
+      Seq(m(0, 1, "Anna", "PER"), m(2, 3, "Paris", "LOC"))).isEmpty)
+  }
+
+  test("multi-word gap patterns (works_for, founded_in)") {
+    val w1 = "Anna arbeitet für Deutsche Bank .".split(" ")
+    val r1 = Relations.extract(w1,
+      Seq(m(0, 1, "Anna", "PER"), m(3, 5, "Deutsche Bank", "ORG")))
+    assert(r1.map(_._2) == Seq("works_for"))
+    val w2 = "Deutsche Bank wurde in Berlin gegründet .".split(" ")
+    val r2 = Relations.extract(w2,
+      Seq(m(0, 2, "Deutsche Bank", "ORG"), m(4, 5, "Berlin", "LOC")))
+    assert(r2.map(_._2) == Seq("founded_in"))
+  }
+}
