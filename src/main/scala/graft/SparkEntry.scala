@@ -76,7 +76,7 @@ object SparkEntry {
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
-        .withColumn("running_total", sum("o_totalprice").over(w))
+        .withColumn("running_total", round(sum("o_totalprice").over(w), 2))
         .select("o_custkey", "o_orderkey", "running_total")
         .orderBy("o_custkey", "o_orderkey")
     }),
@@ -312,9 +312,9 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q06_window" ->
       """SELECT o_custkey, o_orderkey,
-        |sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |round(sum(o_totalprice) OVER (PARTITION BY o_custkey
         |  ORDER BY o_orderdate, o_orderkey
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q07_lag" ->
       """SELECT event_id, user_id, event_type,
