@@ -77,9 +77,11 @@ object KgPipeline {
       val enc = bcEncoder.value
       val tag = bcTagger.value
       val real = bcRealigner.value
+      // task-local word->pieces memo (Zipfian word frequency)
+      val cache = new java.util.HashMap[String, Array[String]]()
       it.grouped(sentBatch).flatMap { group =>
         val perSent = group.map { s =>
-          val (wins, counts) = enc.encodeWithCounts(s.guid, s.words, s.tags)
+          val (wins, counts) = enc.encodeWithCounts(s.guid, s.words, s.tags, cache)
           (s, wins, counts)
         }
         val allWins = perSent.iterator.flatMap(_._2).toSeq
@@ -115,9 +117,11 @@ object KgPipeline {
       val enc = bcEncoder.value
       val tag = bcTagger.value
       val real = bcRealigner.value
+      // task-local word->pieces memo (Zipfian word frequency)
+      val cache = new java.util.HashMap[String, Array[String]]()
       it.grouped(sentBatch).flatMap { group =>
         val perSent = group.map { s =>
-          val (wins, counts) = enc.encodeWithCounts(s.guid, s.words, s.tags)
+          val (wins, counts) = enc.encodeWithCounts(s.guid, s.words, s.tags, cache)
           (s, wins, counts)
         }
         // tagBatch preserves order, so tagged windows zip back to their

@@ -30,6 +30,21 @@ final class WindowEncoder(
   def tokenizeWord(word: String): Array[String] =
     TextCore.basicTokenize(word, doLowerCase).flatMap(wp.tokenizeWord)
 
+  /** Memoized variant for per-TASK use (natural-language word frequency
+    * is Zipfian, so hit rates are high). The cache must be task-local —
+    * the encoder itself is broadcast and shared across executor threads.
+    */
+  def tokenizeWordCached(word: String,
+                         cache: java.util.HashMap[String, Array[String]]): Array[String] = {
+    val hit = cache.get(word)
+    if (hit != null) hit
+    else {
+      val pieces = tokenizeWord(word)
+      if (cache.size < 65536) cache.put(word, pieces) // bound task memory
+      pieces
+    }
+  }
+
   /** Wordpiece an original word sequence; the FIRST piece of each word
     * carries its tag, every continuation piece gets label `X`
     * (data_processor.py:388-402).
@@ -76,14 +91,17 @@ final class WindowEncoder(
     * decode stage can re-align by construction instead of re-tokenizing
     * (the fused-stage fast path; Realigner.realignWithCounts).
     */
-  def tokenizeWithCounts(words: Array[String], tags: Array[String])
+  def tokenizeWithCounts(words: Array[String], tags: Array[String],
+                         cache: java.util.HashMap[String, Array[String]] = null)
       : (Array[String], Array[String], Array[Int]) = {
     val toks = scala.collection.mutable.ArrayBuffer.empty[String]
     val labs = scala.collection.mutable.ArrayBuffer.empty[String]
     val counts = new Array[Int](words.length)
     var i = 0
     while (i < words.length) {
-      val pieces = tokenizeWord(words(i))
+      val pieces =
+        if (cache == null) tokenizeWord(words(i))
+        else tokenizeWordCached(words(i), cache)
       counts(i) = pieces.length
       var j = 0
       while (j < pieces.length) {
@@ -102,10 +120,13 @@ final class WindowEncoder(
   def encode(guid: String, words: Array[String], tags: Array[String]): Seq[EncodedWindow] =
     encodeWithCounts(guid, words, tags)._1
 
-  /** Encode + pieces-per-word (fused-stage fast path). */
-  def encodeWithCounts(guid: String, words: Array[String], tags: Array[String])
+  /** Encode + pieces-per-word (fused-stage fast path); pass a task-local
+    * cache to memoize word→pieces across the task's sentences.
+    */
+  def encodeWithCounts(guid: String, words: Array[String], tags: Array[String],
+                       cache: java.util.HashMap[String, Array[String]] = null)
       : (Seq[EncodedWindow], Array[Int]) = {
-    val (toks, labs, counts) = tokenizeWithCounts(words, tags)
+    val (toks, labs, counts) = tokenizeWithCounts(words, tags, cache)
     val wins = windowBounds(toks).zipWithIndex.map { case ((s, e), w) =>
       val t = Array("[CLS]") ++ toks.slice(s, e) ++ Array("[SEP]")
       val l = Array("[CLS]") ++ labs.slice(s, e) ++ Array("[SEP]")
