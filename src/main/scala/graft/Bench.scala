@@ -38,6 +38,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // locale-proof JSON: `f"$v%.3f"` uses the default locale — under a
+    // comma-decimal locale the output would be invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = session(cpus)

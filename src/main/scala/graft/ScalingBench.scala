@@ -20,7 +20,13 @@ import java.nio.file.{Files, Paths}
   */
 object ScalingBench {
 
-  def main(args: Array[String]): Unit = args(0) match {
+  def main(args: Array[String]): Unit = {
+    // locale-proof JSON (f"" interpolators are locale-dependent)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    run(args)
+  }
+
+  private def run(args: Array[String]): Unit = args(0) match {
     case "single" =>
       val nDocs = args(1).toLong
       val cpus = args(2).toInt

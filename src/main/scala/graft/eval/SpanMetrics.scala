@@ -70,13 +70,21 @@ object SpanMetrics {
     perType.unionByName(all)
   }
 
-  /** Triple-set P/R vs the golden fixture (BASELINE.md target ≥ 0.95). */
+  /** Triple-set P/R vs the golden fixture (BASELINE.md target ≥ 0.95).
+    * ONE job: full-outer join on the triple key, flags aggregated in a
+    * single pass (three separate counts would recompute both pipelines).
+    */
   def tripleCounts(spark: SparkSession, produced: Dataset[Triple],
                    golden: Dataset[GoldTriple]): Counts = {
-    import spark.implicits._
-    val p = produced.select("subj", "pred", "obj", "doc_id").distinct()
-    val g = golden.select("subj", "pred", "obj", "doc_id").distinct()
-    val tp = p.join(g, Seq("subj", "pred", "obj", "doc_id"), "left_semi").count()
-    Counts(tp, p.count() - tp, g.count() - tp)
+    val keys = Seq("subj", "pred", "obj", "doc_id")
+    val p = produced.select(keys.map(col): _*).distinct().withColumn("p", lit(1L))
+    val g = golden.select(keys.map(col): _*).distinct().withColumn("g", lit(1L))
+    val r = g.join(p, keys, "full_outer")
+      .agg(
+        sum(when(col("g").isNotNull && col("p").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("g").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p").isNull, 1L).otherwise(0L)).as("fn"))
+      .collect()(0)
+    Counts(r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))
   }
 }

@@ -17,27 +17,47 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
 
+  /** Per-doc signature array: element h = min over word-3-gram shingles of
+    * the h-seeded hash — ALL bands×rows mins in ONE projection over the
+    * shingle array (array_min ∘ transform), zero row fan-out, zero
+    * shuffle. The previous formulation exploded every shingle ×(bands·
+    * rows) and aggregated — 8× the shuffle-input volume for nothing.
+    */
+  private def signatureArray(nHashes: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(nHashes - 1)),
+      h => array_min(transform(col("shs"),
+        s => hexInt(concat(h, lit("_"), s)))))
+
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.shingles3(col("text")).as("shs"))
+      .where(size(col("shs")) > 0)
+
   /** MinHash signatures: one row per (doc, hash function); the signature
     * value is the min hash over word-3-gram shingles, seeded per function.
-    * bands×rows functions; band bucketing = md5 over the band's row mins.
+    * bands×rows functions; computed map-side from the signature array —
+    * no exchange anywhere in this plan.
     */
-  def minhashSignatures(docs: DataFrame, bands: Int = 4, rows: Int = 2): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(TextOps.shingles3(col("text"))).as("shingle"))
-    val seeded = sh.select(col("doc_id"), col("shingle"),
-      explode(sequence(lit(0), lit(bands * rows - 1))).as("h"))
-    seeded.groupBy("doc_id", "h")
-      .agg(min(hexInt(concat(col("h"), lit("_"), col("shingle")))).as("minhash"))
-  }
+  def minhashSignatures(docs: DataFrame, bands: Int = 4, rows: Int = 2): DataFrame =
+    withShingles(docs)
+      .select(col("doc_id"), posexplode(signatureArray(bands * rows)))
+      .select(col("doc_id"), col("pos").as("h"), col("col").as("minhash"))
 
-  /** LSH band keys: concat the row-mins of each band, hash → bucket. */
-  def minhashBands(docs: DataFrame, bands: Int = 4, rows: Int = 2): DataFrame = {
-    val sig = minhashSignatures(docs, bands, rows)
-      .withColumn("band", floor(col("h") / rows))
-    sig.groupBy("doc_id", "band")
-      .agg(md5(concat_ws(",", sort_array(collect_list(
-        concat(col("h"), lit(":"), col("minhash")))))).as("band_key"))
-  }
+  /** LSH band keys: concat the row-mins of each band, hash → bucket.
+    * Derived directly from the signature array (still zero shuffle; the
+    * only exchange in the whole MinHash-LSH path is the band-bucket join
+    * in [[minhashPairs]]).
+    */
+  def minhashBands(docs: DataFrame, bands: Int = 4, rows: Int = 2): DataFrame =
+    withShingles(docs)
+      .withColumn("sig", signatureArray(bands * rows))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws(",", sort_array(
+            transform(sequence(lit(0), lit(rows - 1)),
+              r => concat(b * rows + r, lit(":"),
+                element_at(col("sig"), b * rows + r + 1)))))))))
+      .select(col("doc_id"), col("pos").cast("long").as("band"),
+        col("col").as("band_key"))
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket. */
   def minhashPairs(docs: DataFrame, bands: Int = 4, rows: Int = 2): DataFrame = {
@@ -81,22 +101,20 @@ object Dedup {
   }
 
   /** SimHash (nBits-wide) over word occurrences: per-bit majority vote of
-    * md5-derived word hashes.
+    * md5-derived word hashes. Each word is hashed ONCE into an array
+    * column; the per-bit votes and the final bit assembly are nested
+    * `aggregate` folds over that array — zero row fan-out, zero shuffle
+    * (the previous formulation exploded every word ×nBits and aggregated
+    * twice).
     */
-  def simhash(docs: DataFrame, nBits: Int = 16): DataFrame = {
-    val words = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("word"))
-    val bits = words
-      .select(col("doc_id"), hexInt(col("word")).as("h"),
-        explode(sequence(lit(0), lit(nBits - 1))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(
-        when(expr("shiftright(h, cast(j as int)) & 1") === 1, 1)
-          .otherwise(-1)).as("s"))
-    bits.groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, cast(j as int))"))
-        .otherwise(0L)).as("simhash"))
-  }
+  def simhash(docs: DataFrame, nBits: Int = 16): DataFrame =
+    docs.select(col("doc_id"),
+        transform(split(col("text"), " "), w => hexInt(w)).as("hs"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, j) -> acc +
+           |  if(aggregate(hs, 0L,
+           |       (a, h) -> a + if((shiftright(h, j) & 1) = 1, 1L, -1L)) > 0,
+           |     shiftleft(1L, j), 0L))""".stripMargin).as("simhash"))
 
   /** n-gram Jaccard similarity of doc pairs within the same source
     * (bounded candidate set): |A∩B| / |A∪B| over DISTINCT word-3-grams.

@@ -204,27 +204,32 @@ object KgPipeline {
           }
         }
       } else {
-        // salted path: mentions through the shuffle join (skew-defused);
-        // relations (dictionary-light) linked via broadcast in a second
-        // detect pass
-        val mentions = detectMentions(spark, sents, new GazetteerTagger(gazetteer), cfg)
-        val linked = Linker.linkSaltedJoin(spark, mentions, aliases, cfg.saltBuckets)
+        // salted path: the fused detect stage runs ONCE and is persisted —
+        // its three consumers (sampled skew inference, the salted join,
+        // relation linking) all read the cache instead of recomputing the
+        // most expensive stage. Mentions go through the shuffle join
+        // (skew-defused); relations (dictionary-light) link via broadcast.
+        val rows = detectRows(spark, sents, new GazetteerTagger(gazetteer), cfg)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val mentions = rows.filter(_.mention != null).map(_.mention)
+        val skew = Linker.inferSkewKeys(spark, mentions)
+        val linked = Linker.linkSaltedJoin(spark, mentions, aliases,
+          cfg.saltBuckets, Some(skew))
         val mUnits = linked.map { lm =>
           DocUnit(lm.doc_id, SlimMention(lm.span_offset, lm.sentence_idx,
             bcCanon.value.getOrElse(lm.entity_id, lm.entity_id), lm.conf), null)
         }
-        val rUnits = detectRows(spark, sents, new GazetteerTagger(gazetteer), cfg)
-          .flatMap { row =>
-            if (row.relation == null) None
-            else {
-              val r = row.relation
-              for {
-                (s, _) <- linkCanon(r.subj_surface, r.subj_type)
-                (o, _) <- linkCanon(r.obj_surface, r.obj_type)
-              } yield DocUnit(r.doc_id, null,
-                SlimRelation(r.span_offset, r.sentence_idx, s, r.rel, o))
-            }
+        val rUnits = rows.flatMap { row =>
+          if (row.relation == null) None
+          else {
+            val r = row.relation
+            for {
+              (s, _) <- linkCanon(r.subj_surface, r.subj_type)
+              (o, _) <- linkCanon(r.obj_surface, r.obj_type)
+            } yield DocUnit(r.doc_id, null,
+              SlimRelation(r.span_offset, r.sentence_idx, s, r.rel, o))
           }
+        }
         mUnits.unionByName(rUnits)
       }
     Triples.buildUnits(spark, units, mediaSpans(spark, docs), cfg.buckets)

@@ -1,0 +1,16 @@
+package graft.store
+
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem probe through the Hadoop FileSystem API, so lineage /
+  * snapshot reads work against ANY Spark-supported filesystem (hdfs://,
+  * s3a://, file:) — a `java.io.File` probe silently reports false on a
+  * DFS and would make resume reprocess everything (correct but
+  * catastrophic at 100 TB).
+  */
+object Fs {
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

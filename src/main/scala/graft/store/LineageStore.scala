@@ -29,7 +29,7 @@ object LineageStore {
   def readLineage(spark: SparkSession, root: String): Dataset[LineageRow] = {
     import spark.implicits._
     val p = lineagePath(root)
-    if (new java.io.File(p).exists())
+    if (Fs.exists(spark, p))
       spark.read.parquet(p).as[LineageRow]
     else spark.emptyDataset[LineageRow]
   }

@@ -27,7 +27,7 @@ object Snapshots {
   def read(spark: SparkSession, root: String): Dataset[SnapshotRow] = {
     import spark.implicits._
     val p = snapshotsPath(root)
-    if (new java.io.File(p).exists()) spark.read.parquet(p).as[SnapshotRow]
+    if (Fs.exists(spark, p)) spark.read.parquet(p).as[SnapshotRow]
     else spark.emptyDataset[SnapshotRow]
   }
 

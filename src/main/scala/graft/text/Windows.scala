@@ -78,8 +78,11 @@ final class WindowEncoder(
       var end = math.min(start + body, tokens.length)
       if (end < tokens.length) {
         while (end > start + 1 && tokens(end).startsWith("##")) end -= 1
-        if (end == start + 1 && tokens(start + 1).startsWith("##"))
-          end = math.min(start + body, tokens.length) // fallback: hard cut
+        // backoff exhausted → hard-cut to a full window UNCONDITIONALLY,
+        // exactly like the reference (data_processor.py:414-415 resets on
+        // window_len==1 regardless of what the boundary token looks like)
+        if (end == start + 1)
+          end = math.min(start + body, tokens.length)
       }
       out += ((start, end))
       start = end

@@ -33,6 +33,15 @@ class StreamingSpec extends AnyFunSuite {
     val snaps = graft.store.LineageStore.readLineage(spark, root)
       .collect().map(_.snapshot_id).distinct.sorted
     assert(snaps.toSeq == Seq("batch-0", "batch-1"))
+    // existence probes go through the Hadoop FileSystem API: lineage and
+    // snapshots must resolve through a URI-qualified path exactly as they
+    // would on hdfs:// or s3a:// (a java.io.File probe would return false
+    // there and silently disable resume)
+    assert(graft.store.LineageStore.readLineage(spark, "file:" + root).count() ==
+      graft.store.LineageStore.readLineage(spark, root).count())
+    assert(graft.store.Snapshots.read(spark, "file:" + root).count() == 2)
+    assert(graft.store.LineageStore
+      .readLineage(spark, "file:" + root + "_nonexistent").isEmpty)
     // snapshot chain: batch-1 points at batch-0; current is batch-1
     val chain = graft.store.Snapshots.read(spark, root).collect()
       .sortBy(_.snapshot_id)
