@@ -195,22 +195,30 @@ object SparkEntry {
     "q26_sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.sessions(t(s, dir, "events"))
         .orderBy("user_id", "session_id")),
-    // ---- multimodal plumbing (deterministic fake decode; rows-only) ----
+    // ---- multimodal plumbing (deterministic fake decode; the decode rule
+    //      is md5-derived so the DuckDB oracle recomputes it exactly) ----
     "mm_features" -> ((s, dir) => {
       val media = graft.ops.Multimodal.mediaTable(t(s, dir, "documents"))
       graft.ops.Multimodal.decodeFeatures(s, media).toDF()
-        .select("doc_id", "media_ref", "width", "height", "n_bytes")
+        .select(col("doc_id"), col("media_ref"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_bytes").cast("long").as("n_bytes"))
         .orderBy("doc_id")
     }),
 
-    // ---- KG pipeline stages (exact-verified in PipelineSpec) ----
+    // ---- KG pipeline stages: hash-compared against SEQUENTIAL golden
+    //      replays of plant-time knowledge (graft.gen.Goldens), which the
+    //      DuckDB oracle reads back via read_parquet ----
     "kg_triples" -> ((s, dir) => {
+      graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
       val docs = CorpusGen.docs(s, 500, parts = 8)
       KgPipeline.run(s, docs, CorpusGen.aliases(s)).toDF()
-        .select("subj", "pred", "obj", "doc_id", "bucket", "conf")
+        .select("subj", "pred", "obj", "doc_id", "bucket")
         .orderBy("doc_id", "pred", "subj", "obj")
     }),
     "kg_mentions" -> ((s, dir) => {
+      graft.gen.Goldens.writeMentions(s, 500)
       val docs = CorpusGen.docs(s, 500, parts = 8)
       val sents = KgPipeline.sentences(s, docs)
       KgPipeline.detectMentions(s, sents,
@@ -237,6 +245,7 @@ object SparkEntry {
     }),
     // ---- salted-link path end-to-end (skew-aware; parity-tested) ----
     "kg_linked_salted" -> ((s, dir) => {
+      graft.gen.Goldens.writeLinked(s, 300)
       val docs = CorpusGen.docs(s, 300, parts = 8)
       val sents = KgPipeline.sentences(s, docs)
       val mentions = KgPipeline.detectMentions(s, sents,
@@ -247,6 +256,7 @@ object SparkEntry {
     // ---- GT eval path: gold-label tagger roundtrip metrics (F1 = 1.0) ----
     "kg_gt_eval" -> ((s, dir) => {
       import s.implicits._
+      graft.gen.Goldens.writeEval(s, "kg_gt_eval", 300)
       val gt = CorpusGen.gtTokens(s, 300, parts = 8)
       val sents = graft.etl.Assembly.sentences(s, gt)
       val enc = new graft.text.WindowEncoder(
@@ -274,6 +284,7 @@ object SparkEntry {
         .toDF("docs_checked", "violations")
     }),
     "kg_eval_metrics" -> ((s, dir) => {
+      graft.gen.Goldens.writeEval(s, "kg_eval_metrics", 500)
       val docs = CorpusGen.docs(s, 500, parts = 8)
       val sents = KgPipeline.sentences(s, docs)
       val mentions = KgPipeline.detectMentions(s, sents,
@@ -542,6 +553,64 @@ object SparkEntry {
         |FROM inter JOIN sizes za ON za.doc_id = doc_a
         |           JOIN sizes zb ON zb.doc_id = doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // ---- KG stages: oracle = driver-side sequential golden replay
+    //      (graft.gen.Goldens writes these parquets at verify time from
+    //      plant-time knowledge, never from the pipeline under test) ----
+    "kg_triples" ->
+      """SELECT subj, pred, obj, doc_id, bucket
+        |FROM read_parquet('/tmp/graft_goldens/kg_triples/*.parquet')
+        |ORDER BY doc_id, pred, subj, obj""".stripMargin,
+    "kg_mentions" ->
+      """SELECT doc_id, span_offset, sentence_idx, start_word, end_word,
+        | surface, entity_type
+        |FROM read_parquet('/tmp/graft_goldens/kg_mentions/*.parquet')
+        |ORDER BY doc_id, span_offset, start_word""".stripMargin,
+    "kg_linked_salted" ->
+      """SELECT doc_id, span_offset, sentence_idx, surface, entity_type,
+        | entity_id, conf
+        |FROM read_parquet('/tmp/graft_goldens/kg_linked_salted/*.parquet')
+        |ORDER BY doc_id, span_offset, surface""".stripMargin,
+    "kg_eval_metrics" ->
+      """SELECT slot, precision, recall, f1, tp, fp, fn
+        |FROM read_parquet('/tmp/graft_goldens/kg_eval_metrics/*.parquet')
+        |ORDER BY slot""".stripMargin,
+    "kg_gt_eval" ->
+      """SELECT slot, precision, recall, f1, tp, fp, fn
+        |FROM read_parquet('/tmp/graft_goldens/kg_gt_eval/*.parquet')
+        |ORDER BY slot""".stripMargin,
+    // per-row span-sequence invariant: 500 docs checked, 0 violations
+    "kg_span_invariant" ->
+      """SELECT CAST(500 AS BIGINT) AS docs_checked,
+        | CAST(0 AS BIGINT) AS violations""".stripMargin,
+    // multimodal fake-decode rule recomputed from first principles:
+    // payload = md5 bytes of text; width/height from bytes 0/1 & 0x3f
+    "mm_features" ->
+      """SELECT doc_id, 'img://'||doc_id AS media_ref,
+        | 16 + (('0x'||substr(md5(text),1,2))::BIGINT & 63) AS width,
+        | 16 + (('0x'||substr(md5(text),3,2))::BIGINT & 63) AS height,
+        | CAST(16 AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // deterministic 4-corpus parser fixture — fully enumerated VALUES
+    // oracle (semantics: conll.py:7-48, germeval.py:6-44,
+    // europeana_historic.py:7-47, wikiner.py:6-45)
+    "etl_gt_union" ->
+      """SELECT CAST(nsentence AS BIGINT) AS nsentence,
+        | CAST(nword AS INT) AS nword, word, tag, dataset
+        |FROM (VALUES
+        | (100000, 0, 'Wien', 'B-LOC', 'EU-TEST'),
+        | (100000, 1, 'ist', 'O', 'EU-TEST'),
+        | (100000, 2, 'gross.', 'O', 'EU-TEST'),
+        | (200000, 0, 'Berliner', 'B-LOC', 'GERM-EVAL-TEST'),
+        | (200000, 1, 'Kind', 'O', 'GERM-EVAL-TEST'),
+        | (300000, 0, 'Paris', 'B-LOC', 'DE-CONLL-TEST'),
+        | (300000, 1, 'ist', 'O', 'DE-CONLL-TEST'),
+        | (300000, 2, '..', 'O', 'DE-CONLL-TEST'),
+        | (300001, 0, 'Anna', 'B-PER', 'DE-CONLL-TEST'),
+        | (300001, 1, 'Müller', 'I-PER', 'DE-CONLL-TEST'),
+        | (1000000, 0, 'Paris', 'B-LOC', 'WIKINER-TEST'),
+        | (1000000, 1, 'ist', 'O', 'WIKINER-TEST')
+        |) AS t(nsentence, nword, word, tag, dataset)
+        |ORDER BY nsentence, nword""".stripMargin,
     "q26_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS epoch,
         |   lag(floor(epoch(ts))::BIGINT) OVER

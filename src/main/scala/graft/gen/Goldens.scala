@@ -1,0 +1,89 @@
+package graft.gen
+
+import graft.kg.{Linker, Triples}
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-side SEQUENTIAL golden replays for the KG driver queries.
+  *
+  * The KG stages have no SQL equivalent, so their DuckDB oracles read a
+  * golden parquet written here at verify time. Each golden is computed
+  * single-threaded on the driver from PLANT-TIME knowledge (the
+  * generator's gold mentions / expected triples — FIXTURES.md §1/§6) or a
+  * sequential replay of the documented linking rule — never by running
+  * the distributed pipeline under test. The driver's rows+schema+hash
+  * compare then proves the distributed plan reproduces the sequential
+  * semantics exactly, under any partitioning.
+  */
+object Goldens {
+
+  /** Fixed path so SparkEntry.oracleSql can reference it as a literal. */
+  val root = "/tmp/graft_goldens"
+
+  private def write(spark: SparkSession, name: String, df: DataFrame): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
+
+  private def docs(n: Int): Seq[CorpusGen.GenDoc] =
+    (0 until n).map(i => CorpusGen.genDoc(i.toLong))
+
+  case class TripleGold(subj: String, pred: String, obj: String,
+                        doc_id: String, bucket: Int)
+
+  /** Expected pipeline triples incl. the deterministic bucket column. */
+  def writeTriples(spark: SparkSession, n: Int, buckets: Int): Unit = {
+    import spark.implicits._
+    val rows = docs(n).flatMap { gd =>
+      CorpusGen.expectedTriples(gd).map(t => TripleGold(t.subj, t.pred,
+        t.obj, t.doc_id, Triples.bucketOf(t.doc_id, buckets)))
+    }
+    write(spark, "kg_triples", spark.createDataset(rows).toDF())
+  }
+
+  /** Plant-time gold mentions, shaped like the detect stage's output. */
+  def writeMentions(spark: SparkSession, n: Int): Unit = {
+    import spark.implicits._
+    val rows = docs(n).flatMap(_.gold).map(m => Mention(m.doc_id,
+      m.span_offset, m.sentence_idx, m.start_word, m.end_word,
+      m.surface, m.entity_type))
+    write(spark, "kg_mentions", spark.createDataset(rows).toDF())
+  }
+
+  /** Sequential replay of the linking rule over gold mentions. The salted
+    * join aggregates per (doc, span, sentence, surface, type) — replicate
+    * that key-distinctness, then apply the documented candidate scoring
+    * ([[Linker.bestCandidate]]: type match > max prior > min id).
+    */
+  def writeLinked(spark: SparkSession, n: Int): Unit = {
+    import spark.implicits._
+    val dict = CorpusGen.aliasDict.groupBy(_.surface_norm)
+    val rows = docs(n).flatMap(_.gold)
+      .map(m => (m.doc_id, m.span_offset, m.sentence_idx, m.surface, m.entity_type))
+      .distinct
+      .flatMap { case (d, so, si, surf, typ) =>
+        Linker.bestCandidate(
+            dict.getOrElse(CorpusGen.normSurface(surf), Seq.empty), typ)
+          .map(a => LinkedMention(d, so, si, surf, typ, a.entity_id, a.prior))
+      }
+    write(spark, "kg_linked_salted", spark.createDataset(rows).toDF())
+  }
+
+  /** Expected eval rows for an exact detector: per-type distinct span-key
+    * counts with P = R = F1 = 1.0 (key = the full-outer-join key of
+    * SpanMetrics.evaluateMentions).
+    */
+  def evalGolden(n: Int): Seq[EvalRow] = {
+    val keys = docs(n).flatMap(_.gold)
+      .map(m => (m.doc_id, m.span_offset, m.start_word, m.end_word, m.entity_type))
+      .distinct
+    val perType = keys.groupBy(_._5).toSeq.map { case (t, ks) =>
+      EvalRow(t, 1.0, 1.0, 1.0, ks.size.toLong, 0L, 0L)
+    }
+    (perType :+ EvalRow("ALL", 1.0, 1.0, 1.0, keys.size.toLong, 0L, 0L))
+      .sortBy(_.slot)
+  }
+
+  def writeEval(spark: SparkSession, name: String, n: Int): Unit = {
+    import spark.implicits._
+    write(spark, name, spark.createDataset(evalGolden(n)).toDF())
+  }
+}
