@@ -167,6 +167,15 @@ object SparkEntry {
       graft.ops.Ann.lshTop1(t(s, dir, "embeddings")).orderBy("q_id")),
     "q29_ann_ivf" -> ((s, dir) =>
       graft.ops.Ann.ivfTop1(t(s, dir, "embeddings")).orderBy("q_id")),
+    "q30_ann_topk" -> ((s, dir) =>
+      graft.ops.Ann.bruteTopK(t(s, dir, "embeddings"), k = 5)
+        .orderBy("q_id", "rank")),
+    "q31_ann_lsh_topk" -> ((s, dir) =>
+      graft.ops.Ann.lshTopK(t(s, dir, "embeddings"), k = 5)
+        .orderBy("q_id", "rank")),
+    "q32_ann_ivf_probe" -> ((s, dir) =>
+      graft.ops.Ann.ivfTopK(t(s, dir, "embeddings"), k = 5, probes = 2)
+        .orderBy("q_id", "rank")),
     // ---- time-window aggregation (events) ----
     "q25_hourly" -> ((s, dir) =>
       t(s, dir, "events")
@@ -191,6 +200,10 @@ object SparkEntry {
     "q27_lsh_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.lshJaccardPairs(t(s, dir, "documents"))
         .orderBy("doc_a", "doc_b")),
+    // ---- dedup cluster collapse: LSH pairs → connected components ----
+    "q33_dedup_clusters" -> ((s, dir) =>
+      graft.ops.Dedup.duplicateClusters(s, t(s, dir, "documents"))
+        .orderBy("doc_id")),
     // ---- gap-based sessionization (window lag + running sum) ----
     "q26_sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.sessions(t(s, dir, "events"))
@@ -517,6 +530,67 @@ object SparkEntry {
         |   FROM scored)
         |SELECT q_id, vec_id AS nn_id, cosine FROM ranked WHERE rn = 1
         |ORDER BY q_id""".stripMargin,
+    "q30_ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+        | scored AS (SELECT q_id, vec_id,
+        |   round(list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))), 6) AS cosine
+        |   FROM q JOIN e ON q_id <> vec_id),
+        | ranked AS (SELECT q_id, vec_id, cosine,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        |   FROM scored)
+        |SELECT q_id, rank, vec_id AS nn_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "q31_ann_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        | dims AS (SELECT vec_id, d-1 AS d0, v[d] AS x FROM e, range(1, 65) t(d)),
+        | proj AS (SELECT vec_id, p,
+        |   sum(((('0x'||substr(md5(p||'_'||d0),1,15))::BIGINT % 2001 + 2001) % 2001 - 1000) * x) AS proj
+        |   FROM dims, range(0,8) t(p) GROUP BY vec_id, p),
+        | buckets AS (SELECT vec_id,
+        |   sum(CASE WHEN proj >= 0 THEN 1::BIGINT << p::INT ELSE 0 END) AS bucket
+        |   FROM proj GROUP BY vec_id),
+        | eb AS (SELECT e.vec_id, v, bucket FROM e JOIN buckets ON e.vec_id = buckets.vec_id),
+        | q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM eb WHERE vec_id % 25 = 0),
+        | scored AS (SELECT q_id, eb.vec_id,
+        |   round(list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))), 6) AS cosine
+        |   FROM q JOIN eb ON qb = bucket AND q_id <> eb.vec_id),
+        | ranked AS (SELECT q_id, vec_id, cosine,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        |   FROM scored)
+        |SELECT q_id, rank, vec_id AS nn_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "q32_ann_ivf_probe" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        | cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        | dots AS (SELECT e.vec_id, cent_id,
+        |   round(list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]), (x,y) -> x+y), 6) AS dot
+        |   FROM e, cents),
+        | assign AS (SELECT vec_id, cent_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cent_id ASC) AS rn
+        |   FROM dots),
+        | cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rn = 1),
+        | ec AS (SELECT e.vec_id, v, cell FROM e JOIN cells ON e.vec_id = cells.vec_id),
+        | qp AS (SELECT vec_id AS q_id, cent_id AS qc FROM assign
+        |        WHERE rn <= 2 AND vec_id % 25 = 0),
+        | q AS (SELECT q_id, qc, v AS qv FROM qp JOIN e ON e.vec_id = q_id),
+        | scored AS (SELECT q_id, ec.vec_id,
+        |   round(list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))), 6) AS cosine
+        |   FROM q JOIN ec ON qc = cell AND q_id <> ec.vec_id),
+        | ranked AS (SELECT q_id, vec_id, cosine,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        |   FROM scored)
+        |SELECT q_id, rank, vec_id AS nn_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "q25_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
         | event_type, count(*) AS n, round(sum(value), 4) AS total
@@ -611,6 +685,25 @@ object SparkEntry {
         | (1000000, 1, 'ist', 'O', 'WIKINER-TEST')
         |) AS t(nsentence, nword, word, tag, dataset)
         |ORDER BY nsentence, nword""".stripMargin,
+    "q33_dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM w),
+        | seeded AS (SELECT doc_id, shingle, h FROM sh, range(0,8) t(h)),
+        | sig AS (SELECT doc_id, h,
+        |   min(('0x'||substr(md5(h||'_'||shingle),1,15))::BIGINT) AS minhash
+        |   FROM seeded GROUP BY doc_id, h),
+        | bands AS (SELECT doc_id, h//2 AS band,
+        |   md5(string_agg(h||':'||minhash, ',' ORDER BY h||':'||minhash)) AS band_key
+        |   FROM sig GROUP BY doc_id, h//2),
+        | ed AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |   FROM bands a JOIN bands b
+        |     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        | sym AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+        | conn(a, b) AS (SELECT a, b FROM sym
+        |   UNION SELECT c.a, s.b FROM conn c JOIN sym s ON c.b = s.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS keeper
+        |FROM conn GROUP BY a ORDER BY doc_id""".stripMargin,
     "q26_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS epoch,
         |   lag(floor(epoch(ts))::BIGINT) OVER

@@ -27,23 +27,51 @@ object Ann {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Exact cosine top-1 neighbor for each query vector
-    * (query set: vec_id % queryMod == 0).
+  /** Rounded cosine over (qv, v) — rounding BEFORE ranking so ties break
+    * identically across engines (then by vec_id).
     */
-  def bruteTop1(emb: DataFrame, queryMod: Int = 25): DataFrame = {
-    val e = emb.select(col("vec_id"), vcol.as("v"))
-    val q = e.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val scored = broadcast(q).join(e, col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(dot(col("qv"), col("v")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))), 6)
-          .as("cosine"))
+  private def cosine6: Column =
+    round(dot(col("qv"), col("v")) /
+      (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))), 6)
+
+  /** Per-query top-1 of a scored candidate set. */
+  private def top1(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("q_id"), col("vec_id").as("nn_id"), col("cosine"))
   }
+
+  /** Per-query top-k of a scored candidate set (rank column included —
+    * the general form of [[top1]]; one shuffle on q_id).
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("nn_id"), col("cosine"))
+  }
+
+  private def scoredBrute(emb: DataFrame, queryMod: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), vcol.as("v"))
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    broadcast(q).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cosine6.as("cosine"))
+  }
+
+  /** Exact cosine top-1 neighbor for each query vector
+    * (query set: vec_id % queryMod == 0).
+    */
+  def bruteTop1(emb: DataFrame, queryMod: Int = 25): DataFrame =
+    top1(scoredBrute(emb, queryMod))
+
+  /** Exact cosine top-k — the exactness baseline for recall evaluation of
+    * the LSH/IVF scale paths; O(Q·N·d) with the query side broadcast.
+    */
+  def bruteTopK(emb: DataFrame, k: Int = 5, queryMod: Int = 25): DataFrame =
+    topK(scoredBrute(emb, queryMod), k)
 
   /** Random-hyperplane LSH bucket per vector: plane p's coefficient for
     * dimension d is md5-derived integer in [-1000, 1000]; bit_p =
@@ -63,13 +91,14 @@ object Ann {
         .otherwise(0L)).as("bucket"))
   }
 
-  /** IVF coarse quantization: deterministic centroid set (every
-    * (N/k)-th vector by id — reproducible without a k-means job; a real
-    * deployment would plug trained centroids in), cell = argmax-dot
-    * centroid. Search restricted to the cell — the inverted-file ANN
-    * variant alongside the hyperplane LSH.
+  /** Centroid assignment: deterministic centroid set (every (N/k)-th
+    * vector by id — reproducible without a k-means job; a real deployment
+    * would plug trained centroids in); each vector ranked against all
+    * centroids by dot (broadcast — the centroid set is dictionary-sized),
+    * keeping the top `probes` cells.
     */
-  def ivfCells(emb: DataFrame, centroidMod: Int = 50): DataFrame = {
+  private def centroidAssign(emb: DataFrame, centroidMod: Int,
+                             probes: Int): DataFrame = {
     val e = emb.select(col("vec_id"), vcol.as("v"))
     val cents = e.where(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
@@ -79,41 +108,58 @@ object Ann {
         col("cent_id"),
         round(dot(col("v"), col("cv")), 6).as("dot"))
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+      .where(col("rn") <= probes)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("rn"))
+  }
+
+  /** IVF coarse quantization: cell = argmax-dot centroid. Search
+    * restricted to the cell — the inverted-file ANN variant alongside the
+    * hyperplane LSH.
+    */
+  def ivfCells(emb: DataFrame, centroidMod: Int = 50): DataFrame =
+    centroidAssign(emb, centroidMod, 1).select("vec_id", "cell")
+
+  private def scoredIvf(emb: DataFrame, centroidMod: Int, queryMod: Int,
+                        probes: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), vcol.as("v"))
+      .join(ivfCells(emb, centroidMod), "vec_id")
+    // multi-probe: each query searches its `probes` nearest cells; corpus
+    // vectors live in exactly one cell, so candidates never duplicate
+    val qCells = centroidAssign(emb, centroidMod, probes)
+      .where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("cell").as("qc"))
+    val q = qCells.join(
+      emb.select(col("vec_id").as("q_id"), vcol.as("qv")), "q_id")
+    q.join(e, col("qc") === col("cell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cosine6.as("cosine"))
   }
 
   /** Cell-restricted cosine top-1 (probe = 1). */
-  def ivfTop1(emb: DataFrame, centroidMod: Int = 50, queryMod: Int = 25): DataFrame = {
-    val cells = ivfCells(emb, centroidMod)
-    val e = emb.select(col("vec_id"), vcol.as("v")).join(cells, "vec_id")
-    val q = e.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell").as("qc"))
-    val scored = q.join(e, col("qc") === col("cell") && col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(dot(col("qv"), col("v")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))), 6)
-          .as("cosine"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("q_id"), col("vec_id").as("nn_id"), col("cosine"))
-  }
+  def ivfTop1(emb: DataFrame, centroidMod: Int = 50, queryMod: Int = 25): DataFrame =
+    top1(scoredIvf(emb, centroidMod, queryMod, probes = 1))
 
-  /** Bucketed cosine top-1: exact search restricted to the LSH bucket. */
-  def lshTop1(emb: DataFrame, planes: Int = 8, queryMod: Int = 25): DataFrame = {
+  /** Cell-restricted cosine top-k with multi-probe: queries search their
+    * `probes` nearest cells — the recall dial of a production IVF index.
+    */
+  def ivfTopK(emb: DataFrame, k: Int = 5, probes: Int = 2,
+              centroidMod: Int = 50, queryMod: Int = 25): DataFrame =
+    topK(scoredIvf(emb, centroidMod, queryMod, probes), k)
+
+  private def scoredLsh(emb: DataFrame, planes: Int, queryMod: Int): DataFrame = {
     val b = lshBuckets(emb, planes)
     val e = emb.select(col("vec_id"), vcol.as("v")).join(b, "vec_id")
     val q = e.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
-    val scored = q.join(e, col("qb") === col("bucket") && col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(dot(col("qv"), col("v")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))), 6)
-          .as("cosine"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("q_id"), col("vec_id").as("nn_id"), col("cosine"))
+    q.join(e, col("qb") === col("bucket") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cosine6.as("cosine"))
   }
+
+  /** Bucketed cosine top-1: exact search restricted to the LSH bucket. */
+  def lshTop1(emb: DataFrame, planes: Int = 8, queryMod: Int = 25): DataFrame =
+    top1(scoredLsh(emb, planes, queryMod))
+
+  /** Bucketed cosine top-k within the LSH bucket. */
+  def lshTopK(emb: DataFrame, k: Int = 5, planes: Int = 8,
+              queryMod: Int = 25): DataFrame =
+    topK(scoredLsh(emb, planes, queryMod), k)
 }

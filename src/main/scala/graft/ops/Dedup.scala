@@ -100,6 +100,23 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Duplicate-cluster collapse — the operator a real corpus dedup ends
+    * with: LSH candidate pairs → connected components → one (doc_id,
+    * keeper) row per clustered doc, keeper = min doc_id of the cluster.
+    * Reuses the canonicalization CC engine (alternating large/small-star,
+    * O(log n) rounds, one shuffle per phase). Doc ids are zero-padded so
+    * the engine's string-min representative is the numeric min.
+    */
+  def duplicateClusters(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame, bands: Int = 4, rows: Int = 2): DataFrame = {
+    def pad(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 12, "0")
+    val edges = minhashPairs(docs, bands, rows)
+      .select(pad(col("doc_a")).as("src"), pad(col("doc_b")).as("dst"))
+    graft.kg.ConnectedComponents.run(spark, edges)
+      .select(col("node").cast("long").as("doc_id"),
+        col("component").cast("long").as("keeper"))
+  }
+
   /** SimHash (nBits-wide) over word occurrences: per-bit majority vote of
     * md5-derived word hashes. Each word is hashed ONCE into an array
     * column; the per-bit votes and the final bit assembly are nested
