@@ -200,6 +200,12 @@ object SparkEntry {
     "q27_lsh_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.lshJaccardPairs(t(s, dir, "documents"))
         .orderBy("doc_a", "doc_b")),
+    // ---- masked-LM pregeneration plumbing (M5,
+    //      pregenerate_training_data.py:42-58,102-131) ----
+    "q34_mlm_pairs" -> ((s, dir) =>
+      graft.ops.MlmGen.nspPairs(t(s, dir, "documents")).orderBy("doc_id")),
+    "q35_mlm_masks" -> ((s, dir) =>
+      graft.ops.MlmGen.maskedLm(t(s, dir, "documents")).orderBy("doc_id", "pos")),
     // ---- dedup cluster collapse: LSH pairs → connected components ----
     "q33_dedup_clusters" -> ((s, dir) =>
       graft.ops.Dedup.duplicateClusters(s, t(s, dir, "documents"))
@@ -685,6 +691,54 @@ object SparkEntry {
         | (1000000, 1, 'ist', 'O', 'WIKINER-TEST')
         |) AS t(nsentence, nword, word, tag, dataset)
         |ORDER BY nsentence, nword""".stripMargin,
+    "q34_mlm_pairs" ->
+      """WITH s AS (SELECT doc_id, len(str_split(text,' '))::BIGINT AS n FROM documents),
+        | c AS (SELECT doc_id, n,
+        |   row_number() OVER (ORDER BY doc_id) - 1 AS idx,
+        |   sum(n) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s),
+        | tot AS (SELECT max(cum) AS total FROM c),
+        | q AS (SELECT doc_id, n, cum,
+        |   ('0x'||substr(md5(doc_id||'_nsp'),1,15))::BIGINT % 2 = 0 AS is_random_next,
+        |   (cum + ('0x'||substr(md5(doc_id||'_draw'),1,15))::BIGINT % (total - n))
+        |     % total AS sent_idx
+        |  FROM c, tot),
+        | u AS (SELECT cum AS v, 0 AS kind, idx AS cidx, NULL::BIGINT AS q_doc FROM c
+        |  UNION ALL
+        |  SELECT sent_idx, 1, NULL, doc_id FROM q),
+        | r AS (SELECT *, sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY v, kind
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+        |  FROM u),
+        | smp AS (SELECT r.q_doc AS doc_id, c.doc_id AS s_doc, c.n AS s_n
+        |  FROM r JOIN c ON c.idx = r.cnt WHERE r.kind = 1)
+        |SELECT q.doc_id, q.is_random_next,
+        | CASE WHEN q.is_random_next THEN smp.s_doc ELSE q.doc_id END AS b_doc_id,
+        | least((q.n+1)//2, 64) AS n_a,
+        | CASE WHEN q.is_random_next THEN least(smp.s_n, 63)
+        |      ELSE least(q.n - (q.n+1)//2, 63) END AS n_b
+        |FROM q JOIN smp ON smp.doc_id = q.doc_id
+        |ORDER BY q.doc_id""".stripMargin,
+    "q35_mlm_masks" ->
+      """WITH w AS (SELECT doc_id, str_split(text,' ')[1:128] AS toks FROM documents),
+        | t AS (SELECT doc_id, toks, len(toks) AS m FROM w),
+        | p AS (SELECT doc_id, toks, m,
+        |   least(20, greatest(1, round(m*0.15))) AS ntm,
+        |   unnest(range(0, m)) AS pos0 FROM t),
+        | c AS (SELECT doc_id, toks, m, ntm, pos0, toks[pos0+1] AS token,
+        |   ('0x'||substr(md5(doc_id||'_m_'||pos0),1,15))::BIGINT AS rank_key
+        |  FROM p),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY rank_key, pos0) AS rn FROM c)
+        |SELECT doc_id, CAST(pos0 AS BIGINT) AS pos, token AS label,
+        | CASE WHEN ('0x'||substr(md5(doc_id||'_r_'||pos0),1,15))::BIGINT % 10 <= 7
+        |        THEN '[MASK]'
+        |      WHEN ('0x'||substr(md5(doc_id||'_r_'||pos0),1,15))::BIGINT % 10 = 8
+        |        THEN token
+        |      ELSE toks[(('0x'||substr(md5(doc_id||'_w_'||pos0),1,15))::BIGINT % m) + 1]
+        | END AS replacement
+        |FROM r WHERE rn <= ntm ORDER BY doc_id, pos""".stripMargin,
     "q33_dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
         | sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.MlmGen
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** M5 — masked-LM pregeneration plumbing
+  * (pregenerate_training_data.py:42-58,102-131,278-298).
+  */
+class MlmSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("NSP sampling: deterministic under repartitioning, never samples self") {
+    val a = MlmGen.nspPairs(docs).orderBy("doc_id").collect()
+    val b = MlmGen.nspPairs(docs.repartition(7)).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    // the reference asserts sampled_doc_index != current_idx (:59); the
+    // cumsum-offset construction guarantees it — verify on every negative
+    val negs = a.filter(_.getAs[Boolean]("is_random_next"))
+    assert(negs.nonEmpty)
+    assert(negs.forall(r => r.getAs[Long]("b_doc_id") != r.getAs[Long]("doc_id")))
+    // positives keep their own doc as the B side
+    val pos = a.filter(!_.getAs[Boolean]("is_random_next"))
+    assert(pos.forall(r => r.getAs[Long]("b_doc_id") == r.getAs[Long]("doc_id")))
+    // roughly half negatives (keyed-hash coin)
+    assert(negs.length > a.length / 4 && negs.length < 3 * a.length / 4)
+  }
+
+  test("masking: num_to_mask = min(20, max(1, round(0.15·len))) per doc; 80/10/10 shape") {
+    val masks = MlmGen.maskedLm(docs)
+    val perDoc = masks.groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
+    val expected = docs.select(col("doc_id"),
+      least(lit(20), greatest(lit(1),
+        round(least(size(split(col("text"), " ")), lit(128)) * 0.15))).as("want"))
+    val bad = perDoc.join(expected, "doc_id")
+      .where(col("n_masked") =!= col("want")).count()
+    assert(bad == 0)
+    // deterministic under repartitioning
+    assert(MlmGen.maskedLm(docs.repartition(5)).orderBy("doc_id", "pos")
+      .collect().toSeq ==
+      masks.orderBy("doc_id", "pos").collect().toSeq)
+    // ~80% [MASK], ~10% keep (replacement == label), ~10% random
+    val rows = masks.collect()
+    val mask = rows.count(_.getAs[String]("replacement") == "[MASK]")
+    assert(mask > rows.length * 6 / 10 && mask < rows.length * 95 / 100)
+  }
+
+  test("epoch JSON sink: JSONL rows + sidecar metrics per epoch") {
+    val out = Files.createTempDirectory("graft_mlm").toString
+    val inst = MlmGen.nspPairs(docs)
+    val n0 = MlmGen.writeEpochJson(spark, inst, out, epoch = 0)
+    val n1 = MlmGen.writeEpochJson(spark, inst, out, epoch = 1)
+    assert(n0 == inst.count() && n0 == n1)
+    val back = spark.read.json(s"$out/epoch_0.json")
+    assert(back.count() == n0)
+    assert(back.columns.toSet ==
+      Set("doc_id", "is_random_next", "b_doc_id", "n_a", "n_b"))
+    val side = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/epoch_1_metrics.json")), "UTF-8")
+    assert(side == s"""{"num_training_examples":$n1,"max_seq_len":128}""")
+  }
+}
