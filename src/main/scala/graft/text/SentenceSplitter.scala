@@ -44,11 +44,18 @@ object SentenceSplitter {
       while (s.nonEmpty && TextCore.isPunctuation(s.charAt(0)) && s.length > 1) {
         out += s.substring(0, 1); s = s.substring(1)
       }
-      // trailing punct (collect then reverse)
+      // trailing punct (collect then reverse); the dot stays ATTACHED on
+      // abbreviations and on ordinals ("12." — SoMaJo's ordinal token
+      // class keeps number+dot as one token), so the sentence splitter's
+      // numeric guard can see them
+      def keepDot(x: String): Boolean = x.charAt(x.length - 1) == '.' && {
+        val stem = x.dropRight(1)
+        abbrevs.contains(stem.toLowerCase) ||
+        (stem.nonEmpty && stem.forall(_.isDigit))
+      }
       val trail = scala.collection.mutable.ArrayBuffer.empty[String]
       while (s.nonEmpty && TextCore.isPunctuation(s.charAt(s.length - 1)) &&
-             !(s.charAt(s.length - 1) == '.' && abbrevs.contains(s.dropRight(1).toLowerCase)) &&
-             s.length > 1) {
+             !keepDot(s) && s.length > 1) {
         trail += s.substring(s.length - 1); s = s.dropRight(1)
       }
       if (s.nonEmpty) out ++= splitCamelCase(s)

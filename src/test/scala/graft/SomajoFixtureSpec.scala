@@ -1,0 +1,56 @@
+package graft
+
+import graft.text.SentenceSplitter
+import org.scalatest.funsuite.AnyFunSuite
+
+/** F7 fidelity fixture — hand-derived from the reference's SoMaJo usage
+  * (webapp/app.py:104-123: `Tokenizer(split_camel_case=True)` →
+  * `SentenceSplitter.split` → per-token `tok.replace(" ", "")` → drop
+  * empty sentences). Each case checks one behavior of that chain.
+  *
+  * Documented divergences vs full SoMaJo (approved in SURVEY §7: the GT
+  * corpora path arrives pre-tokenized, so raw-text fidelity is
+  * best-effort): SoMaJo's emoticon/URL/XML token classes are out of
+  * scope; the abbreviation list is the subset that appears in the
+  * historic-newspaper domain.
+  */
+class SomajoFixtureSpec extends AnyFunSuite {
+
+  test("camel-case words split like SoMaJo split_camel_case=True") {
+    assert(SentenceSplitter.splitCamelCase("EisenbahnGesellschaft") ==
+      Seq("Eisenbahn", "Gesellschaft"))
+    // all-caps and ordinary words stay whole
+    assert(SentenceSplitter.splitCamelCase("BERLIN") == Seq("BERLIN"))
+    assert(SentenceSplitter.splitCamelCase("Zeitung") == Seq("Zeitung"))
+    assert(SentenceSplitter.sentences("Die PreussischeStaatsbahn fuhr .")
+      .head.toSeq == Seq("Die", "Preussische", "Staatsbahn", "fuhr", "."))
+  }
+
+  test("abbreviations do not end sentences; punctuation detaches") {
+    val s = SentenceSplitter.sentences(
+      "Dr. Müller besuchte u.a. Berlin, Potsdam und Wien. Dann kam Prof. Schmidt.")
+    assert(s.length == 2)
+    assert(s(0).toSeq == Seq("Dr.", "Müller", "besuchte", "u.a.", "Berlin",
+      ",", "Potsdam", "und", "Wien", "."))
+    assert(s(1).toSeq == Seq("Dann", "kam", "Prof.", "Schmidt", "."))
+  }
+
+  test("numbers with trailing dot are not sentence ends (ordinal guard)") {
+    val s = SentenceSplitter.sentences("Am 12. Mai 1871 endete es! Neu begann es.")
+    assert(s.length == 2)
+    assert(s(0).toSeq ==
+      Seq("Am", "12.", "Mai", "1871", "endete", "es", "!"))
+  }
+
+  test("tokens never contain spaces; empty sentences are dropped (app.py:116-119)") {
+    val s = SentenceSplitter.sentences("  Ein Wort .  .  ")
+    assert(s.nonEmpty && s.forall(_.nonEmpty))
+    assert(s.flatten.forall(t => !t.contains(" ") && t.nonEmpty))
+  }
+
+  test("question/exclamation/colon-free flow keeps one sentence") {
+    val s = SentenceSplitter.sentences("Wien ist gross und Berlin ist alt")
+    assert(s.length == 1)
+    assert(s(0).toSeq == Seq("Wien", "ist", "gross", "und", "Berlin", "ist", "alt"))
+  }
+}
