@@ -63,6 +63,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("salt"), plan)
   }
 
+  test("minhash signatures/bands and simhash plans are shuffle-free") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = graft.ops.Dedup.minhashSignatures(docs)
+      .queryExecution.executedPlan.toString
+    assert(!sig.contains("Exchange"), s"minhash signatures shuffled:\n$sig")
+    val bands = graft.ops.Dedup.minhashBands(docs)
+      .queryExecution.executedPlan.toString
+    assert(!bands.contains("Exchange"), s"minhash bands shuffled:\n$bands")
+    val sim = graft.ops.Dedup.simhash(docs)
+      .queryExecution.executedPlan.toString
+    assert(!sim.contains("Exchange"), s"simhash shuffled:\n$sim")
+    // the whole MinHash-LSH path's ONLY exchange is the band-bucket join
+  }
+
   test("entry (KG pipeline) plan has no shuffle before the tagger stage") {
     val sents = graft.pipeline.KgPipeline.sentences(spark,
       graft.gen.CorpusGen.docs(spark, 10, parts = 2))
