@@ -176,6 +176,9 @@ object SparkEntry {
     "q32_ann_ivf_probe" -> ((s, dir) =>
       graft.ops.Ann.ivfTopK(t(s, dir, "embeddings"), k = 5, probes = 2)
         .orderBy("q_id", "rank")),
+    "q36_ann_recall" -> ((s, dir) =>
+      graft.ops.Ann.recallAtK(t(s, dir, "embeddings"), k = 5)
+        .orderBy("method", "q_id")),
     // ---- time-window aggregation (events) ----
     "q25_hourly" -> ((s, dir) =>
       t(s, dir, "events")
@@ -597,6 +600,73 @@ object SparkEntry {
         |   FROM scored)
         |SELECT q_id, rank, vec_id AS nn_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "q36_ann_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        | qx AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+        | scoredx AS (SELECT q_id, vec_id,
+        |   round(list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))), 6) AS cosine
+        |   FROM qx JOIN e ON q_id <> vec_id),
+        | rankedx AS (SELECT q_id, vec_id, cosine,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        |   FROM scoredx),
+        | exact AS (SELECT q_id, vec_id AS nn_id FROM rankedx WHERE rank <= 5),
+        | dims AS (SELECT vec_id, d-1 AS d0, v[d] AS x FROM e, range(1, 65) t(d)),
+        | proj AS (SELECT vec_id, p,
+        |   sum(((('0x'||substr(md5(p||'_'||d0),1,15))::BIGINT % 2001 + 2001) % 2001 - 1000) * x) AS proj
+        |   FROM dims, range(0,8) t(p) GROUP BY vec_id, p),
+        | buckets AS (SELECT vec_id,
+        |   sum(CASE WHEN proj >= 0 THEN 1::BIGINT << p::INT ELSE 0 END) AS bucket
+        |   FROM proj GROUP BY vec_id),
+        | eb AS (SELECT e.vec_id, v, bucket FROM e JOIN buckets ON e.vec_id = buckets.vec_id),
+        | qa AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM eb WHERE vec_id % 25 = 0),
+        | scoreda AS (SELECT q_id, eb.vec_id,
+        |   round(list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))), 6) AS cosine
+        |   FROM qa JOIN eb ON qb = bucket AND q_id <> eb.vec_id),
+        | rankeda AS (SELECT q_id, vec_id, cosine,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        |   FROM scoreda),
+        | approx_lsh AS (SELECT q_id, vec_id AS nn_id FROM rankeda WHERE rank <= 5),
+        | cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        | dots AS (SELECT e.vec_id, cent_id,
+        |   round(list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]), (x,y) -> x+y), 6) AS dot
+        |   FROM e, cents),
+        | assign AS (SELECT vec_id, cent_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cent_id ASC) AS rn
+        |   FROM dots),
+        | cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rn = 1),
+        | ec AS (SELECT e.vec_id, v, cell FROM e JOIN cells ON e.vec_id = cells.vec_id),
+        | qp AS (SELECT vec_id AS q_id, cent_id AS qc FROM assign
+        |        WHERE rn <= 2 AND vec_id % 25 = 0),
+        | qi AS (SELECT q_id, qc, v AS qv FROM qp JOIN e ON e.vec_id = q_id),
+        | scoredi AS (SELECT q_id, ec.vec_id,
+        |   round(list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))), 6) AS cosine
+        |   FROM qi JOIN ec ON qc = cell AND q_id <> ec.vec_id),
+        | rankedi AS (SELECT q_id, vec_id, cosine,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        |   FROM scoredi),
+        | approx_ivf AS (SELECT q_id, vec_id AS nn_id FROM rankedi WHERE rank <= 5),
+        | base AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id),
+        | hits_lsh AS (SELECT exact.q_id, count(*) AS n_hits
+        |   FROM exact JOIN approx_lsh ON exact.q_id = approx_lsh.q_id
+        |     AND exact.nn_id = approx_lsh.nn_id GROUP BY exact.q_id),
+        | hits_ivf AS (SELECT exact.q_id, count(*) AS n_hits
+        |   FROM exact JOIN approx_ivf ON exact.q_id = approx_ivf.q_id
+        |     AND exact.nn_id = approx_ivf.nn_id GROUP BY exact.q_id)
+        |SELECT 'lsh' AS method, base.q_id, coalesce(h.n_hits, 0) AS n_hits,
+        | round(coalesce(h.n_hits, 0)::DOUBLE / base.n_exact, 4) AS recall
+        |FROM base LEFT JOIN hits_lsh h ON base.q_id = h.q_id
+        |UNION ALL
+        |SELECT 'ivf_p2' AS method, base.q_id, coalesce(h.n_hits, 0) AS n_hits,
+        | round(coalesce(h.n_hits, 0)::DOUBLE / base.n_exact, 4) AS recall
+        |FROM base LEFT JOIN hits_ivf h ON base.q_id = h.q_id
+        |ORDER BY method, q_id""".stripMargin,
     "q25_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
         | event_type, count(*) AS n, round(sum(value), 4) AS total

@@ -162,4 +162,33 @@ object Ann {
   def lshTopK(emb: DataFrame, k: Int = 5, planes: Int = 8,
               queryMod: Int = 25): DataFrame =
     topK(scoredLsh(emb, planes, queryMod), k)
+
+  /** Per-query recall@k of an approximate result set against the exact
+    * baseline: one semi join on (q_id, nn_id) + per-query counts.
+    */
+  private def recallOf(exact: DataFrame, approx: DataFrame,
+                       method: String): DataFrame = {
+    val hits = exact.join(approx, Seq("q_id", "nn_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(lit(method).as("method"), col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / col("n_exact"), 4).as("recall"))
+  }
+
+  /** Recall@k of both scale paths (hyperplane LSH, multi-probe IVF)
+    * against the exact baseline — the evaluation loop a production ANN
+    * index is tuned with (planes/probes are recall dials; this measures
+    * them). One row per (method, query).
+    */
+  def recallAtK(emb: DataFrame, k: Int = 5, planes: Int = 8,
+                probes: Int = 2, queryMod: Int = 25): DataFrame = {
+    val exact = bruteTopK(emb, k, queryMod).select(col("q_id"), col("nn_id"))
+    recallOf(exact, lshTopK(emb, k, planes, queryMod)
+        .select(col("q_id"), col("nn_id")), "lsh")
+      .unionByName(recallOf(exact,
+        ivfTopK(emb, k, probes, queryMod = queryMod)
+          .select(col("q_id"), col("nn_id")), s"ivf_p$probes"))
+  }
 }

@@ -11,7 +11,7 @@ package graft.text
   * from the token stream, which is what makes word re-alignment
   * (webapp/app.py:221-317) an exact inverse.
   */
-final class Wordpiece(vocab: Set[String], maxInputCharsPerWord: Int = 100) extends Serializable {
+final class Wordpiece(vocab: Set[String]) extends Serializable {
 
   val unk = "[UNK]"
 
@@ -61,10 +61,13 @@ final class Wordpiece(vocab: Set[String], maxInputCharsPerWord: Int = 100) exten
     best
   }
 
-  /** Tokenize one already-basic-tokenized word into wordpieces. */
+  /** Tokenize one already-basic-tokenized word into wordpieces. The
+    * reference COMMENTED OUT both the >max_input_chars_per_word all-[UNK]
+    * shortcut and the is_bad whole-word-UNK path (tokenization.py:347-349,
+    * 373-376): every word, however long, runs the longest-match loop with
+    * per-char [UNK] fallback (:368) — matched here exactly.
+    */
   def tokenizeWord(word: String): Array[String] = {
-    if (word.length > maxInputCharsPerWord)
-      return word.map(_ => unk).toArray
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var start = 0
     while (start < word.length) {

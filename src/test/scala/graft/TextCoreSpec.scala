@@ -72,6 +72,14 @@ class WordpieceSpec extends AnyFunSuite {
     assert(wp.tokenizeWord("xab").map(wp.tokenLen).sum == 3)
   }
 
+  test("words beyond 100 chars tokenize normally (reference commented out the shortcut, tokenization.py:347-349)") {
+    val long = "ab" * 80 // 160 chars
+    val wp3 = new Wordpiece(Set("a", "##b", "##a"))
+    val toks = wp3.tokenizeWord(long)
+    assert(toks.length == 160 && !toks.contains("[UNK]"))
+    assert(toks.head == "a" && toks.tail.forall(_.startsWith("##")))
+  }
+
   test("default vocab covers all lowercase latin + digits") {
     val dv = Vocab.default
     for (w <- Seq("qwertzuiop", "donaudampfschiff", "x9y3"))
