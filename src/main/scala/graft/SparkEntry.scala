@@ -229,6 +229,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal resize / frame-sample plumbing ----
+    "q37_mm_resize" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.mediaTable(t(s, dir, "documents"))
+      graft.ops.Multimodal.resizePlan(
+        graft.ops.Multimodal.decodeFeatures(s, media).toDF()).orderBy("doc_id")
+    }),
+    "q38_mm_frames" -> ((s, dir) =>
+      graft.ops.Multimodal.frameSample(
+        graft.ops.Multimodal.mediaTable(t(s, dir, "documents")))
+        .orderBy("doc_id", "frame_idx")),
+
     // ---- KG pipeline stages: hash-compared against SEQUENTIAL golden
     //      replays of plant-time knowledge (graft.gen.Goldens), which the
     //      DuckDB oracle reads back via read_parquet ----
@@ -740,6 +751,22 @@ object SparkEntry {
         | 16 + (('0x'||substr(md5(text),3,2))::BIGINT & 63) AS height,
         | CAST(16 AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q37_mm_resize" ->
+      """WITH d AS (SELECT doc_id, 'img://'||doc_id AS media_ref,
+        |  16 + (('0x'||substr(md5(text),1,2))::BIGINT & 63) AS width,
+        |  16 + (('0x'||substr(md5(text),3,2))::BIGINT & 63) AS height
+        | FROM documents),
+        | s AS (SELECT *, least(64.0/width, 64.0/height) AS sc FROM d)
+        |SELECT doc_id, media_ref, width, height,
+        | CAST(floor(width*sc) AS BIGINT) AS out_w,
+        | CAST(floor(height*sc) AS BIGINT) AS out_h,
+        | round(sc, 6) AS scale
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q38_mm_frames" ->
+      """SELECT doc_id, 'img://'||doc_id AS media_ref,
+        | CAST(f AS BIGINT) AS frame_idx, CAST(f*40 AS BIGINT) AS ts_ms
+        |FROM (SELECT doc_id, unnest(range(0, 4, 2)) AS f FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // deterministic 4-corpus parser fixture — fully enumerated VALUES
     // oracle (semantics: conll.py:7-48, germeval.py:6-44,
     // europeana_historic.py:7-47, wikiner.py:6-45)

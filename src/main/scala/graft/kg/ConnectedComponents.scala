@@ -62,14 +62,27 @@ object ConnectedComponents {
     var e = edges.where(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
       .localCheckpoint()
-    var converged = e.isEmpty
+    // convergence = edge-set fixpoint, detected by an order-independent
+    // set signature (count + bit_xor of per-edge xxhash64 — xor cannot
+    // overflow under ANSI mode): ONE small aggregation per round instead
+    // of two exceptAll shuffles. Both edge sets are distinct, so
+    // count+xor equality identifies set equality up to a 2^-64-scale
+    // collision — and a false positive only ends the loop one round
+    // early on an already-star-shaped graph.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var eSig = sig(e)
+    var converged = eSig._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      val changed = next.exceptAll(e).limit(1)
-        .union(e.exceptAll(next).limit(1)).count()
-      converged = changed == 0
+      val nextSig = sig(next)
+      converged = nextSig == eSig
       e = next
+      eSig = nextSig
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")

@@ -62,4 +62,35 @@ object Multimodal {
         }
       }
   }
+
+  /** Resize plan: fit each decoded image into a target box preserving
+    * aspect ratio — the METADATA math is real (and oracle-checked); the
+    * pixel resample itself is the stubbed codec step. Pure column
+    * expressions over the decode output; floor() so both engines agree
+    * without .5-rounding hazards.
+    */
+  def resizePlan(features: DataFrame, box: Int = 64): DataFrame = {
+    val s = least(lit(box.toDouble) / col("width"),
+      lit(box.toDouble) / col("height"))
+    features.select(col("doc_id"), col("media_ref"),
+      col("width").cast("long").as("width"),
+      col("height").cast("long").as("height"),
+      floor(col("width") * s).cast("long").as("out_w"),
+      floor(col("height") * s).cast("long").as("out_h"),
+      round(s, 6).as("scale"))
+  }
+
+  /** Frame sampling for video-typed payloads: the payload is treated as
+    * frames of 4 bytes (stub codec), every `step`-th frame is emitted
+    * with its 25fps timestamp — the row fan-out shape of a real
+    * frame-sampler (explode of a bounded sequence; no shuffle).
+    */
+  def frameSample(media: DataFrame, step: Int = 2, fps: Int = 25): DataFrame = {
+    val frames = (length(col("payload")) / 4).cast("int")
+    media.select(col("doc_id"), col("media_ref"),
+        explode(sequence(lit(0), frames - 1, lit(step))).as("frame_idx"))
+      .select(col("doc_id"), col("media_ref"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * (1000 / fps)).cast("long").as("ts_ms"))
+  }
 }
