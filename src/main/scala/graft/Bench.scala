@@ -48,7 +48,9 @@ object Bench {
     // headline SQL queries (warm once to exclude first-touch JIT/IO noise)
     val headline = Seq("q01_agg", "q02_filter", "q03_join", "q06_window",
       "q11_grouped_topk", "q12_dedup_exact", "q13_token_count",
-      "q18_minhash_sig", "q20_simhash", "q23_ann_top1")
+      "q18_minhash_sig", "q20_simhash", "q23_ann_top1",
+      "q27_lsh_jaccard", "q33_dedup_clusters", "q34_mlm_pairs",
+      "q36_ann_recall")
     headline.foreach { q => SparkEntry.queries(q)(spark, sfDir).count() }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { q =>

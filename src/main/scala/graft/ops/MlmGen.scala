@@ -58,7 +58,12 @@ object MlmGen {
   def nspPairs(docs: DataFrame, maxA: Int = 64, maxB: Int = 63): DataFrame = {
     val c = cumStats(docs)
     val tot = c.agg(max("cum").as("total"))
+    // the reference refuses to run on a ≤1-doc corpus (:270-275 exits:
+    // negatives would have nowhere to sample from); the lazy analog drops
+    // rows whose sampling window is empty (total == n ⟺ single doc) —
+    // also keeps the modulus strictly positive under ANSI mode
     val q = c.crossJoin(broadcast(tot))
+      .where(col("total") > col("n"))
       .withColumn("is_random_next",
         hexInt(concat(col("doc_id"), lit("_nsp"))) % 2 === 0)
       .withColumn("sent_idx",

@@ -31,6 +31,11 @@ class MlmSpec extends AnyFunSuite {
     assert(negs.length > a.length / 4 && negs.length < 3 * a.length / 4)
   }
 
+  test("single-doc corpus yields no NSP instances (reference exits on <=1 doc, :270-275)") {
+    val one = docs.limit(1)
+    assert(MlmGen.nspPairs(one).count() == 0)
+  }
+
   test("masking: num_to_mask = min(20, max(1, round(0.15·len))) per doc; 80/10/10 shape") {
     val masks = MlmGen.maskedLm(docs)
     val perDoc = masks.groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
