@@ -82,7 +82,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     saltedRun() // warm
-    results("kg_pipeline_salted") = (1 to 2).map(_ => saltedRun()).min
+    results("kg_pipeline_salted") = (1 to 2).map { _ =>
+      // each salted run persists its detect stage; drop stale cache
+      // entries between measurements so they don't accumulate
+      spark.catalog.clearCache()
+      saltedRun()
+    }.min
     // detect stage under real per-window FLOPs (dense stub model)
     def denseRun(): Double = {
       val t0 = System.nanoTime()

@@ -76,8 +76,8 @@ object ScalingBench {
            |local[${b("cpus").toInt}] = $eff2%.3f. Context: this shared VM's
            |sustained per-thread throughput degrades above ~16 threads and
            |varies with host load — a PURE whole-stage-codegen job
-           |(spark.range + hash + sum; graft.CpuProbe) measured ≈0.50
-           |efficiency for 8→32 at calibration time, so the 8→32 number is
+           |(spark.range + hash + sum; graft.CpuProbe) measured 0.50-0.56
+           |efficiency for 8→32 across calibrations, so the 8→32 number is
            |host-bound, not job-bound. The N=${a("cpus").toInt} vs
            |4N=${b("cpus").toInt} pair sits inside the host's linear range
            |and is the meaningful cluster-scaling analog.""".stripMargin

@@ -17,6 +17,17 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
 
+  /** Streaming twin of [[exact]]: watermark-bounded first-wins dedup on
+    * the content hash (`dropDuplicatesWithinWatermark` keeps per-hash
+    * state only inside the watermark window — bounded state at an
+    * unbounded ingest rate, the property a 100 TB/day stream needs).
+    * Input must carry an event-time `ts` column.
+    */
+  def streamingExact(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs.select(col("doc_id"), col("ts"), md5(col("text")).as("content_hash"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Shared MinHash kernel: per-doc signature (all bands×rows mins over
     * word-3-gram shingles) in ONE pass over the document — zero row
     * fan-out, zero shuffle. A tight typed mapPartitions rather than

@@ -75,6 +75,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming exact dedup: duplicates across micro-batches collapse within the watermark") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sdedup").toString
+    // 30 docs, every text duplicated under two doc ids, spread over 2 files
+    val base = spark.range(0, 30)
+      .select(col("id").as("doc_id"),
+        concat(lit("text_"), col("id") % 15).as("text"),
+        to_timestamp(lit("2026-01-01 10:00:00")).as("ts"))
+    base.where($"doc_id" < 15).write.parquet(s"$dir/in/b0")
+    base.where($"doc_id" >= 15).write.parquet(s"$dir/in/b1")
+    val schema = spark.read.parquet(s"$dir/in/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(s"$dir/in/*")
+    val q = graft.ops.Dedup.streamingExact(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.sql("SELECT content_hash, count(*) n FROM sdedup GROUP BY 1")
+      .collect()
+    assert(out.length == 15, s"expected 15 unique hashes, got ${out.length}")
+    assert(out.forall(_.getLong(1) == 1L), "a duplicate survived dedup")
+    spark.sql("DROP TABLE IF EXISTS sdedup")
+  }
+
   test("streaming windowed aggregation with watermark (events)") {
     // stream source must be a directory
     val evDir = Files.createTempDirectory("graft_events").toString
