@@ -229,6 +229,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- deterministic KMV distinct-count sketch ----
+    "q39_kmv_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.kmvDistinct(t(s, dir, "documents"), k = 16)
+        .orderBy("source")),
     // ---- multimodal resize / frame-sample plumbing ----
     "q37_mm_resize" -> ((s, dir) => {
       val media = graft.ops.Multimodal.mediaTable(t(s, dir, "documents"))
@@ -281,8 +285,10 @@ object SparkEntry {
       graft.gen.Goldens.writeLinked(s, 300)
       val docs = CorpusGen.docs(s, 300, parts = 8)
       val sents = KgPipeline.sentences(s, docs)
+      // persisted: skew inference (sampled action) and the join itself
+      // both consume the detect stage — without the cache it runs twice
       val mentions = KgPipeline.detectMentions(s, sents,
-        new graft.tag.GazetteerTagger(KgPipeline.defaultGazetteer))
+        new graft.tag.GazetteerTagger(KgPipeline.defaultGazetteer)).persist()
       graft.kg.Linker.linkSaltedJoin(s, mentions, CorpusGen.aliases(s)).toDF()
         .orderBy("doc_id", "span_offset", "surface")
     }),
@@ -751,6 +757,21 @@ object SparkEntry {
         | 16 + (('0x'||substr(md5(text),3,2))::BIGINT & 63) AS height,
         | CAST(16 AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q39_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT source,
+        |   ('0x'||substr(md5(text),1,15))::BIGINT AS h FROM documents),
+        | kmin AS (SELECT source, max(h) AS hk, count(*) AS n_kept FROM (
+        |   SELECT source, h,
+        |     row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |   FROM h) WHERE rn <= 16 GROUP BY source),
+        | ex AS (SELECT source, count(DISTINCT text) AS exact_distinct
+        |   FROM documents GROUP BY source)
+        |SELECT kmin.source, ex.exact_distinct,
+        | CASE WHEN n_kept < 16 THEN n_kept
+        |      ELSE CAST(floor(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
+        | END AS kmv_estimate
+        |FROM kmin JOIN ex ON kmin.source = ex.source
+        |ORDER BY kmin.source""".stripMargin,
     "q37_mm_resize" ->
       """WITH d AS (SELECT doc_id, 'img://'||doc_id AS media_ref,
         |  16 + (('0x'||substr(md5(text),1,2))::BIGINT & 63) AS width,

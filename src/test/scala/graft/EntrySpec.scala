@@ -25,4 +25,9 @@ class EntrySpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle keys without queries: $missing")
   }
+
+  test("every query has an oracle (no rows-only checks left)") {
+    val unproven = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unproven.isEmpty, s"queries without a DuckDB oracle: $unproven")
+  }
 }
