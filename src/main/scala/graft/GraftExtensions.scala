@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extensions injector — the production deployment route for the
+  * engine's native Catalyst pieces: a cluster sets
+  * `spark.sql.extensions=graft.GraftExtensions` and every session gets
+  * `normalize_surface` as a REAL function (codegen'd
+  * [[graft.kg.NormalizeSurfaceExpr]]) without any runtime register call.
+  * The same hook is where a custom `Rule[LogicalPlan]` or `SparkStrategy`
+  * would be injected if an operator ever outgrows what the DataFrame API
+  * can express (none has: the engine's custom semantics live in one
+  * native expression + typed mapPartitions stages).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(graft.kg.NormalizeSurface.fnName),
+      new ExpressionInfo(classOf[graft.kg.NormalizeSurfaceExpr].getName,
+        graft.kg.NormalizeSurface.fnName),
+      (exprs: Seq[Expression]) => graft.kg.NormalizeSurfaceExpr(exprs.head)))
+  }
+}

@@ -59,4 +59,46 @@ object Sessionize {
           next
       }
   }
+
+  case class TimedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class OpenSession(start: Long, last: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: Long,
+                           session_end: Long, n_events: Long)
+
+  /** Streaming gap sessionization via `flatMapGroupsWithState` — the
+    * custom-state operator that the batch window chain (q26) cannot
+    * express incrementally. A session CLOSES when a later event of the
+    * same user arrives more than `gapSeconds` after it (closure by
+    * successor); the per-user state is exactly one open session, bounded
+    * regardless of stream length. The still-open tail session stays in
+    * state (a production run adds EventTimeTimeout to flush idle users on
+    * watermark advance; same callback, one more branch).
+    */
+  def gapSessions(spark: SparkSession, events: Dataset[TimedEvent],
+                  gapSeconds: Long = 1800): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, it, state: GroupState[OpenSession]) =>
+          // within one micro-batch the iterator is unordered
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var cur = state.getOption
+          evs.foreach { e =>
+            val t = e.ts.getTime / 1000
+            cur match {
+              case Some(s) if t - s.last > gapSeconds =>
+                closed += ClosedSession(user, s.start, s.last, s.n)
+                cur = Some(OpenSession(t, t, 1))
+              case Some(s) =>
+                cur = Some(OpenSession(s.start, t, s.n + 1))
+              case None =>
+                cur = Some(OpenSession(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
 }

@@ -126,6 +126,51 @@ class StatefulStreamSpec extends AnyFunSuite {
   import spark.implicits._
   import graft.ops.Sessionize
 
+  test("flatMapGroupsWithState gap sessions match the batch sessionizer for closed sessions") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_fsess").toString
+    def ev(user: Long, id: Long, minute: Long) =
+      (user, id, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2026, 1, 1, 10, 0).plusMinutes(minute)))
+    // two users, two sessions each; session 2 starts > 30min after
+    // session 1's last event and arrives in a LATER micro-batch
+    val b0 = Seq(ev(1, 1, 0), ev(1, 2, 5), ev(2, 10, 0))
+    val b1 = Seq(ev(1, 3, 60), ev(1, 4, 62), ev(2, 11, 90))
+    val sch = spark.createDataset(b0).toDF("user_id", "event_id", "ts").schema
+    // one part-file per batch: maxFilesPerTrigger=1 must see b0 whole,
+    // then b1 whole (closure-by-successor assumes per-user event-time
+    // order ACROSS batches, like a log-compacted ingest)
+    spark.createDataset(b0).toDF("user_id", "event_id", "ts")
+      .coalesce(1).write.parquet(s"$dir/in/b0")
+    Thread.sleep(1100) // distinct mod times: file source orders by them
+    spark.createDataset(b1).toDF("user_id", "event_id", "ts")
+      .coalesce(1).write.parquet(s"$dir/in/b1")
+    val stream = spark.readStream.schema(sch)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1) // keep the batches separate
+      .parquet(s"$dir/in/*").as[Sessionize.TimedEvent]
+    val q = Sessionize.gapSessions(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fsess")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT user_id, session_start, session_end, n_events FROM fsess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch truth: all sessions except each user's LAST (still open)
+    val all = spark.createDataset(b0 ++ b1).toDF("user_id", "event_id", "ts")
+    val batch = Sessionize.sessions(all)
+      .withColumn("rk", org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(desc("session_id")) match {
+          case w => row_number().over(w)
+        })
+      .where(col("rk") > 1)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty, s"streamed=$streamed batch=$batch")
+    spark.sql("DROP TABLE IF EXISTS fsess")
+  }
+
   test("mapGroupsWithState running counts match batch aggregation") {
     val dir = Files.createTempDirectory("graft_state").toString
     val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
