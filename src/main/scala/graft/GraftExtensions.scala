@@ -21,5 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.kg.NormalizeSurfaceExpr].getName,
         graft.kg.NormalizeSurface.fnName),
       (exprs: Seq[Expression]) => graft.kg.NormalizeSurfaceExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine6"),
+      new ExpressionInfo(classOf[graft.ops.Cosine6Expr].getName, "cosine6"),
+      (exprs: Seq[Expression]) => graft.ops.Cosine6Expr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot6"),
+      new ExpressionInfo(classOf[graft.ops.Dot6Expr].getName, "dot6"),
+      (exprs: Seq[Expression]) => graft.ops.Dot6Expr(exprs(0), exprs(1))))
   }
 }

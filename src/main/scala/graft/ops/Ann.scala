@@ -28,11 +28,12 @@ object Ann {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Rounded cosine over (qv, v) — rounding BEFORE ranking so ties break
-    * identically across engines (then by vec_id).
+    * identically across engines (then by vec_id). Runs through the
+    * native codegen'd [[Cosine6Expr]]; bit-identical to the HOF
+    * `round(dot/(sqrt·sqrt), 6)` form (parity asserted in OpsSpec).
     */
-  private def cosine6: Column =
-    round(dot(col("qv"), col("v")) /
-      (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))), 6)
+  private def cosine6(spark: org.apache.spark.sql.SparkSession): Column =
+    AnnKernels.cosine6Col(spark, col("qv"), col("v"))
 
   /** Per-query top-1 of a scored candidate set. */
   private def top1(scored: DataFrame): DataFrame = {
@@ -58,7 +59,7 @@ object Ann {
     val q = e.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     broadcast(q).join(e, col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), cosine6.as("cosine"))
+      .select(col("q_id"), col("vec_id"), cosine6(emb.sparkSession).as("cosine"))
   }
 
   /** Exact cosine top-1 neighbor for each query vector
@@ -106,7 +107,7 @@ object Ann {
     e.join(broadcast(cents))
       .select(col("vec_id"),
         col("cent_id"),
-        round(dot(col("v"), col("cv")), 6).as("dot"))
+        AnnKernels.dot6Col(emb.sparkSession, col("v"), col("cv")).as("dot"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= probes)
       .select(col("vec_id"), col("cent_id").as("cell"), col("rn"))
@@ -131,7 +132,7 @@ object Ann {
     val q = qCells.join(
       emb.select(col("vec_id").as("q_id"), vcol.as("qv")), "q_id")
     q.join(e, col("qc") === col("cell") && col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), cosine6.as("cosine"))
+      .select(col("q_id"), col("vec_id"), cosine6(emb.sparkSession).as("cosine"))
   }
 
   /** Cell-restricted cosine top-1 (probe = 1). */
@@ -151,7 +152,7 @@ object Ann {
     val q = e.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
     q.join(e, col("qb") === col("bucket") && col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), cosine6.as("cosine"))
+      .select(col("q_id"), col("vec_id"), cosine6(emb.sparkSession).as("cosine"))
   }
 
   /** Bucketed cosine top-1: exact search restricted to the LSH bucket. */

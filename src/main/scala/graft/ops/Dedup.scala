@@ -216,19 +216,17 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicates among a bounded candidate window
-    * (same label — the pre-clustered analog of an LSH bucket).
+    * (same label — the pre-clustered analog of an LSH bucket). Cosine
+    * runs through the native codegen'd kernel ([[Cosine6Expr]]).
     */
   def embeddingNearDup(emb: DataFrame, minCos: Double = 0.9): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val pairs = e.as("a").join(e.as("b"),
       col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
     pairs.select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dot(col("a.v"), col("b.v")) /
-          (sqrt(dot(col("a.v"), col("a.v"))) * sqrt(dot(col("b.v"), col("b.v")))), 6)
+        AnnKernels.cosine6Col(emb.sparkSession, col("a.v"), col("b.v"))
           .as("cosine"))
       .where(col("cosine") >= minCos)
   }

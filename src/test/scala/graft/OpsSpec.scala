@@ -147,3 +147,35 @@ class RelationsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r2.map(_._2) == Seq("founded_in"))
   }
 }
+
+/** Native vector kernels: bit parity with the HOF formulation + codegen. */
+class AnnKernelSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import org.apache.spark.sql.functions._
+
+  test("cosine6/dot6 match the aggregate(zip_with) HOF form bit-for-bit over real data") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pairs = e.as("a").join(e.as("b"),
+      col("a.vec_id") % 7 === col("b.vec_id") % 7 && col("a.vec_id") < col("b.vec_id"))
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val both = pairs.select(
+      graft.ops.AnnKernels.cosine6Col(spark, col("a.v"), col("b.v")).as("native"),
+      round(hofDot(col("a.v"), col("b.v")) /
+        (sqrt(hofDot(col("a.v"), col("a.v"))) * sqrt(hofDot(col("b.v"), col("b.v")))), 6)
+        .as("hof"),
+      graft.ops.AnnKernels.dot6Col(spark, col("a.v"), col("b.v")).as("nativeDot"),
+      round(hofDot(col("a.v"), col("b.v")), 6).as("hofDot"))
+    val bad = both.where(col("native") =!= col("hof") ||
+      col("nativeDot") =!= col("hofDot")).count()
+    assert(bad == 0)
+    assert(both.count() > 100)
+    // the kernel stays inside whole-stage codegen
+    both.collect()
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("cosine6"), plan)
+    assert(plan.contains("*("), plan)
+  }
+}
