@@ -56,11 +56,13 @@ object ConnectedComponents {
     * Returns (node, component) with component = min node id reachable.
     */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
-    var e = edges.where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
+    // materialize the edge pipeline ONCE — nodes and the iteration both
+    // read the checkpoint instead of recomputing the (possibly expensive,
+    // e.g. LSH-candidate) upstream plan twice
+    val base = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = base.select(col("src").as("node"))
+      .union(base.select(col("dst").as("node"))).distinct()
+    var e = base.where(col("src") =!= col("dst")).distinct()
       .localCheckpoint()
     // convergence = edge-set fixpoint, detected by an order-independent
     // set signature (count + bit_xor of per-edge xxhash64 — xor cannot
