@@ -229,6 +229,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- BPE-ish regex token counting (whitespace twin: q13) ----
+    "q40_token_bpe" -> ((s, dir) =>
+      graft.ops.TextOps.bpeTokenCount(t(s, dir, "documents")).orderBy("doc_id")),
     // ---- deterministic KMV distinct-count sketch ----
     "q39_kmv_distinct" -> ((s, dir) =>
       graft.ops.Sketches.kmvDistinct(t(s, dir, "documents"), k = 16)
@@ -422,6 +425,19 @@ object SparkEntry {
         | round(length(regexp_replace(text,'[^a-zA-Z]','','g'))::DOUBLE / length(text), 6) AS alpha_ratio,
         | round(length(regexp_replace(text,'[^0-9]','','g'))::DOUBLE / length(text), 6) AS digit_ratio,
         | round((length(text)::DOUBLE - len(str_split(text,' ')) + 1) / len(str_split(text,' ')), 6) AS mean_token_len,
+        | round((len(list_filter(str_split(text,' '), w -> w = 'the'))
+        |  + len(list_filter(str_split(text,' '), w -> w = 'and'))
+        |  + len(list_filter(str_split(text,' '), w -> w = 'is'))
+        |  + len(list_filter(str_split(text,' '), w -> w = 'of'))
+        |  + len(list_filter(str_split(text,' '), w -> w = 'to'))
+        |  + len(list_filter(str_split(text,' '), w -> w = 'in'))
+        |  + len(list_filter(str_split(text,' '), w -> w = 'der'))
+        |  + len(list_filter(str_split(text,' '), w -> w = 'die'))
+        |  + len(list_filter(str_split(text,' '), w -> w = 'das'))
+        |  + len(list_filter(str_split(text,' '), w -> w = 'und'))
+        |  + len(list_filter(str_split(text,' '), w -> w = 'ist'))
+        |  + len(list_filter(str_split(text,' '), w -> w = 'ein')))::DOUBLE
+        |   / len(str_split(text,' ')), 6) AS stopword_ratio,
         | round(length(regexp_replace(text,'[^a-zA-Z]','','g'))::DOUBLE / length(text)
         |   * least(len(str_split(text,' '))::DOUBLE / 50.0, 1.0), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -756,6 +772,10 @@ object SparkEntry {
         | 16 + (('0x'||substr(md5(text),1,2))::BIGINT & 63) AS width,
         | 16 + (('0x'||substr(md5(text),3,2))::BIGINT & 63) AS height,
         | CAST(16 AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q40_token_bpe" ->
+      """SELECT doc_id, len(str_split(text,' ')) AS n_ws_tokens,
+        | len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q39_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT source,

@@ -46,22 +46,44 @@ object TextOps {
         .otherwise("es").as("lang_pred"))
   }
 
-  /** Quality scoring: length/alpha/digit/whitespace ratios + mean token
-    * length (rounded for cross-engine float stability).
+  /** Stopword list shared with the DuckDB oracle (en + de heads). */
+  val stopwords: Seq[String] = Seq(
+    "the", "and", "is", "of", "to", "in",
+    "der", "die", "das", "und", "ist", "ein")
+
+  /** Quality scoring: length/alpha/digit ratios, mean token length, and
+    * the stopword ratio (rounded for cross-engine float stability).
     */
   def qualityScore(docs: DataFrame): DataFrame = {
     val nChars = length(col("text")).cast("double")
     val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
     val nDigit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
     val nTokens = size(split(col("text"), " ")).cast("double")
+    val nStop = stopwords.map(w => wordCount(col("text"), w)).reduce(_ + _)
+      .cast("double")
     docs.select(
       col("doc_id"),
       nChars.cast("long").as("n_chars_obs"),
       round(nAlpha / nChars, 6).as("alpha_ratio"),
       round(nDigit / nChars, 6).as("digit_ratio"),
       round((nChars - nTokens + 1) / nTokens, 6).as("mean_token_len"),
+      round(nStop / nTokens, 6).as("stopword_ratio"),
       round(nAlpha / nChars * least(nTokens / lit(50.0), lit(1.0)), 6).as("quality"))
   }
+
+  /** BPE-ish token counting: a GPT-2-style pre-tokenizer regex (leading-
+    * space word / number / punctuation runs) counted via
+    * regexp_extract_all — the whitespace count's subword-aware sibling.
+    * Restricted to ASCII classes so the Java and RE2 (DuckDB) engines
+    * agree.
+    */
+  val bpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def bpeTokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
 
   /** Word-3-gram shingles of a text column (slice is 1-based; DuckDB twin
     * uses 1-based list slicing over the same index range).
