@@ -179,6 +179,9 @@ object SparkEntry {
     "q36_ann_recall" -> ((s, dir) =>
       graft.ops.Ann.recallAtK(t(s, dir, "embeddings"), k = 5)
         .orderBy("method", "q_id")),
+    "q41_ann_lsh_multi" -> ((s, dir) =>
+      graft.ops.Ann.lshTopKMulti(t(s, dir, "embeddings"), k = 5)
+        .orderBy("q_id", "rank")),
     // ---- time-window aggregation (events) ----
     "q25_hourly" -> ((s, dir) =>
       t(s, dir, "events")
@@ -633,6 +636,31 @@ object SparkEntry {
         |   FROM scored)
         |SELECT q_id, rank, vec_id AS nn_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "q41_ann_lsh_multi" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        | dims AS (SELECT vec_id, d-1 AS d0, v[d] AS x FROM e, range(1, 65) t(d)),
+        | proj AS (SELECT vec_id, g,
+        |   sum(((('0x'||substr(md5(g||'_'||d0),1,15))::BIGINT % 2001 + 2001) % 2001 - 1000) * x) AS proj
+        |   FROM dims, range(0,16) t(g) GROUP BY vec_id, g),
+        | buckets AS (SELECT vec_id, (g//4)::INT AS tbl,
+        |   sum(CASE WHEN proj >= 0 THEN 1::BIGINT << (g % 4)::INT ELSE 0 END) AS bucket
+        |   FROM proj GROUP BY vec_id, g//4),
+        | qb AS (SELECT vec_id AS q_id, tbl, bucket FROM buckets WHERE vec_id % 25 = 0),
+        | cand AS (SELECT DISTINCT q_id, b.vec_id
+        |   FROM qb JOIN buckets b ON qb.tbl = b.tbl AND qb.bucket = b.bucket
+        |   WHERE q_id <> b.vec_id),
+        | scored AS (SELECT q_id, cand.vec_id,
+        |   round(list_reduce(list_transform(range(1, len(qe.v)+1), i -> qe.v[i]*ce.v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(qe.v, x -> x*x), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(ce.v, x -> x*x), (x,y) -> x+y))), 6) AS cosine
+        |   FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+        |             JOIN e ce ON ce.vec_id = cand.vec_id),
+        | ranked AS (SELECT q_id, vec_id, cosine,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        |   FROM scored)
+        |SELECT q_id, rank, vec_id AS nn_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "q36_ann_recall" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
         |           FROM embeddings),
@@ -685,13 +713,36 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
         |   FROM scoredi),
         | approx_ivf AS (SELECT q_id, vec_id AS nn_id FROM rankedi WHERE rank <= 5),
+        | projm AS (SELECT vec_id, g,
+        |   sum(((('0x'||substr(md5(g||'_'||d0),1,15))::BIGINT % 2001 + 2001) % 2001 - 1000) * x) AS proj
+        |   FROM dims, range(0,16) t(g) GROUP BY vec_id, g),
+        | bucketsm AS (SELECT vec_id, (g//4)::INT AS tbl,
+        |   sum(CASE WHEN proj >= 0 THEN 1::BIGINT << (g % 4)::INT ELSE 0 END) AS bucket
+        |   FROM projm GROUP BY vec_id, g//4),
+        | qbm AS (SELECT vec_id AS q_id, tbl, bucket FROM bucketsm WHERE vec_id % 25 = 0),
+        | candm AS (SELECT DISTINCT q_id, b.vec_id
+        |   FROM qbm JOIN bucketsm b ON qbm.tbl = b.tbl AND qbm.bucket = b.bucket
+        |   WHERE q_id <> b.vec_id),
+        | scoredm AS (SELECT q_id, candm.vec_id,
+        |   round(list_reduce(list_transform(range(1, len(qe.v)+1), i -> qe.v[i]*ce.v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(qe.v, x -> x*x), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(ce.v, x -> x*x), (x,y) -> x+y))), 6) AS cosine
+        |   FROM candm JOIN e qe ON qe.vec_id = candm.q_id
+        |              JOIN e ce ON ce.vec_id = candm.vec_id),
+        | rankedm AS (SELECT q_id, vec_id, cosine,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        |   FROM scoredm),
+        | approx_multi AS (SELECT q_id, vec_id AS nn_id FROM rankedm WHERE rank <= 5),
         | base AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id),
         | hits_lsh AS (SELECT exact.q_id, count(*) AS n_hits
         |   FROM exact JOIN approx_lsh ON exact.q_id = approx_lsh.q_id
         |     AND exact.nn_id = approx_lsh.nn_id GROUP BY exact.q_id),
         | hits_ivf AS (SELECT exact.q_id, count(*) AS n_hits
         |   FROM exact JOIN approx_ivf ON exact.q_id = approx_ivf.q_id
-        |     AND exact.nn_id = approx_ivf.nn_id GROUP BY exact.q_id)
+        |     AND exact.nn_id = approx_ivf.nn_id GROUP BY exact.q_id),
+        | hits_multi AS (SELECT exact.q_id, count(*) AS n_hits
+        |   FROM exact JOIN approx_multi ON exact.q_id = approx_multi.q_id
+        |     AND exact.nn_id = approx_multi.nn_id GROUP BY exact.q_id)
         |SELECT 'lsh' AS method, base.q_id, coalesce(h.n_hits, 0) AS n_hits,
         | round(coalesce(h.n_hits, 0)::DOUBLE / base.n_exact, 4) AS recall
         |FROM base LEFT JOIN hits_lsh h ON base.q_id = h.q_id
@@ -699,6 +750,10 @@ object SparkEntry {
         |SELECT 'ivf_p2' AS method, base.q_id, coalesce(h.n_hits, 0) AS n_hits,
         | round(coalesce(h.n_hits, 0)::DOUBLE / base.n_exact, 4) AS recall
         |FROM base LEFT JOIN hits_ivf h ON base.q_id = h.q_id
+        |UNION ALL
+        |SELECT 'lsh_multi' AS method, base.q_id, coalesce(h.n_hits, 0) AS n_hits,
+        | round(coalesce(h.n_hits, 0)::DOUBLE / base.n_exact, 4) AS recall
+        |FROM base LEFT JOIN hits_multi h ON base.q_id = h.q_id
         |ORDER BY method, q_id""".stripMargin,
     "q25_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,

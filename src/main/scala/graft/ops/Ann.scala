@@ -164,6 +164,49 @@ object Ann {
               queryMod: Int = 25): DataFrame =
     topK(scoredLsh(emb, planes, queryMod), k)
 
+  /** Multi-table LSH buckets: `tables` independent hash tables of
+    * `planes` hyperplanes each (global plane index g = tbl·planes + p,
+    * coefficients md5-seeded exactly like the single-table variant).
+    * Fewer planes per table → wider buckets; OR-ing tables → recall
+    * grows with T while each probe stays cheap — the standard
+    * recall/cost dial of hyperplane LSH.
+    */
+  def lshBucketsMulti(emb: DataFrame, planes: Int = 4, tables: Int = 4): DataFrame = {
+    val ng = planes * tables
+    val byDim = emb.select(col("vec_id"),
+        posexplode(transform(col("embedding"), x => x.cast("double"))))
+      .withColumnRenamed("pos", "d0")
+      .withColumn("g", explode(sequence(lit(0), lit(ng - 1))))
+    val coef = (pmod(hexInt(concat(col("g"), lit("_"), col("d0"))), lit(2001)) - 1000)
+    val sums = byDim
+      .groupBy("vec_id", "g")
+      .agg(sum(coef * col("col")).as("proj"))
+    sums.groupBy(col("vec_id"), floor(col("g") / planes).cast("int").as("tbl"))
+      .agg(sum(when(col("proj") >= 0,
+        expr(s"shiftleft(1L, cast(g % $planes as int))")).otherwise(0L))
+        .as("bucket"))
+  }
+
+  /** Multi-table LSH top-k: candidates = union of same-bucket matches
+    * over all tables (dedup'd), then exact cosine rank — recall rises
+    * with `tables` without widening any single bucket join.
+    */
+  def lshTopKMulti(emb: DataFrame, k: Int = 5, planes: Int = 4,
+                   tables: Int = 4, queryMod: Int = 25): DataFrame = {
+    val b = lshBucketsMulti(emb, planes, tables)
+    val e = emb.select(col("vec_id"), vcol.as("v"))
+    val qb = b.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val cands = qb.join(b.withColumnRenamed("vec_id", "c_id"), Seq("tbl", "bucket"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id").as("vec_id")).distinct()
+    val scored = cands
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e, "vec_id")
+      .select(col("q_id"), col("vec_id"), cosine6(emb.sparkSession).as("cosine"))
+    topK(scored, k)
+  }
+
   /** Per-query recall@k of an approximate result set against the exact
     * baseline: one semi join on (q_id, nn_id) + per-query counts.
     */
@@ -191,5 +234,8 @@ object Ann {
       .unionByName(recallOf(exact,
         ivfTopK(emb, k, probes, queryMod = queryMod)
           .select(col("q_id"), col("nn_id")), s"ivf_p$probes"))
+      .unionByName(recallOf(exact,
+        lshTopKMulti(emb, k, queryMod = queryMod)
+          .select(col("q_id"), col("nn_id")), "lsh_multi"))
   }
 }

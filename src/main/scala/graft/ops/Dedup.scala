@@ -133,25 +133,25 @@ object Dedup {
     * candidate pairs — O(candidates) instead of the O(n²)-per-source
     * self-join of [[ngramJaccardPairs]]. This is the composition a 100 TB
     * corpus requires: shingle → minhash → band-bucket join → verify.
+    *
+    * The verify step carries each doc's DISTINCT shingle set as ONE array
+    * row (no shingle explode, no (doc, shingle) shuffle): two equi-joins
+    * attach the sets to the candidate pairs and `array_intersect` counts
+    * the overlap per pair — shuffle volume is O(candidates · set size),
+    * not O(corpus shingles).
     */
   def lshJaccardPairs(docs: DataFrame, bands: Int = 4, rows: Int = 2,
                       minJaccard: Double = 0.0): DataFrame = {
     val cand = minhashPairs(docs, bands, rows)
-    val sh = docs.select(col("doc_id"),
-      explode(TextOps.shingles3(col("text"))).as("shingle")).distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("shingle", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("shingle", "sh_b"), "doc_b")
-      .where(col("sh_a") === col("sh_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sz", "sz_b"), "doc_b")
+    val sets = docs.select(col("doc_id"),
+        array_distinct(TextOps.shingles3(col("text"))).as("shs"))
+      .where(size(col("shs")) > 0)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
+        size(col("sh_a")).as("sz_a"), size(col("sh_b")).as("sz_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6)
           .as("jaccard"))
