@@ -29,33 +29,103 @@ import TextOps.hexInt
   * deterministically from the back (:86-101 flips a coin per removed
   * token).
   *
-  * Scale note: the cumulative sum and searchsorted run through a global
-  * ordered window here (exactly replayable in SQL). At 10^12 docs the
-  * same algebra runs as a range-partitioned prefix scan: per-partition
-  * partial sums, a tiny driver-side offset table, then the same
-  * rank-by-(value, kind) merge co-partitioned on value ranges — the
-  * standard distributed searchsorted. The draws themselves stay pure
-  * column expressions either way.
+  * Scale note: the cumulative sum AND the searchsorted both run as
+  * range-partitioned two-pass prefix scans (per-partition partials → a
+  * tiny O(partitions) driver collect → broadcast offsets → per-partition
+  * running state) — no global single-partition window anywhere, so the
+  * sampler scales with the cluster. The SQL oracle replays the same
+  * algebra as ordered windows; results are identical (hash-checked).
   */
 object MlmGen {
 
-  /** Per-doc stats + 0-based index + inclusive cumulative token count. */
+  /** Per-doc stats + 0-based index + inclusive cumulative token count,
+    * as a RANGE-PARTITIONED prefix scan (same two-pass shape as
+    * [[searchSorted]]: per-partition partials → broadcast offsets →
+    * per-partition running state). A global ordered window would funnel
+    * the whole corpus through one partition; this form scales with the
+    * cluster.
+    */
   private def cumStats(docs: DataFrame): DataFrame = {
-    val w = Window.orderBy("doc_id")
-    docs.select(col("doc_id"),
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    val ranged = docs
+      .select(col("doc_id").cast("long"),
         size(split(col("text"), " ")).cast("long").as("n"))
-      .withColumn("idx", row_number().over(w).cast("long") - 1)
-      .withColumn("cum", sum("n").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .localCheckpoint()
+    val perPart = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cnt = 0L; var sum = 0L
+      it.foreach { case (_, n) => cnt += 1; sum += n }
+      Iterator.single((pid, cnt, sum))
+    }.collect().sortBy(_._1)
+    val idxOff = spark.sparkContext.broadcast(
+      perPart.map(_._2).scanLeft(0L)(_ + _))
+    val cumOff = spark.sparkContext.broadcast(
+      perPart.map(_._3).scanLeft(0L)(_ + _))
+    ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var idx = idxOff.value(pid)
+      var cum = cumOff.value(pid)
+      it.map { case (d, n) =>
+        cum += n
+        val row = (d, n, idx, cum)
+        idx += 1
+        row
+      }
+    }.toDF("doc_id", "n", "idx", "cum")
+  }
+
+  /** Distributed searchsorted-right: for each query value, the count of
+    * `cums.v` values ≤ it. The algebra is a sorted merge of cum rows
+    * (kind 0) and query rows (kind 1) with a running kind-0 count — run
+    * here as a RANGE-PARTITIONED prefix scan, the form that holds at
+    * 10^12 rows: repartitionByRange on (v, kind) → per-partition kind-0
+    * counts (one tiny collect, O(partitions)) → broadcast prefix offsets
+    * → per-partition running count. No global single-partition window
+    * anywhere. (RDD zone is justified: the running scan is genuine
+    * per-partition imperative state that needs the partition index.)
+    *
+    * cums: (v: Long, idx: Long); queries: (v: Long, q_doc: Long).
+    * Returns (doc_id = q_doc, cnt = searchsorted index).
+    */
+  def searchSorted(spark: SparkSession, cums: DataFrame,
+                   queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    val longNull = lit(null).cast("long")
+    val union = cums.select(col("v"), lit(0).as("kind"), longNull.as("q_doc"))
+      .unionByName(queries.select(col("v"), lit(1).as("kind"),
+        col("q_doc").cast("long").as("q_doc")))
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    // eager localCheckpoint: both passes read the same materialized
+    // range-partitioned blocks (ties: kind 0 sorts before kind 1 —
+    // searchsorted-RIGHT counts equal cums)
+    val ranged = union.repartitionByRange(parts, col("v"), col("kind"))
+      .sortWithinPartitions("v", "kind")
+      .as[(Long, Int, Option[Long])]
+      .localCheckpoint()
+    val perPart = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L
+      it.foreach { case (_, k, _) => if (k == 0) c += 1 }
+      Iterator.single((pid, c))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(perPart.scanLeft(0L)(_ + _))
+    ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets.value(pid)
+      it.flatMap { case (_, k, q) =>
+        if (k == 0) { run += 1; None } else Some((q.get, run))
+      }
+    }.toDF("doc_id", "cnt")
   }
 
   /** NSP pair construction: one instance per doc — (doc_id,
     * is_random_next, b_doc_id, n_a, n_b). The negative's B-side document
-    * is drawn length-weighted via cumsum + searchsorted (the reference's
-    * sample_doc), computed distributively as a sorted union of cumsum
-    * rows and draw rows with a running count (no N² join, no driver loop).
+    * is drawn length-weighted via cumsum + [[searchSorted]] (the
+    * reference's sample_doc :46-58 — no N² join, no driver loop).
     */
   def nspPairs(docs: DataFrame, maxA: Int = 64, maxB: Int = 63): DataFrame = {
+    val spark = docs.sparkSession
     val c = cumStats(docs)
     val tot = c.agg(max("cum").as("total"))
     // the reference refuses to run on a ≤1-doc corpus (:270-275 exits:
@@ -69,20 +139,9 @@ object MlmGen {
       .withColumn("sent_idx",
         (col("cum") + hexInt(concat(col("doc_id"), lit("_draw")))
           % (col("total") - col("n"))) % col("total"))
-    // searchsorted-right(cum, sent_idx) = #(cum <= sent_idx): sort cum
-    // rows (kind 0) and draw rows (kind 1) together on (value, kind) and
-    // take the running count of kind-0 rows at each draw row
-    val longNull = lit(null).cast("long")
-    val left = c.select(col("cum").as("v"), lit(0).as("kind"),
-      col("idx").as("cidx"), longNull.as("q_doc"))
-    val right = q.select(col("sent_idx").as("v"), lit(1).as("kind"),
-      longNull.as("cidx"), col("doc_id").as("q_doc"))
-    val wScan = Window.orderBy("v", "kind")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sampledIdx = left.unionByName(right)
-      .withColumn("cnt", sum(when(col("kind") === 0, 1L).otherwise(0L)).over(wScan))
-      .where(col("kind") === 1)
-      .select(col("q_doc").as("doc_id"), col("cnt"))
+    val sampledIdx = searchSorted(spark,
+      c.select(col("cum").as("v"), col("idx")),
+      q.select(col("sent_idx").as("v"), col("doc_id").as("q_doc")))
     val sampled = sampledIdx.join(
       c.select(col("idx").as("cnt"), col("doc_id").as("s_doc"), col("n").as("s_n")),
       "cnt")
