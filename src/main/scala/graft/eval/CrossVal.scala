@@ -2,7 +2,6 @@ package graft.eval
 
 import graft.model.GtToken
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grouped k-fold cross-validation over the GT relation — the reference's
@@ -14,12 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object CrossVal {
 
-  /** fold assignment: ntile(k) over ordered distinct group ids —
-    * contiguous blocks like GroupKFold.
+  /** fold assignment: contiguous equal blocks over ordered distinct group
+    * ids, exactly ntile(k) semantics (first N%k folds get one extra id)
+    * but computed via the range-partitioned rank scan instead of a
+    * single-partition global window — GroupKFold at any scale.
     */
-  def foldAssignment(spark: SparkSession, gt: Dataset[GtToken], k: Int): DataFrame =
-    gt.select("nsentence").distinct()
-      .withColumn("fold", ntile(k).over(Window.orderBy("nsentence")) - 1)
+  def foldAssignment(spark: SparkSession, gt: Dataset[GtToken], k: Int): DataFrame = {
+    val ids = gt.select("nsentence").distinct()
+    val ranked = graft.ops.Scans.zeroBasedRank(ids, "nsentence")
+    val n = ids.count()
+    val q = n / k; val r = n % k
+    val fold =
+      if (q == 0) col("idx") // fewer ids than folds: one id per fold
+      else when(col("idx") < r * (q + 1),
+          floor(col("idx") / (q + 1)))
+        .otherwise(lit(r) + floor((col("idx") - r * (q + 1)) / q))
+    ranked.select(col("nsentence"), fold.cast("int").as("fold"))
+  }
 
   /** Re-tag one fold: sentences of `fold` become TEST, the rest TRAIN
     * (bert.py:462-468 via broadcast fold map, no shuffle of the GT side

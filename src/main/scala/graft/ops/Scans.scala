@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range-partitioned prefix scans — the distributed replacement for
+  * global ordered windows (`Window.orderBy(...)` with no partitionBy
+  * funnels the whole input through ONE partition). Two passes: range
+  * partition + in-partition sort, per-partition partials collected to
+  * the driver (O(partitions)), broadcast offsets, then a per-partition
+  * running scan. Used by the MLM sampler (cumsum + searchsorted) and
+  * cross-validation fold assignment.
+  */
+object Scans {
+
+  /** 0-based rank of UNIQUE long keys in ascending order:
+    * (key, idx) with idx ∈ [0, N). Equivalent to
+    * `row_number().over(Window.orderBy(key)) - 1` without the
+    * single-partition window.
+    */
+  def zeroBasedRank(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    val ranged = df.select(col(key).cast("long").as("k"))
+      .repartitionByRange(parts, col("k"))
+      .sortWithinPartitions("k")
+      .as[Long]
+      .localCheckpoint()
+    val counts = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L; it.foreach(_ => c += 1); Iterator.single((pid, c))
+    }.collect().sortBy(_._1).map(_._2)
+    val off = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = off.value(pid)
+      it.map { k => val row = (k, i); i += 1; row }
+    }.toDF(key, "idx")
+  }
+}
