@@ -112,6 +112,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(LineageStore.runResumable(spark, root, "triples", docs, pipe, buckets, "snap-3") == 0)
   }
 
+  test("bucket-level upsert: re-committing changed docs replaces exactly their buckets") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val aliases = CorpusGen.aliases(spark)
+    val buckets = 8
+    val pipe: org.apache.spark.sql.Dataset[Doc] => org.apache.spark.sql.Dataset[Triple] =
+      ds => KgPipeline.run(spark, ds, aliases, cfg = KgPipeline.Config(buckets = buckets))
+    val docs = CorpusGen.docs(spark, 40, parts = 4)
+    LineageStore.commit(spark, root, "triples", pipe(docs), "snap-v1")
+    // new content for every doc of bucket 2 (an appended sentence with
+    // fresh mentions → different triples)
+    val modified = docs.map { d =>
+      if (Triples.bucketOf(d.doc_id, buckets) != 2) d
+      else {
+        val off = d.spans.map(_.offset).max + 1
+        Doc(d.doc_id, d.spans :+
+          graft.model.Span("text", "Anna Müller besuchte Paris .", null, off))
+      }
+    }
+    // Iceberg-style upsert = dynamic-partition overwrite of ONLY the
+    // changed buckets; untouched buckets keep their files
+    val changed = modified.filter(d => Triples.bucketOf(d.doc_id, buckets) == 2)
+    assert(changed.count() > 0)
+    LineageStore.commit(spark, root, "triples", pipe(changed), "snap-v2")
+    val got = LineageStore.readTriples(spark, root)
+      .select("subj", "pred", "obj", "doc_id").collect().toSet
+    val want = pipe(modified).select("subj", "pred", "obj", "doc_id").collect().toSet
+    assert(got == want && got.nonEmpty)
+    // and it actually differs from v1 (the upsert changed something)
+    val v1 = pipe(docs).select("subj", "pred", "obj", "doc_id").collect().toSet
+    assert(got != v1)
+  }
+
   test("determinism: same corpus and triples at different partition counts") {
     val t1 = CorpusGen.docs(spark, 40, parts = 2)
     val t2 = CorpusGen.docs(spark, 40, parts = 7)
