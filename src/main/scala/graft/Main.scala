@@ -15,6 +15,9 @@ import org.apache.spark.sql.SparkSession
   *     a kill processes only buckets missing from the lineage table.
   *   stream <docsStreamDir> <outRoot> <checkpointDir>
   *     Structured-Streaming ingestion (exactly-once micro-batches).
+  *   mlm <docsParquetDir> <outDir> [epochs]
+  *     masked-LM pre-training instance pregeneration (epoch JSONL files
+  *     with sidecar metrics, seeded per-epoch shuffle)
   *   verify <sfDir> <outDir>   — driver correctness dump (graft.Verify)
   *   bench                      — graft.Bench (env-configured)
   *
@@ -70,10 +73,30 @@ object Main {
       q.awaitTermination()
       spark.stop()
 
+    case Some("mlm") =>
+      // masked-LM pregeneration over a documents table: one JSONL file +
+      // sidecar metrics per epoch (pregenerate_training_data.py:278-298;
+      // epochs differ by their seeded shuffle key, the columns are
+      // deterministic per doc)
+      val spark = session("graft-mlm-pregen")
+      val docs = spark.read.parquet(args(1))
+      val outDir = args(2)
+      val epochs = if (args.length > 3) args(3).toInt else 3
+      val pairs = graft.ops.MlmGen.nspPairs(docs)
+      (0 until epochs).foreach { ep =>
+        val shuffled = pairs.orderBy(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.lit(ep)))
+        val n = graft.ops.MlmGen.writeEpochJson(spark, shuffled, outDir, ep)
+        println(s"epoch $ep: $n instances")
+      }
+      spark.stop()
+
     case Some("verify") => Verify.main(args.drop(1))
     case Some("bench") => Bench.main(Array.empty)
     case _ =>
-      System.err.println("usage: graft.Main run|stream|verify|bench ...")
+      System.err.println("usage: graft.Main run|stream|mlm|verify|bench ...")
       sys.exit(2)
   }
 }
