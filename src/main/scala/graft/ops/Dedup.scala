@@ -38,12 +38,17 @@ object Dedup {
     * explode+groupBy one. Hash = first 60 bits of md5("h_shingle"),
     * bit-identical to TextOps.hexInt and the DuckDB oracle.
     */
+  /** doc ids travel as strings through the kernel and are cast back to
+    * the input's own id type at the end — lossless for numeric ids, a
+    * no-op for string ids (a hard cast to long would silently null
+    * string-keyed corpora like the KG doc table).
+    */
   private def docSignatures(docs: DataFrame, nHashes: Int)
-      : org.apache.spark.sql.Dataset[(Long, Array[Long])] = {
+      : org.apache.spark.sql.Dataset[(String, Array[Long])] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
+    docs.select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         def h60(s: String): Long = {
@@ -85,9 +90,12 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, bands: Int = 4, rows: Int = 2): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val idType = docs.schema("doc_id").dataType
     docSignatures(docs, bands * rows)
       .flatMap { case (id, mins) => mins.indices.map(h => (id, h, mins(h))) }
       .toDF("doc_id", "h", "minhash")
+      .withColumn("doc_id", col("doc_id").cast(idType))
+      .select("doc_id", "h", "minhash")
   }
 
   /** LSH band keys: concat the row-mins of each band, hash → bucket.
@@ -98,6 +106,7 @@ object Dedup {
   def minhashBands(docs: DataFrame, bands: Int = 4, rows: Int = 2): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val idType = docs.schema("doc_id").dataType
     docSignatures(docs, bands * rows)
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -115,6 +124,8 @@ object Dedup {
         }
       }
       .toDF("doc_id", "band", "band_key")
+      .withColumn("doc_id", col("doc_id").cast(idType))
+      .select("doc_id", "band", "band_key")
   }
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket. */
@@ -167,12 +178,18 @@ object Dedup {
     */
   def duplicateClusters(spark: org.apache.spark.sql.SparkSession,
                         docs: DataFrame, bands: Int = 4, rows: Int = 2): DataFrame = {
-    def pad(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 12, "0")
+    val idType = docs.schema("doc_id").dataType
+    val numeric = idType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // numeric ids: zero-pad so the CC engine's string-min representative
+    // is the numeric min (20 digits covers any long); string ids pass
+    // through and the keeper is the lexicographic min
+    def enc(c: org.apache.spark.sql.Column) =
+      if (numeric) lpad(c.cast("string"), 20, "0") else c.cast("string")
     val edges = minhashPairs(docs, bands, rows)
-      .select(pad(col("doc_a")).as("src"), pad(col("doc_b")).as("dst"))
+      .select(enc(col("doc_a")).as("src"), enc(col("doc_b")).as("dst"))
     graft.kg.ConnectedComponents.run(spark, edges)
-      .select(col("node").cast("long").as("doc_id"),
-        col("component").cast("long").as("keeper"))
+      .select(col("node").cast(idType).as("doc_id"),
+        col("component").cast(idType).as("keeper"))
   }
 
   /** SimHash (nBits-wide) over word occurrences: per-bit majority vote of

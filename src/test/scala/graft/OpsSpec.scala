@@ -179,3 +179,30 @@ class AnnKernelSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("*("), plan)
   }
 }
+
+/** MinHash family on a STRING-keyed corpus (the KG doc table shape) —
+  * guards the id-type round-trip (a hard long cast would null these). */
+class DedupIdTypeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import org.apache.spark.sql.functions._
+
+  test("minhash signatures/pairs/clusters keep string doc ids intact") {
+    import spark.implicits._
+    val text = "ein zwei drei vier fünf sechs sieben acht neun zehn"
+    val d = Seq(
+      ("doc_aaaaaaaaaa", text), ("doc_bbbbbbbbbb", text),
+      ("doc_cccccccccc", "ganz anderer text ohne jede ähnlichkeit hier drin überhaupt"))
+      .toDF("doc_id", "text")
+    val sig = graft.ops.Dedup.minhashSignatures(d)
+    assert(sig.schema("doc_id").dataType.typeName == "string")
+    assert(sig.where(col("doc_id").isNull).count() == 0 && sig.count() == 24)
+    val pairs = graft.ops.Dedup.minhashPairs(d).collect()
+    assert(pairs.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("doc_aaaaaaaaaa", "doc_bbbbbbbbbb")))
+    val clusters = graft.ops.Dedup.duplicateClusters(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(clusters == Set(
+      ("doc_aaaaaaaaaa", "doc_aaaaaaaaaa"),
+      ("doc_bbbbbbbbbb", "doc_aaaaaaaaaa")))
+  }
+}
