@@ -232,6 +232,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- remaining star-schema dims: 3-level dim chain + pushdown agg ----
+    "q42_supplier_region" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(avg("s_acctbal"), 4).as("avg_bal"))
+        .orderBy("r_name")
+    }),
+    "q43_part_stats" -> ((s, dir) =>
+      t(s, dir, "part")
+        .where(col("p_size").between(1, 25))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          round(avg("p_retailprice"), 4).as("avg_price"))
+        .orderBy("p_brand")),
     // ---- BPE-ish regex token counting (whitespace twin: q13) ----
     "q40_token_bpe" -> ((s, dir) =>
       graft.ops.TextOps.bpeTokenCount(t(s, dir, "documents")).orderBy("doc_id")),
@@ -828,6 +847,16 @@ object SparkEntry {
         | 16 + (('0x'||substr(md5(text),3,2))::BIGINT & 63) AS height,
         | CAST(16 AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q42_supplier_region" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        | round(avg(s_acctbal), 4) AS avg_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q43_part_stats" ->
+      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+        |FROM part WHERE p_size BETWEEN 1 AND 25
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q40_token_bpe" ->
       """SELECT doc_id, len(str_split(text,' ')) AS n_ws_tokens,
         | len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens
