@@ -232,6 +232,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- langid accuracy eval: confusion counts vs the lang labels.
+    //      (The driver's synthetic documents carry English-ish filler text
+    //      under every lang label, so the matrix collapses onto the 'en'
+    //      column by construction — the operator is the confusion-count
+    //      evaluation shape, the data has no real signal to detect.) ----
+    "q44_langid_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextOps.langId(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
     // ---- remaining star-schema dims: 3-level dim chain + pushdown agg ----
     "q42_supplier_region" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
@@ -847,6 +859,30 @@ object SparkEntry {
         | 16 + (('0x'||substr(md5(text),3,2))::BIGINT & 63) AS height,
         | CAST(16 AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q44_langid_eval" ->
+      """WITH s AS (SELECT doc_id,
+        | len(list_filter(str_split(text,' '), w -> w = 'the'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'and'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'is')) AS score_en,
+        | len(list_filter(str_split(text,' '), w -> w = 'der'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'und'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'das')) AS score_de,
+        | len(list_filter(str_split(text,' '), w -> w = 'le'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'et'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'la')) AS score_fr,
+        | len(list_filter(str_split(text,' '), w -> w = 'el'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'y'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'la')) AS score_es
+        | FROM documents),
+        | p AS (SELECT doc_id,
+        |  CASE WHEN score_en = greatest(score_en,score_de,score_fr,score_es) THEN 'en'
+        |       WHEN score_de = greatest(score_en,score_de,score_fr,score_es) THEN 'de'
+        |       WHEN score_fr = greatest(score_en,score_de,score_fr,score_es) THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |  FROM s)
+        |SELECT d.lang, p.lang_pred, count(*) AS n
+        |FROM p JOIN documents d ON d.doc_id = p.doc_id
+        |GROUP BY d.lang, p.lang_pred ORDER BY d.lang, p.lang_pred""".stripMargin,
     "q42_supplier_region" ->
       """SELECT r_name, count(*) AS n_suppliers,
         | round(avg(s_acctbal), 4) AS avg_bal
