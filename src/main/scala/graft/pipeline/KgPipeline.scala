@@ -90,7 +90,8 @@ object KgPipeline {
         perSent.flatMap { case (s, wins, counts) =>
           val tws = tagged.slice(cursor, cursor + wins.length)
           cursor += wins.length
-          val (_, preds) = real.reglue(tws.map(w => (w.tokens, w.preds)))
+          val (_, preds) = real.reglue(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(tws.map(w => (w.tokens, w.preds))))
           val wordTags = real.realignWithCounts(s.words, counts, preds).map(_._2)
           val mentions = Decode.mentionsOf(s.guid, s.words, wordTags)
           val rels = graft.kg.Relations.extract(s.words, mentions).map {
@@ -133,7 +134,8 @@ object KgPipeline {
           val tws = tagged.slice(cursor, cursor + wins.length)
           cursor += wins.length
           // windows of one sentence were emitted in winIdx order
-          val (_, preds) = real.reglue(tws.map(w => (w.tokens, w.preds)))
+          val (_, preds) = real.reglue(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(tws.map(w => (w.tokens, w.preds))))
           val wordTags = real.realignWithCounts(s.words, counts, preds).map(_._2)
           Decode.mentionsOf(s.guid, s.words, wordTags)
         }
