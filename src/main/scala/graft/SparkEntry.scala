@@ -288,7 +288,7 @@ object SparkEntry {
       graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
       val docs = CorpusGen.docs(s, 500, parts = 8)
       KgPipeline.run(s, docs, CorpusGen.aliases(s)).toDF()
-        .select("subj", "pred", "obj", "doc_id", "bucket")
+        .select("subj", "pred", "obj", "doc_id", "bucket", "conf")
         .orderBy("doc_id", "pred", "subj", "obj")
     }),
     "kg_mentions" -> ((s, dir) => {
@@ -826,26 +826,26 @@ object SparkEntry {
     //      (graft.gen.Goldens writes these parquets at verify time from
     //      plant-time knowledge, never from the pipeline under test) ----
     "kg_triples" ->
-      """SELECT subj, pred, obj, doc_id, bucket
-        |FROM read_parquet('/tmp/graft_goldens/kg_triples/*.parquet')
+      s"""SELECT subj, pred, obj, doc_id, bucket, conf
+        |FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')
         |ORDER BY doc_id, pred, subj, obj""".stripMargin,
     "kg_mentions" ->
-      """SELECT doc_id, span_offset, sentence_idx, start_word, end_word,
+      s"""SELECT doc_id, span_offset, sentence_idx, start_word, end_word,
         | surface, entity_type
-        |FROM read_parquet('/tmp/graft_goldens/kg_mentions/*.parquet')
+        |FROM read_parquet('${graft.gen.Goldens.root}/kg_mentions/*.parquet')
         |ORDER BY doc_id, span_offset, start_word""".stripMargin,
     "kg_linked_salted" ->
-      """SELECT doc_id, span_offset, sentence_idx, surface, entity_type,
+      s"""SELECT doc_id, span_offset, sentence_idx, surface, entity_type,
         | entity_id, conf
-        |FROM read_parquet('/tmp/graft_goldens/kg_linked_salted/*.parquet')
+        |FROM read_parquet('${graft.gen.Goldens.root}/kg_linked_salted/*.parquet')
         |ORDER BY doc_id, span_offset, surface""".stripMargin,
     "kg_eval_metrics" ->
-      """SELECT slot, precision, recall, f1, tp, fp, fn
-        |FROM read_parquet('/tmp/graft_goldens/kg_eval_metrics/*.parquet')
+      s"""SELECT slot, precision, recall, f1, tp, fp, fn
+        |FROM read_parquet('${graft.gen.Goldens.root}/kg_eval_metrics/*.parquet')
         |ORDER BY slot""".stripMargin,
     "kg_gt_eval" ->
-      """SELECT slot, precision, recall, f1, tp, fp, fn
-        |FROM read_parquet('/tmp/graft_goldens/kg_gt_eval/*.parquet')
+      s"""SELECT slot, precision, recall, f1, tp, fp, fn
+        |FROM read_parquet('${graft.gen.Goldens.root}/kg_gt_eval/*.parquet')
         |ORDER BY slot""".stripMargin,
     // per-row span-sequence invariant: 500 docs checked, 0 violations
     "kg_span_invariant" ->

@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
+    // goldens live under this run's own outDir (never a shared /tmp
+    // literal) — set BEFORE queries run and before oracle SQL is dumped,
+    // so the written parquets and the read_parquet() paths agree
+    gen.Goldens.root =
+      new java.io.File(outDir, "goldens").getAbsolutePath
     // optional 3rd arg: comma-separated query-name filter (local iteration)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None

@@ -17,8 +17,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Goldens {
 
-  /** Fixed path so SparkEntry.oracleSql can reference it as a literal. */
-  val root = "/tmp/graft_goldens"
+  /** Golden-parquet root. Default is PER-USER + PER-PROCESS under
+    * java.io.tmpdir (a fixed world-shared /tmp literal let concurrent
+    * verify runs overwrite each other mid-compare, and any local user
+    * pre-create/poison it). graft.Verify overrides it with a path under
+    * its own outDir; SparkEntry.oracleSql interpolates whatever is
+    * current when the oracle JSON is dumped — queries and oracles always
+    * agree because Verify sets this before running either.
+    */
+  @volatile var root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_goldens_${System.getProperty("user.name", "u")}_${ProcessHandle.current().pid()}"
 
   private def write(spark: SparkSession, name: String, df: DataFrame): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
@@ -27,14 +35,30 @@ object Goldens {
     (0 until n).map(i => CorpusGen.genDoc(i.toLong))
 
   case class TripleGold(subj: String, pred: String, obj: String,
-                        doc_id: String, bucket: Int)
+                        doc_id: String, bucket: Int, conf: Double)
 
-  /** Expected pipeline triples incl. the deterministic bucket column. */
+  /** Expected pipeline triples incl. the deterministic bucket column and
+    * the triple confidence: `mentions` triples carry the max linked-alias
+    * prior over the entity's occurrences in the doc (sequential replay of
+    * the documented scoring rule, plant-time derivable); all other
+    * triple families are emitted with conf 1.0 by construction.
+    */
   def writeTriples(spark: SparkSession, n: Int, buckets: Int): Unit = {
     import spark.implicits._
+    val dict = CorpusGen.aliasDict.groupBy(_.surface_norm)
+    def prior(surface: String, typ: String): Double =
+      Linker.bestCandidate(
+          dict.getOrElse(CorpusGen.normSurface(surface), Seq.empty), typ)
+        .map(_.prior).getOrElse(0.0)
     val rows = docs(n).flatMap { gd =>
-      CorpusGen.expectedTriples(gd).map(t => TripleGold(t.subj, t.pred,
-        t.obj, t.doc_id, Triples.bucketOf(t.doc_id, buckets)))
+      val confByCanon = gd.gold.groupBy(_.entity_id + "#0").map {
+        case (c, ms) => c -> ms.map(m => prior(m.surface, m.entity_type)).max
+      }
+      CorpusGen.expectedTriples(gd).map { t =>
+        val conf = if (t.pred == "mentions") confByCanon(t.obj) else 1.0
+        TripleGold(t.subj, t.pred, t.obj, t.doc_id,
+          Triples.bucketOf(t.doc_id, buckets), conf)
+      }
     }
     write(spark, "kg_triples", spark.createDataset(rows).toDF())
   }

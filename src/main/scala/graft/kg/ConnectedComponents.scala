@@ -68,9 +68,11 @@ object ConnectedComponents {
     // set signature (count + bit_xor of per-edge xxhash64 — xor cannot
     // overflow under ANSI mode): ONE small aggregation per round instead
     // of two exceptAll shuffles. Both edge sets are distinct, so
-    // count+xor equality identifies set equality up to a 2^-64-scale
-    // collision — and a false positive only ends the loop one round
-    // early on an already-star-shaped graph.
+    // count+xor equality identifies set equality up to a ~2^-64-per-round
+    // collision. A collision between two DIFFERENT same-size edge sets
+    // would declare convergence on a non-converged graph and return wrong
+    // components — negligible odds, accepted as the price of the single
+    // aggregation (to square the bound, xor a second independent hash).
     def sig(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)).as("n"),
         coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h")).head()

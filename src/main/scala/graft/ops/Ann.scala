@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import TextOps.hexInt
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`).
@@ -74,23 +73,80 @@ object Ann {
   def bruteTopK(emb: DataFrame, k: Int = 5, queryMod: Int = 25): DataFrame =
     topK(scoredBrute(emb, queryMod), k)
 
+  /** One-pass hyperplane-projection kernel: ALL `nGlobal` plane
+    * projections of each vector computed in a single typed
+    * `mapPartitions` — zero row fan-out, zero shuffle (the previous
+    * formulation exploded every vector ×dims×planes = 512 rows through
+    * two shuffled aggregations; at 100 TB of embeddings that is 512×
+    * shuffle-input volume for a per-row pure function — same fix as
+    * `Dedup.docSignatures`). Plane i's coefficient for dimension d is the
+    * md5-derived integer `h60(i+"_"+d) % 2001 - 1000` — bit-identical to
+    * the previous column form and the DuckDB oracles; the projection sums
+    * in ascending-dimension order, matching the single-partition
+    * fold order of the exploded plan. The coefficient table is
+    * dictionary-sized (nGlobal × dims longs) and rebuilt per partition.
+    * Emits (vec_id, v, sign-bit array) so bucket consumers need no join
+    * back to the vector table.
+    */
+  private def planeSigns(emb: DataFrame, nGlobal: Int)
+      : org.apache.spark.sql.Dataset[(String, Array[Double], Array[Boolean])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id").cast("string"),
+        transform(col("embedding"), x => x.cast("double")))
+      .as[(String, Array[Double])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var coefs: Array[Array[Long]] = null
+        var coefDims = -1
+        it.map { case (id, v) =>
+          val dims = v.length
+          if (dims != coefDims) {
+            coefs = Array.tabulate(nGlobal, dims)((i, d) =>
+              TextOps.h60(md, i.toString + "_" + d) % 2001L - 1000L)
+            coefDims = dims
+          }
+          val bits = new Array[Boolean](nGlobal)
+          var i = 0
+          while (i < nGlobal) {
+            val c = coefs(i)
+            var s = 0.0
+            var d = 0
+            while (d < dims) { s += c(d) * v(d); d += 1 }
+            bits(i) = s >= 0
+            i += 1
+          }
+          (id, v, bits)
+        }
+      }
+  }
+
+  /** (vec_id, v, bucket) for the single-table variant — the bucket join's
+    * probe side carries the vector inline, so no join back to the base
+    * table is needed.
+    */
+  private def lshBucketedVectors(emb: DataFrame, planes: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val idType = emb.schema("vec_id").dataType
+    planeSigns(emb, planes)
+      .map { case (id, v, bits) =>
+        var b = 0L
+        var p = 0
+        while (p < bits.length) { if (bits(p)) b |= 1L << p; p += 1 }
+        (id, v, b)
+      }
+      .toDF("vec_id", "v", "bucket")
+      .withColumn("vec_id", col("vec_id").cast(idType))
+  }
+
   /** Random-hyperplane LSH bucket per vector: plane p's coefficient for
     * dimension d is md5-derived integer in [-1000, 1000]; bit_p =
-    * 1{Σ_d c_{p,d}·x_d ≥ 0}; bucket = Σ bit_p << p.
+    * 1{Σ_d c_{p,d}·x_d ≥ 0}; bucket = Σ bit_p << p. One-pass kernel —
+    * no exchange anywhere in this plan (asserted in PlanSpec).
     */
-  def lshBuckets(emb: DataFrame, planes: Int = 8): DataFrame = {
-    val byDim = emb.select(col("vec_id"),
-        posexplode(transform(col("embedding"), x => x.cast("double"))))
-      .withColumnRenamed("pos", "d0") // 0-based dim
-      .withColumn("p", explode(sequence(lit(0), lit(planes - 1))))
-    val coef = (pmod(hexInt(concat(col("p"), lit("_"), col("d0"))), lit(2001)) - 1000)
-    val sums = byDim
-      .groupBy("vec_id", "p")
-      .agg(sum(coef * col("col")).as("proj"))
-    sums.groupBy("vec_id")
-      .agg(sum(when(col("proj") >= 0, expr("shiftleft(1L, cast(p as int))"))
-        .otherwise(0L)).as("bucket"))
-  }
+  def lshBuckets(emb: DataFrame, planes: Int = 8): DataFrame =
+    lshBucketedVectors(emb, planes).select("vec_id", "bucket")
 
   /** Centroid assignment: deterministic centroid set (every (N/k)-th
     * vector by id — reproducible without a k-means job; a real deployment
@@ -147,11 +203,15 @@ object Ann {
     topK(scoredIvf(emb, centroidMod, queryMod, probes), k)
 
   private def scoredLsh(emb: DataFrame, planes: Int, queryMod: Int): DataFrame = {
-    val b = lshBuckets(emb, planes)
-    val e = emb.select(col("vec_id"), vcol.as("v")).join(b, "vec_id")
+    // vectors travel WITH their bucket out of the one-pass kernel, and the
+    // kernel output is materialized ONCE (localCheckpoint — both join
+    // sides read the materialized blocks; without it the broadcast build
+    // side would re-run the full kernel). The bounded query side is then
+    // broadcast, so the corpus side is never shuffled at all.
+    val e = lshBucketedVectors(emb, planes).localCheckpoint()
     val q = e.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
-    q.join(e, col("qb") === col("bucket") && col("q_id") =!= col("vec_id"))
+    broadcast(q).join(e, col("qb") === col("bucket") && col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"), cosine6(emb.sparkSession).as("cosine"))
   }
 
@@ -172,19 +232,25 @@ object Ann {
     * recall/cost dial of hyperplane LSH.
     */
   def lshBucketsMulti(emb: DataFrame, planes: Int = 4, tables: Int = 4): DataFrame = {
-    val ng = planes * tables
-    val byDim = emb.select(col("vec_id"),
-        posexplode(transform(col("embedding"), x => x.cast("double"))))
-      .withColumnRenamed("pos", "d0")
-      .withColumn("g", explode(sequence(lit(0), lit(ng - 1))))
-    val coef = (pmod(hexInt(concat(col("g"), lit("_"), col("d0"))), lit(2001)) - 1000)
-    val sums = byDim
-      .groupBy("vec_id", "g")
-      .agg(sum(coef * col("col")).as("proj"))
-    sums.groupBy(col("vec_id"), floor(col("g") / planes).cast("int").as("tbl"))
-      .agg(sum(when(col("proj") >= 0,
-        expr(s"shiftleft(1L, cast(g % $planes as int))")).otherwise(0L))
-        .as("bucket"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val idType = emb.schema("vec_id").dataType
+    // same one-pass kernel over global plane index g = tbl·planes + p
+    // (coefficient key g+"_"+d — identical md5 derivation); the only
+    // fan-out left is the intrinsic T rows per vector of the operator's
+    // own output (previously ×dims×tables·planes through two shuffles)
+    planeSigns(emb, planes * tables)
+      .flatMap { case (id, _, bits) =>
+        (0 until tables).iterator.map { t =>
+          var b = 0L
+          var p = 0
+          while (p < planes) { if (bits(t * planes + p)) b |= 1L << p; p += 1 }
+          (id, t, b)
+        }
+      }
+      .toDF("vec_id", "tbl", "bucket")
+      .withColumn("vec_id", col("vec_id").cast(idType))
+      .select("vec_id", "tbl", "bucket")
   }
 
   /** Multi-table LSH top-k: candidates = union of same-bucket matches
@@ -193,11 +259,14 @@ object Ann {
     */
   def lshTopKMulti(emb: DataFrame, k: Int = 5, planes: Int = 4,
                    tables: Int = 4, queryMod: Int = 25): DataFrame = {
-    val b = lshBucketsMulti(emb, planes, tables)
+    // bucket table materialized once — the self-join (query side vs
+    // corpus side) must not re-run the projection kernel on both sides
+    val b = lshBucketsMulti(emb, planes, tables).localCheckpoint()
     val e = emb.select(col("vec_id"), vcol.as("v"))
     val qb = b.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
-    val cands = qb.join(b.withColumnRenamed("vec_id", "c_id"), Seq("tbl", "bucket"))
+    val cands = broadcast(qb)
+      .join(b.withColumnRenamed("vec_id", "c_id"), Seq("tbl", "bucket"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id").as("vec_id")).distinct()
     val scored = cands

@@ -51,15 +51,7 @@ object Dedup {
       .as[(String, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def h60(s: String): Long = {
-          md.reset()
-          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          // first 15 hex chars = top 60 bits, as in hexInt / the oracle
-          (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-            ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-            ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
-        }
+        def h60(s: String): Long = TextOps.h60(md, s)
         it.flatMap { case (id, text) =>
           val ws = text.split(" ", -1) // same semantics as split(text,' ')
           val n = ws.length - 2
@@ -128,9 +120,16 @@ object Dedup {
       .select("doc_id", "band", "band_key")
   }
 
-  /** Candidate near-dup pairs: docs sharing any LSH band bucket. */
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket.
+    *
+    * The band table is materialized ONCE (`localCheckpoint`) before the
+    * self-join: without it both join sides re-derive the signature kernel
+    * — the corpus would be shingled and minhashed twice (the dominant
+    * cost). On a cluster the equivalent is persist/checkpoint; the
+    * self-join then reads the materialized blocks on both sides.
+    */
   def minhashPairs(docs: DataFrame, bands: Int = 4, rows: Int = 2): DataFrame = {
-    val b = minhashBands(docs, bands, rows)
+    val b = minhashBands(docs, bands, rows).localCheckpoint()
     val l = b.select(col("band").as("b1"), col("band_key").as("k1"),
       col("doc_id").as("doc_a"))
     val r = b.select(col("band").as("b2"), col("band_key").as("k2"),

@@ -87,7 +87,10 @@ object Multimodal {
     */
   def frameSample(media: DataFrame, step: Int = 2, fps: Int = 25): DataFrame = {
     val frames = (length(col("payload")) / 4).cast("int")
-    media.select(col("doc_id"), col("media_ref"),
+    // payloads shorter than one frame yield frames = 0, and
+    // sequence(0, -1, step) throws at runtime — guard, don't crash
+    media.where(frames > 0)
+      .select(col("doc_id"), col("media_ref"),
         explode(sequence(lit(0), frames - 1, lit(step))).as("frame_idx"))
       .select(col("doc_id"), col("media_ref"),
         col("frame_idx").cast("long").as("frame_idx"),

@@ -16,6 +16,20 @@ object TextOps {
   def hexInt(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** JVM twin of [[hexInt]] for typed kernels: first 15 hex chars of md5
+    * = top 60 bits of the digest (first 8 bytes big-endian >>> 4) —
+    * bit-identical to the column form and the DuckDB oracle. Callers pass
+    * a reusable MessageDigest (one per partition, reset per call).
+    */
+  def h60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
+
   /** Exact word-occurrence count via array filter (identical lambda
     * semantics in DuckDB's list_filter).
     */

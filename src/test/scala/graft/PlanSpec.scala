@@ -77,6 +77,29 @@ class PlanSpec extends AnyFunSuite {
     // the whole MinHash-LSH path's ONLY exchange is the band-bucket join
   }
 
+  test("LSH projection kernels are shuffle-free (one-pass, no fan-out)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val b = graft.ops.Ann.lshBuckets(emb)
+      .queryExecution.executedPlan.toString
+    assert(!b.contains("Exchange"), s"lshBuckets shuffled:\n$b")
+    assert(!b.toLowerCase.contains("generate"), s"lshBuckets fans out:\n$b")
+    val bm = graft.ops.Ann.lshBucketsMulti(emb)
+      .queryExecution.executedPlan.toString
+    assert(!bm.contains("Exchange"), s"lshBucketsMulti shuffled:\n$bm")
+    assert(!bm.toLowerCase.contains("generate"), s"lshBucketsMulti fans out:\n$bm")
+  }
+
+  test("minhash pairs: band table materialized once before the self-join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.ops.Dedup.minhashPairs(docs)
+      .queryExecution.executedPlan.toString
+    // both join sides scan the checkpointed band table; the signature
+    // kernel (a MapPartitions chain over the corpus scan) must be absent
+    // from the join plan — it ran exactly once, at materialization time
+    assert(!p.contains("MapPartitions"), s"band kernel recomputed in join:\n$p")
+    assert(p.contains("ExistingRDD"), p)
+  }
+
   test("entry (KG pipeline) plan has no shuffle before the tagger stage") {
     val sents = graft.pipeline.KgPipeline.sentences(spark,
       graft.gen.CorpusGen.docs(spark, 10, parts = 2))
