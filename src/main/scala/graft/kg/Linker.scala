@@ -63,28 +63,24 @@ object Linker {
       .collect().map(_.getString(0)).toSeq
   }
 
-  /** DataFrame salted-join path for dictionaries beyond broadcast size.
-    * SKEW-AWARE: only head surfaces (Zipf skew) get salted — the
-    * dictionary rows of skewed keys are replicated S×, everything else
-    * joins unreplicated on salt 0. Surface normalization runs through the
-    * native codegen expression [[NormalizeSurfaceExpr]] so the mention
-    * side never leaves whole-stage codegen.
+  /** Shared salted-join core over a mention-side DataFrame that already
+    * carries `surface_norm` plus the caller's group columns. SKEW-AWARE:
+    * only head surfaces (Zipf skew) get salted — the dictionary rows of
+    * skewed keys are replicated S×, everything else joins unreplicated on
+    * salt 0. Candidate scoring: prefer type match, then max prior, then
+    * min id — one min_by aggregation over a lexicographic key struct (no
+    * window).
     */
-  def linkSaltedJoin(spark: SparkSession, mentions: Dataset[Mention],
-                     aliases: Dataset[Alias], saltBuckets: Int = 8,
-                     skewKeys: Option[Seq[String]] = None): Dataset[LinkedMention] = {
-    import spark.implicits._
-    NormalizeSurface.register(spark)
-    val skew = skewKeys.getOrElse(inferSkewKeys(spark, mentions))
+  private def saltedBest(m: DataFrame, aliases: Dataset[Alias],
+                         saltBuckets: Int, skew: Seq[String],
+                         groupCols: Seq[String]): DataFrame = {
     // empty head (tiny sampled input) → no key salts; sentinel keeps the
     // array expression well-typed ("\u0000" can never be a normalized surface)
     val skewArr =
       if (skew.isEmpty) array(lit("\u0000")) else array(skew.map(lit): _*)
-    val m = mentions.toDF()
-      .withColumn("surface_norm", NormalizeSurface(col("surface")))
-      .withColumn("salt",
-        when(array_contains(skewArr, col("surface_norm")),
-          pmod(hash(col("doc_id")), lit(saltBuckets))).otherwise(lit(0)))
+    val salted = m.withColumn("salt",
+      when(array_contains(skewArr, col("surface_norm")),
+        pmod(hash(col("doc_id")), lit(saltBuckets))).otherwise(lit(0)))
     val a = aliases
       .withColumnRenamed("entity_type", "alias_type")
       .withColumn("salts",
@@ -92,20 +88,69 @@ object Linker {
           sequence(lit(0), lit(saltBuckets - 1)))
           .otherwise(array(lit(0))))
       .withColumn("salt", explode(col("salts"))).drop("salts")
-    val joined = m.join(a, Seq("surface_norm", "salt"), "inner")
-    // candidate scoring: prefer type match, then max prior, then min id —
-    // one min_by aggregation over a lexicographic key struct (no window).
-    joined
-      .groupBy("doc_id", "span_offset", "sentence_idx", "surface", "entity_type")
+    salted.join(a, Seq("surface_norm", "salt"), "inner")
+      .groupBy(groupCols.map(col): _*)
       .agg(min_by(
         struct(col("entity_id"), col("prior")),
         struct(
           when(col("alias_type") === col("entity_type"), lit(0)).otherwise(lit(1)),
           negate(col("prior")),
           col("entity_id"))).as("best"))
+  }
+
+  /** DataFrame salted-join path for dictionaries beyond broadcast size.
+    * Surface normalization runs through the native codegen expression
+    * [[NormalizeSurfaceExpr]] so the mention side never leaves
+    * whole-stage codegen.
+    */
+  def linkSaltedJoin(spark: SparkSession, mentions: Dataset[Mention],
+                     aliases: Dataset[Alias], saltBuckets: Int = 8,
+                     skewKeys: Option[Seq[String]] = None): Dataset[LinkedMention] = {
+    import spark.implicits._
+    NormalizeSurface.register(spark)
+    val skew = skewKeys.getOrElse(inferSkewKeys(spark, mentions))
+    val m = mentions.toDF()
+      .withColumn("surface_norm", NormalizeSurface(col("surface")))
+    saltedBest(m, aliases, saltBuckets, skew,
+        Seq("doc_id", "span_offset", "sentence_idx", "surface", "entity_type"))
       .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
         col("surface"), col("entity_type"),
         col("best.entity_id").as("entity_id"), col("best.prior").as("conf"))
       .as[LinkedMention]
+  }
+
+  /** A linked mention slimmed to what triple assembly consumes. */
+  case class SlimLinked(doc_id: String, span_offset: Int, sentence_idx: Int,
+                        entity_id: String, conf: Double)
+
+  /** Slim salted-join for the pipeline: the mention side is a
+    * pre-normalized projection (doc_id, span_offset, sentence_idx,
+    * surface_norm, entity_type) — no original surface, no word offsets —
+    * the minimum payload the linking join needs to carry through the
+    * shuffle and the persist feeding it. Grouping on surface_norm (not
+    * the raw surface) is output-equivalent for triple assembly:
+    * same-norm same-type mentions of one sentence link to the same
+    * entity with the same conf, and triple materialization dedups per
+    * (doc, entity) anyway.
+    */
+  def linkSaltedSlim(spark: SparkSession, m: DataFrame,
+                     aliases: Dataset[Alias], saltBuckets: Int = 8,
+                     skewKeys: Option[Seq[String]] = None): Dataset[SlimLinked] = {
+    import spark.implicits._
+    val skew = skewKeys.getOrElse(inferSkewKeysNorm(spark, m))
+    saltedBest(m, aliases, saltBuckets, skew,
+        Seq("doc_id", "span_offset", "sentence_idx", "surface_norm", "entity_type"))
+      .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
+        col("best.entity_id").as("entity_id"), col("best.prior").as("conf"))
+      .as[SlimLinked]
+  }
+
+  /** [[inferSkewKeys]] over a pre-normalized mention projection. */
+  def inferSkewKeysNorm(spark: SparkSession, m: DataFrame,
+                        topK: Int = 20, sampleFraction: Double = 0.01): Seq[String] = {
+    val s = if (sampleFraction < 1.0) m.sample(sampleFraction, 42) else m
+    s.groupBy("surface_norm").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("surface_norm")).limit(topK)
+      .collect().map(_.getString(0)).toSeq
   }
 }

@@ -58,55 +58,17 @@ object KgPipeline {
     }
   }
 
-  /** The fused detect stage: encode → batched tag → decode → mentions +
-    * typed relation candidates (verb-pattern extraction over the same
-    * sentence, zero extra passes). Batches windows ACROSS sentences
+  /** The fused detect stage: encode → batched tag → decode in ONE
+    * mapPartitions (no shuffle). Batches windows ACROSS sentences
     * (cfg.sentBatch at a time) so the tagger sees production-sized
-    * batches, then re-glues within the task.
+    * batches, then re-glues within the task. With `emitRelations` the
+    * same pass also extracts typed verb-pattern relation candidates over
+    * the decoded mentions (zero extra passes); mention-only consumers
+    * skip that work. One code path for both views — they cannot drift.
     */
-  def detectRows(spark: SparkSession, sents: Dataset[Sentence],
-                 tagger: MentionTagger, cfg: Config = Config()): Dataset[DetectRow] = {
-    import spark.implicits._
-    val bcTagger = spark.sparkContext.broadcast(tagger)
-    val bcEncoder = spark.sparkContext.broadcast(
-      new WindowEncoder(Vocab.default, Vocab.tokenToId, Tags.labelMap, cfg.maxSeqLen))
-    val bcRealigner = spark.sparkContext.broadcast(new Realigner(Vocab.default))
-    val batchSize = cfg.batchSize
-    val sentBatch = cfg.sentBatch
-    sents.mapPartitions { it =>
-      val enc = bcEncoder.value
-      val tag = bcTagger.value
-      val real = bcRealigner.value
-      // task-local word->pieces memo (Zipfian word frequency)
-      val cache = new java.util.HashMap[String, Array[String]]()
-      it.grouped(sentBatch).flatMap { group =>
-        val perSent = group.map { s =>
-          val (wins, counts) = enc.encodeWithCounts(s.guid, s.words, s.tags, cache)
-          (s, wins, counts)
-        }
-        val allWins = perSent.iterator.flatMap(_._2).toSeq
-        val tagged = allWins.grouped(batchSize).flatMap(tag.tagBatch).toArray
-        var cursor = 0
-        perSent.flatMap { case (s, wins, counts) =>
-          val tws = tagged.slice(cursor, cursor + wins.length)
-          cursor += wins.length
-          val (_, preds) = real.reglue(scala.collection.immutable.ArraySeq
-            .unsafeWrapArray(tws.map(w => (w.tokens, w.preds))))
-          val wordTags = real.realignWithCounts(s.words, counts, preds).map(_._2)
-          val mentions = Decode.mentionsOf(s.guid, s.words, wordTags)
-          val rels = graft.kg.Relations.extract(s.words, mentions).map {
-            case (a, rel, b) => RelationCandidate(a.doc_id, a.span_offset,
-              a.sentence_idx, a.surface, a.entity_type, rel, b.surface, b.entity_type)
-          }
-          mentions.map(DetectRow(_, null)) ++ rels.map(DetectRow(null, _))
-        }
-      }
-    }
-  }
-
-  /** Mention-only view of the fused stage (driver queries, salted path). */
-  def detectMentions(spark: SparkSession, sents: Dataset[Sentence],
-                     tagger: MentionTagger, cfg: Config = Config()): Dataset[Mention] = {
+  private def fusedDetect(spark: SparkSession, sents: Dataset[Sentence],
+                          tagger: MentionTagger, cfg: Config,
+                          emitRelations: Boolean): Dataset[DetectRow] = {
     import spark.implicits._
     val bcTagger = spark.sparkContext.broadcast(tagger)
     val bcEncoder = spark.sparkContext.broadcast(
@@ -137,10 +99,32 @@ object KgPipeline {
           val (_, preds) = real.reglue(scala.collection.immutable.ArraySeq
             .unsafeWrapArray(tws.map(w => (w.tokens, w.preds))))
           val wordTags = real.realignWithCounts(s.words, counts, preds).map(_._2)
-          Decode.mentionsOf(s.guid, s.words, wordTags)
+          val mentions = Decode.mentionsOf(s.guid, s.words, wordTags)
+          if (!emitRelations) mentions.map(DetectRow(_, null))
+          else {
+            val rels = graft.kg.Relations.extract(s.words, mentions).map {
+              case (a, rel, b) => RelationCandidate(a.doc_id, a.span_offset,
+                a.sentence_idx, a.surface, a.entity_type, rel, b.surface, b.entity_type)
+            }
+            mentions.map(DetectRow(_, null)) ++ rels.map(DetectRow(null, _))
+          }
         }
       }
     }
+  }
+
+  /** Fused detect emitting mentions + typed relation candidates. */
+  def detectRows(spark: SparkSession, sents: Dataset[Sentence],
+                 tagger: MentionTagger, cfg: Config = Config()): Dataset[DetectRow] =
+    fusedDetect(spark, sents, tagger, cfg, emitRelations = true)
+
+  /** Mention-only view of the fused stage (driver queries, eval paths) —
+    * same code path, relation extraction skipped.
+    */
+  def detectMentions(spark: SparkSession, sents: Dataset[Sentence],
+                     tagger: MentionTagger, cfg: Config = Config()): Dataset[Mention] = {
+    import spark.implicits._
+    fusedDetect(spark, sents, tagger, cfg, emitRelations = false).map(_.mention)
   }
 
   /** Media spans table for the adjacency join. */
@@ -158,6 +142,16 @@ object KgPipeline {
     * webapp/app.py:126-149).
     */
   case class LinkContext(dict: Map[String, Seq[Alias]], canon: Map[String, String])
+
+  /** Persisted row of the salted path's detect cache: EITHER a slim
+    * mention projection (surface_norm + join key + type — the minimum
+    * the salted link join consumes) OR an already-linked, canonicalized
+    * relation unit (`r` non-null). Raw surfaces and word offsets never
+    * enter the cache.
+    */
+  case class SaltedRow(doc_id: String, span_offset: Int, sentence_idx: Int,
+                       surface_norm: String, entity_type: String,
+                       r: graft.kg.Triples.SlimRelation)
 
   def prepareLinkContext(spark: SparkSession, aliases: Dataset[Alias]): LinkContext = {
     val all = aliases.collect().toSeq
@@ -206,32 +200,40 @@ object KgPipeline {
           }
         }
       } else {
-        // salted path: the fused detect stage runs ONCE and is persisted —
-        // its three consumers (sampled skew inference, the salted join,
-        // relation linking) all read the cache instead of recomputing the
-        // most expensive stage. Mentions go through the shuffle join
-        // (skew-defused); relations (dictionary-light) link via broadcast.
-        val rows = detectRows(spark, sents, new GazetteerTagger(gazetteer), cfg)
+        // salted path: the fused detect stage runs ONCE and is persisted
+        // as a SLIM projection — original surfaces, word offsets and
+        // relation surface strings never enter the cache. Mentions keep
+        // only the join payload (surface_norm + key + type) for the
+        // skew-defused shuffle join; relations (dictionary-light) are
+        // linked inline via broadcast and cached already-canonicalized.
+        val slim = detectRows(spark, sents, new GazetteerTagger(gazetteer), cfg)
+          .flatMap { row =>
+            if (row.mention != null) {
+              val m = row.mention
+              Iterator.single(SaltedRow(m.doc_id, m.span_offset,
+                m.sentence_idx, CorpusGen.normSurface(m.surface),
+                m.entity_type, null))
+            } else {
+              val r = row.relation
+              (for {
+                (s, _) <- linkCanon(r.subj_surface, r.subj_type)
+                (o, _) <- linkCanon(r.obj_surface, r.obj_type)
+              } yield SaltedRow(r.doc_id, -1, -1, null, null,
+                SlimRelation(r.span_offset, r.sentence_idx, s, r.rel, o))).iterator
+            }
+          }
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val mentions = rows.filter(_.mention != null).map(_.mention)
-        val skew = Linker.inferSkewKeys(spark, mentions)
-        val linked = Linker.linkSaltedJoin(spark, mentions, aliases,
+        val mentions = slim.filter(_.r == null).toDF()
+          .select("doc_id", "span_offset", "sentence_idx", "surface_norm",
+            "entity_type")
+        val skew = Linker.inferSkewKeysNorm(spark, mentions)
+        val linked = Linker.linkSaltedSlim(spark, mentions, aliases,
           cfg.saltBuckets, Some(skew))
         val mUnits = linked.map { lm =>
           DocUnit(lm.doc_id, SlimMention(lm.span_offset, lm.sentence_idx,
             bcCanon.value.getOrElse(lm.entity_id, lm.entity_id), lm.conf), null)
         }
-        val rUnits = rows.flatMap { row =>
-          if (row.relation == null) None
-          else {
-            val r = row.relation
-            for {
-              (s, _) <- linkCanon(r.subj_surface, r.subj_type)
-              (o, _) <- linkCanon(r.obj_surface, r.obj_type)
-            } yield DocUnit(r.doc_id, null,
-              SlimRelation(r.span_offset, r.sentence_idx, s, r.rel, o))
-          }
-        }
+        val rUnits = slim.filter(_.r != null).map(s => DocUnit(s.doc_id, null, s.r))
         mUnits.unionByName(rUnits)
       }
     Triples.buildUnits(spark, units, mediaSpans(spark, docs), cfg.buckets)

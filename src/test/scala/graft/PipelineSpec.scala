@@ -88,6 +88,20 @@ class PipelineSpec extends AnyFunSuite {
     mentions.unpersist()
   }
 
+  test("full salted pipeline (slim persist) equals the broadcast pipeline") {
+    val docs = CorpusGen.docs(spark, N, parts = 4)
+    val aliases = CorpusGen.aliases(spark)
+    val ctx = Some(KgPipeline.prepareLinkContext(spark, aliases))
+    def rows(cfg: KgPipeline.Config) =
+      KgPipeline.run(spark, docs, aliases, cfg = cfg, ctx = ctx)
+        .map(t => (t.subj, t.pred, t.obj, t.doc_id, t.conf,
+          t.span_offset, t.sentence_idx)).collect().toSet
+    val viaBroadcast = rows(KgPipeline.Config())
+    val viaSalted = rows(KgPipeline.Config(broadcastLink = false))
+    assert(viaBroadcast == viaSalted && viaSalted.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("resume: kill-after-partial-commit yields identical final triples") {
     val root = java.nio.file.Files.createTempDirectory("graft_resume").toString
     val docs = CorpusGen.docs(spark, N, parts = 4)
