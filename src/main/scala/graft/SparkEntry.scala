@@ -220,15 +220,16 @@ object SparkEntry {
     "q26_sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.sessions(t(s, dir, "events"))
         .orderBy("user_id", "session_id")),
-    // ---- multimodal plumbing (deterministic fake decode; the decode rule
-    //      is md5-derived so the DuckDB oracle recomputes it exactly) ----
+    // ---- multimodal: REAL PNG encode (ImageIO, JDK built-in) → batched
+    //      REAL decode; the encoded dimensions follow an md5 rule, so the
+    //      DuckDB oracle predicts exactly what ImageIO must decode ----
     "mm_features" -> ((s, dir) => {
-      val media = graft.ops.Multimodal.mediaTable(t(s, dir, "documents"))
+      val media = graft.ops.Multimodal.pngMediaTable(t(s, dir, "documents"))
       graft.ops.Multimodal.decodeFeatures(s, media).toDF()
         .select(col("doc_id"), col("media_ref"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          col("n_bytes").cast("long").as("n_bytes"))
+          (col("width") * col("height")).cast("long").as("n_pixels"))
         .orderBy("doc_id")
     }),
 
@@ -272,7 +273,7 @@ object SparkEntry {
         .orderBy("source")),
     // ---- multimodal resize / frame-sample plumbing ----
     "q37_mm_resize" -> ((s, dir) => {
-      val media = graft.ops.Multimodal.mediaTable(t(s, dir, "documents"))
+      val media = graft.ops.Multimodal.pngMediaTable(t(s, dir, "documents"))
       graft.ops.Multimodal.resizePlan(
         graft.ops.Multimodal.decodeFeatures(s, media).toDF()).orderBy("doc_id")
     }),
@@ -851,13 +852,14 @@ object SparkEntry {
     "kg_span_invariant" ->
       """SELECT CAST(500 AS BIGINT) AS docs_checked,
         | CAST(0 AS BIGINT) AS violations""".stripMargin,
-    // multimodal fake-decode rule recomputed from first principles:
-    // payload = md5 bytes of text; width/height from bytes 0/1 & 0x3f
+    // the PNG payload is ENCODED with width/height = md5-rule dims, so
+    // the oracle predicts exactly what a correct ImageIO decode returns
     "mm_features" ->
       """SELECT doc_id, 'img://'||doc_id AS media_ref,
         | 16 + (('0x'||substr(md5(text),1,2))::BIGINT & 63) AS width,
         | 16 + (('0x'||substr(md5(text),3,2))::BIGINT & 63) AS height,
-        | CAST(16 AS BIGINT) AS n_bytes
+        | (16 + (('0x'||substr(md5(text),1,2))::BIGINT & 63))
+        |  * (16 + (('0x'||substr(md5(text),3,2))::BIGINT & 63)) AS n_pixels
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q44_langid_eval" ->
       """WITH s AS (SELECT doc_id,

@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * BATCHED `mapPartitions` (the Scala analog of a Pandas-UDF
   * `mapInPandas` stage — same batch shape, same schema contract).
   *
-  * STUB NOTE: no image/audio codecs ship in this container, so
-  * [[fakeDecode]] is a clearly-marked deterministic stand-in — it derives
-  * "pixels" from the payload bytes. The Spark-side plumbing (binary
-  * schema, partitioning, batched UDF signature, output schema) is real
-  * and tested; swapping in a real decoder changes one function.
+  * Image decode is REAL: payloads of [[pngMediaTable]] are actual PNG
+  * images (encoded with the JDK's built-in ImageIO codec — no external
+  * jars) and [[decodePng]] decodes them back pixel-exactly (PNG is
+  * lossless). Only the VIDEO path stays synthetic: [[frameSample]]
+  * treats its payload as opaque fixed-size frames, because no video
+  * codec ships in the JDK — that boundary is the one remaining stub.
   */
 object Multimodal {
 
@@ -23,7 +24,8 @@ object Multimodal {
       features: Array[Float])
 
   /** Synthesize an opaque media table from the documents table: payload =
-    * md5 bytes of the text (deterministic, binary-typed).
+    * md5 bytes of the text (deterministic, binary-typed). Used by the
+    * frame sampler, which never decodes.
     */
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
@@ -31,32 +33,91 @@ object Multimodal {
       concat(lit("img://"), col("doc_id")).as("media_ref"),
       unhex(md5(col("text"))).as("payload"))
 
-  /** ??? real decoder goes here — deterministic fake: dimensions and a
-    * 4-dim feature vector derived from payload bytes.
+  /** A real PNG whose dimensions derive from the seed bytes exactly like
+    * the opaque rule (w = 16 + seed(0)&0x3f, h = 16 + seed(1)&0x3f — so a
+    * SQL oracle can predict the decoded dimensions from md5(text)) and
+    * whose pixels are a deterministic function of (x, y, seed).
     */
-  def fakeDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val w = 16 + (payload(0) & 0x3f)
-    val h = 16 + (payload(1) & 0x3f)
-    val feats = new Array[Float](4)
-    var i = 0
-    while (i < payload.length) {
-      feats(i % 4) += (payload(i) & 0xff) / 255.0f
-      i += 1
+  def pngBytes(seed: Array[Byte]): Array[Byte] = {
+    val w = 16 + (seed(0) & 0x3f)
+    val h = 16 + (seed(1) & 0x3f)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (seed(x % 16) & 0xff) ^ ((y * 31) & 0xff)
+        val g = (seed(y % 16) & 0xff) ^ ((x * 17) & 0xff)
+        val b = (x * x + y) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
     }
-    (w, h, feats)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Media table with REAL PNG payloads: one image per document, seeded
+    * by md5(text). Typed mapPartitions (the encode is a per-row pure
+    * function — no shuffle, no fan-out).
+    */
+  def pngMediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          md.reset()
+          val seed = md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (id, s"img://$id", pngBytes(seed))
+        }
+      }
+      .toDF("doc_id", "media_ref", "payload")
+  }
+
+  /** Real image decode via the JDK's ImageIO: dimensions + a 4-dim
+    * feature vector (mean R, G, B and Rec.601 luma over all pixels —
+    * integer sums, so bit-deterministic across JVMs).
+    */
+  def decodePng(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h) * 255.0f
+    (w, h, Array(sr / n, sg / n, sb / n,
+      (0.299f * sr + 0.587f * sg + 0.114f * sb) / n))
   }
 
   /** Batched decode stage: one mapPartitions, grouped micro-batches (the
     * mapInPandas batch shape), never row-at-a-time.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame,
-                     batchSize: Int = 64): Dataset[MediaFeatures] = {
+                     batchSize: Int = 64,
+                     decode: Array[Byte] => (Int, Int, Array[Float]) = decodePng)
+      : Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("doc_id", "media_ref", "payload").as[MediaRow]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.map { r =>
-            val (w, h, f) = fakeDecode(r.payload)
+            val (w, h, f) = decode(r.payload)
             MediaFeatures(r.doc_id, r.media_ref, w, h, r.payload.length, f)
           }
         }

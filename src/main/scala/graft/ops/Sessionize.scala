@@ -65,40 +65,82 @@ object Sessionize {
   case class ClosedSession(user_id: Long, session_start: Long,
                            session_end: Long, n_events: Long)
 
+  /** Shared per-user session callback: closure-by-successor within and
+    * across micro-batches; with `timeoutFlush` the same callback also
+    * handles the watermark-driven timeout branch — a timed-out user's
+    * open session is emitted and the state removed.
+    */
+  private def sessionCallback(gapSeconds: Long, timeoutFlush: Boolean)
+      : (Long, Iterator[TimedEvent], GroupState[OpenSession]) => Iterator[ClosedSession] =
+    (user, it, state) =>
+      if (timeoutFlush && state.hasTimedOut) {
+        // watermark passed last+gap: no admissible event can extend this
+        // session any more — flush it and free the user's state
+        val s = state.get
+        state.remove()
+        Iterator.single(ClosedSession(user, s.start, s.last, s.n))
+      } else {
+        // within one micro-batch the iterator is unordered
+        val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+        var cur = state.getOption
+        evs.foreach { e =>
+          val t = e.ts.getTime / 1000
+          cur match {
+            case Some(s) if t - s.last > gapSeconds =>
+              closed += ClosedSession(user, s.start, s.last, s.n)
+              cur = Some(OpenSession(t, t, 1))
+            case Some(s) =>
+              cur = Some(OpenSession(s.start, t, s.n + 1))
+            case None =>
+              cur = Some(OpenSession(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          if (timeoutFlush)
+            // a timeout timestamp must sit above the current watermark
+            state.setTimeoutTimestamp(math.max(
+              s.last * 1000L + gapSeconds * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+        }
+        closed.iterator
+      }
+
   /** Streaming gap sessionization via `flatMapGroupsWithState` — the
     * custom-state operator that the batch window chain (q26) cannot
     * express incrementally. A session CLOSES when a later event of the
     * same user arrives more than `gapSeconds` after it (closure by
     * successor); the per-user state is exactly one open session, bounded
     * regardless of stream length. The still-open tail session stays in
-    * state (a production run adds EventTimeTimeout to flush idle users on
-    * watermark advance; same callback, one more branch).
+    * state — use [[gapSessionsEventTime]] in production so idle users'
+    * sessions flush on watermark advance instead of lingering forever.
     */
   def gapSessions(spark: SparkSession, events: Dataset[TimedEvent],
                   gapSeconds: Long = 1800): Dataset[ClosedSession] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user, it, state: GroupState[OpenSession]) =>
-          // within one micro-batch the iterator is unordered
-          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-          var cur = state.getOption
-          evs.foreach { e =>
-            val t = e.ts.getTime / 1000
-            cur match {
-              case Some(s) if t - s.last > gapSeconds =>
-                closed += ClosedSession(user, s.start, s.last, s.n)
-                cur = Some(OpenSession(t, t, 1))
-              case Some(s) =>
-                cur = Some(OpenSession(s.start, t, s.n + 1))
-              case None =>
-                cur = Some(OpenSession(t, t, 1))
-            }
-          }
-          cur.foreach(state.update)
-          closed.iterator
-      }
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionCallback(gapSeconds, timeoutFlush = false))
+  }
+
+  /** Production variant of [[gapSessions]]: watermarked input +
+    * `EventTimeTimeout`, so the tail session of a user who simply goes
+    * quiet is FLUSHED once the watermark passes last+gap — per-user state
+    * is freed instead of accumulating one open session per ever-seen
+    * user. Same callback, one more branch; closed-by-successor output is
+    * identical to [[gapSessions]] (events later than the watermark bound
+    * are the usual streaming late-data trade).
+    */
+  def gapSessionsEventTime(spark: SparkSession, events: Dataset[TimedEvent],
+                           gapSeconds: Long = 1800,
+                           watermarkDelay: String = "10 seconds"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionCallback(gapSeconds, timeoutFlush = true))
   }
 }

@@ -80,16 +80,37 @@ class OpsSpec extends AnyFunSuite {
     assert(b(1L) != b(3L)) // opposite vectors flip every plane sign
   }
 
-  test("multimodal stub: binary payloads decode deterministically in batches") {
+  test("multimodal: REAL PNG payloads round-trip through ImageIO in batches") {
     val d = docs((1, "hello world text", "s"), (2, "other doc", "s"))
-    val media = Multimodal.mediaTable(d)
+    val media = Multimodal.pngMediaTable(d)
     assert(media.schema("payload").dataType.typeName == "binary")
+    // payloads are genuine PNGs (magic bytes)
+    val payloads = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(payloads.values.forall(p =>
+      (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'))
     val f = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.doc_id)
     assert(f.length == 2)
-    assert(f.forall(x => x.n_bytes == 16 && x.width >= 16 && x.height >= 16))
-    // determinism
-    val f2 = Multimodal.decodeFeatures(spark, media).collect().sortBy(_.doc_id)
-    assert(f.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val texts = Map(1L -> "hello world text", 2L -> "other doc")
+    for (row <- f) {
+      md.reset()
+      val seed = md.digest(texts(row.doc_id).getBytes("UTF-8"))
+      // decoded dims equal the md5 rule the image was ENCODED with
+      assert(row.width == 16 + (seed(0) & 0x3f))
+      assert(row.height == 16 + (seed(1) & 0x3f))
+      assert(row.n_bytes == payloads(row.doc_id).length)
+      // pixel-feature parity with a direct driver-side decode (PNG is
+      // lossless: encode → distributed decode == local decode)
+      val (w2, h2, feats) = Multimodal.decodePng(Multimodal.pngBytes(seed))
+      assert((row.width, row.height) == (w2, h2))
+      assert(row.features.toSeq == feats.toSeq)
+      assert(row.features.forall(v => v > 0f && v < 1f))
+    }
+    // opaque video-ish path stays decode-free and deterministic
+    val stub = Multimodal.mediaTable(d)
+    val frames = Multimodal.frameSample(stub).collect()
+    assert(frames.length == 4) // 16-byte payload → frames 0 and 2 per doc
   }
 }
 

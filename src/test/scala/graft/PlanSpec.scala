@@ -89,6 +89,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!bm.toLowerCase.contains("generate"), s"lshBucketsMulti fans out:\n$bm")
   }
 
+  test("kmvEstimate plan carries no exact distinct aggregation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val est = graft.ops.Sketches.kmvEstimate(docs)
+    val p = est.queryExecution.executedPlan.toString
+    assert(!p.contains("count(distinct"), s"exact distinct in estimate plan:\n$p")
+    // and it still estimates: values equal the evaluation query's column
+    val a = est.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = graft.ops.Sketches.kmvDistinct(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
   test("minhash pairs: band table materialized once before the self-join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = graft.ops.Dedup.minhashPairs(docs)

@@ -171,6 +171,44 @@ class StatefulStreamSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS fsess")
   }
 
+  test("EventTimeTimeout flushes an idle user's tail session on watermark advance") {
+    val dir = Files.createTempDirectory("graft_tsess").toString
+    def ev(user: Long, id: Long, minute: Long) =
+      (user, id, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2026, 1, 1, 10, 0).plusMinutes(minute)))
+    def t(minute: Long) = ev(0, 0, minute)._3.getTime / 1000
+    // user 1 goes idle after minute 5; user 2's later events advance the
+    // watermark far past user 1's last+gap — the tail session must flush
+    // WITHOUT any successor event from user 1. Third batch needed: the
+    // watermark from b1 takes effect in the next micro-batch.
+    val b0 = Seq(ev(1, 1, 0), ev(1, 2, 5))
+    val b1 = Seq(ev(2, 10, 120))
+    val b2 = Seq(ev(2, 11, 121))
+    val sch = spark.createDataset(b0).toDF("user_id", "event_id", "ts").schema
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex) {
+      spark.createDataset(b).toDF("user_id", "event_id", "ts")
+        .coalesce(1).write.parquet(s"$dir/in/b$i")
+      Thread.sleep(1100) // distinct mod times: file source orders by them
+    }
+    val stream = spark.readStream.schema(sch)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*").as[Sessionize.TimedEvent]
+    val q = Sessionize.gapSessionsEventTime(spark, stream,
+        watermarkDelay = "1 second")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tsess")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT user_id, session_start, session_end, n_events FROM tsess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // user 1's idle tail session flushed by the timeout; user 2's session
+    // is still live (watermark has not passed ITS last+gap)
+    assert(got == Set((1L, t(0), t(5), 2L)), s"got=$got")
+    spark.sql("DROP TABLE IF EXISTS tsess")
+  }
+
   test("mapGroupsWithState running counts match batch aggregation") {
     val dir = Files.createTempDirectory("graft_state").toString
     val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
