@@ -245,6 +245,18 @@ object SparkEntry {
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred")
     }),
+    // ---- langid eval with REAL planted signal: the generator plants a
+    //      language-consistent vocabulary per doc; DuckDB recomputes the
+    //      full confusion matrix from the text independently (the input
+    //      corpus is dumped at verify time, never the predictions) ----
+    "q45_langid_planted" -> ((s, dir) => {
+      graft.gen.Goldens.writeLangDocs(s, 500)
+      val docs = graft.gen.CorpusGen.langDocs(s, 500, parts = 8)
+      graft.ops.TextOps.langId(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
     // ---- remaining star-schema dims: 3-level dim chain + pushdown agg ----
     "q42_supplier_region" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
@@ -884,6 +896,32 @@ object SparkEntry {
         |  FROM s)
         |SELECT d.lang, p.lang_pred, count(*) AS n
         |FROM p JOIN documents d ON d.doc_id = p.doc_id
+        |GROUP BY d.lang, p.lang_pred ORDER BY d.lang, p.lang_pred""".stripMargin,
+    "q45_langid_planted" ->
+      s"""WITH d AS (SELECT doc_id, lang, text
+        |  FROM read_parquet('${graft.gen.Goldens.root}/lang_docs/*.parquet')),
+        | s AS (SELECT doc_id,
+        | len(list_filter(str_split(text,' '), w -> w = 'the'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'and'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'is')) AS score_en,
+        | len(list_filter(str_split(text,' '), w -> w = 'der'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'und'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'das')) AS score_de,
+        | len(list_filter(str_split(text,' '), w -> w = 'le'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'et'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'la')) AS score_fr,
+        | len(list_filter(str_split(text,' '), w -> w = 'el'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'y'))
+        | + len(list_filter(str_split(text,' '), w -> w = 'la')) AS score_es
+        | FROM d),
+        | p AS (SELECT doc_id,
+        |  CASE WHEN score_en = greatest(score_en,score_de,score_fr,score_es) THEN 'en'
+        |       WHEN score_de = greatest(score_en,score_de,score_fr,score_es) THEN 'de'
+        |       WHEN score_fr = greatest(score_en,score_de,score_fr,score_es) THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |  FROM s)
+        |SELECT d.lang, p.lang_pred, count(*) AS n
+        |FROM p JOIN d ON d.doc_id = p.doc_id
         |GROUP BY d.lang, p.lang_pred ORDER BY d.lang, p.lang_pred""".stripMargin,
     "q42_supplier_region" ->
       """SELECT r_name, count(*) AS n_suppliers,

@@ -276,4 +276,41 @@ object CorpusGen {
     import spark.implicits._
     spark.createDataset(aliasDict)
   }
+
+  // ---- language-planted corpus (for evaluating language-ID with REAL
+  //      signal — the driver's documents table has none, see q44 note) ----
+
+  /** Per-language filler vocabularies: each language's marker words
+    * (shared with TextOps.langId) plus language-specific neutral words.
+    * fr/es deliberately share "la" — the realistic confusion source.
+    */
+  val langNames: Vector[String] = Vector("en", "de", "fr", "es")
+  private val langVocab: Map[String, Vector[String]] = Map(
+    "en" -> Vector("the", "and", "is", "house", "city", "river", "old",
+      "new", "year", "man", "woman", "from"),
+    "de" -> Vector("der", "und", "das", "haus", "stadt", "fluss", "alt",
+      "neu", "jahr", "mann", "frau", "von"),
+    "fr" -> Vector("le", "et", "la", "maison", "ville", "fleuve", "vieux",
+      "nouveau", "annee", "homme", "femme", "avec"),
+    "es" -> Vector("el", "y", "la", "casa", "ciudad", "rio", "viejo",
+      "nuevo", "ano", "hombre", "mujer", "con"))
+
+  /** One language-consistent document: (doc_id, planted lang, text of
+    * 30-60 uniform vocabulary draws). Deterministic per index.
+    */
+  def genLangDoc(i: Long): (Long, String, String) = {
+    val rng = new Rng(~i) // distinct stream family from genDoc(i)
+    val lang = langNames(rng.nextInt(langNames.size))
+    val vocab = langVocab(lang)
+    val n = 30 + rng.nextInt(31)
+    val words = Vector.fill(n)(vocab(rng.nextInt(vocab.size)))
+    (i, lang, words.mkString(" "))
+  }
+
+  /** Language-planted corpus table (doc_id, lang, text). */
+  def langDocs(spark: SparkSession, n: Long, parts: Int = 32): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, parts).mapPartitions(_.map(i => genLangDoc(i)))
+      .toDF("doc_id", "lang", "text")
+  }
 }

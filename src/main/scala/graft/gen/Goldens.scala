@@ -110,4 +110,15 @@ object Goldens {
     import spark.implicits._
     write(spark, name, spark.createDataset(evalGolden(n)).toDF())
   }
+
+  /** Language-planted INPUT corpus, written sequentially on the driver so
+    * the DuckDB oracle can recompute the whole langid confusion matrix
+    * from the text independently of the Spark plan under test.
+    */
+  def writeLangDocs(spark: SparkSession, n: Int): Unit = {
+    import spark.implicits._
+    val rows = (0 until n).map(i => CorpusGen.genLangDoc(i.toLong))
+    write(spark, "lang_docs",
+      spark.createDataset(rows).toDF("doc_id", "lang", "text"))
+  }
 }

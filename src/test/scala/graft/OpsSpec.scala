@@ -49,6 +49,18 @@ class OpsSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getDouble(2) == 1.0)
   }
 
+  test("langId recovers the PLANTED language on a language-consistent corpus") {
+    // the reference's evaluation culture (bert.py:276-295) applied to the
+    // language-ID operator: accuracy against planted truth, not just shape
+    val d = graft.gen.CorpusGen.langDocs(spark, 400, parts = 4)
+    val joined = graft.ops.TextOps.langId(d)
+      .join(d.select("doc_id", "lang"), "doc_id")
+    val acc = joined.where(col("lang_pred") === col("lang")).count() / 400.0
+    assert(acc > 0.9, s"langid accuracy $acc not above 0.9 (chance = 0.25)")
+    // every language is actually present in the corpus
+    assert(d.select("lang").distinct().count() == 4)
+  }
+
   test("langid picks the marker-dominant language") {
     val d = docs(
       (1, "the cat and the dog is here", "s"),
