@@ -126,22 +126,54 @@ object Linker {
   /** Slim salted-join for the pipeline: the mention side is a
     * pre-normalized projection (doc_id, span_offset, sentence_idx,
     * surface_norm, entity_type) — no original surface, no word offsets —
-    * the minimum payload the linking join needs to carry through the
-    * shuffle and the persist feeding it. Grouping on surface_norm (not
-    * the raw surface) is output-equivalent for triple assembly:
-    * same-norm same-type mentions of one sentence link to the same
-    * entity with the same conf, and triple materialization dedups per
-    * (doc, entity) anyway.
+    * the minimum payload the linking join needs.
+    *
+    * Candidate scoring is precomputed ON THE DICTIONARY SIDE: per
+    * surface, the best alias per type plus the type-agnostic fallback
+    * (an O(dictionary) aggregation, independent of the corpus). The
+    * mention-side link is then a pure join + map lookup — the corpus is
+    * NEVER re-shuffled on a wide mention key for scoring (the previous
+    * form aggregated every mention row post-join). Output is one row per
+    * mention OCCURRENCE (not per distinct key) — equivalent for triple
+    * assembly, which dedups per (doc, entity) and takes max conf / first
+    * occurrence anyway.
     */
   def linkSaltedSlim(spark: SparkSession, m: DataFrame,
                      aliases: Dataset[Alias], saltBuckets: Int = 8,
                      skewKeys: Option[Seq[String]] = None): Dataset[SlimLinked] = {
     import spark.implicits._
     val skew = skewKeys.getOrElse(inferSkewKeysNorm(spark, m))
-    saltedBest(m, aliases, saltBuckets, skew,
-        Seq("doc_id", "span_offset", "sentence_idx", "surface_norm", "entity_type"))
+    val skewArr =
+      if (skew.isEmpty) array(lit(" ")) else array(skew.map(lit): _*)
+    // dictionary-side scoring: best candidate per (surface, type) + the
+    // any-type fallback, folded into ONE row per surface
+    val ord = struct(negate(col("best_t.prior")), col("best_t.entity_id"))
+    val best = aliases
+      .groupBy("surface_norm", "entity_type")
+      .agg(min_by(
+        struct(col("entity_id"), col("prior")),
+        struct(negate(col("prior")), col("entity_id"))).as("best_t"))
+      .groupBy("surface_norm")
+      .agg(
+        map_from_entries(collect_list(struct(col("entity_type"), col("best_t"))))
+          .as("by_type"),
+        min_by(col("best_t"), ord).as("any_best"))
+    // skew-aware salting: heads replicated saltBuckets×, rest on salt 0
+    val bestSalted = best
+      .withColumn("salts",
+        when(array_contains(skewArr, col("surface_norm")),
+          sequence(lit(0), lit(saltBuckets - 1)))
+          .otherwise(array(lit(0))))
+      .withColumn("salt", explode(col("salts"))).drop("salts")
+    val salted = m.withColumn("salt",
+      when(array_contains(skewArr, col("surface_norm")),
+        pmod(hash(col("doc_id")), lit(saltBuckets))).otherwise(lit(0)))
+    val picked = coalesce(
+      element_at(col("by_type"), col("entity_type")), col("any_best"))
+    salted.join(bestSalted, Seq("surface_norm", "salt"), "inner")
       .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
-        col("best.entity_id").as("entity_id"), col("best.prior").as("conf"))
+        picked.getField("entity_id").as("entity_id"),
+        picked.getField("prior").as("conf"))
       .as[SlimLinked]
   }
 

@@ -152,10 +152,19 @@ object Dedup {
     */
   def lshJaccardPairs(docs: DataFrame, bands: Int = 4, rows: Int = 2,
                       minJaccard: Double = 0.0): DataFrame = {
-    val cand = minhashPairs(docs, bands, rows)
-    val sets = docs.select(col("doc_id"),
+    // candidate pairs materialized once (three consumers below); the
+    // shingle-set table is computed ONLY for docs that appear in some
+    // candidate pair — a semi join prunes the corpus scan BEFORE the
+    // expensive shingling (previously the full-corpus set table was
+    // derived twice, once per join side). candidates ≪ corpus at scale.
+    val cand = minhashPairs(docs, bands, rows).localCheckpoint()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
         array_distinct(TextOps.shingles3(col("text"))).as("shs"))
       .where(size(col("shs")) > 0)
+      .localCheckpoint() // candidate-sized; read by both joins below
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), "doc_b")

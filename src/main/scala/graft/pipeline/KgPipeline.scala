@@ -206,6 +206,13 @@ object KgPipeline {
         // only the join payload (surface_norm + key + type) for the
         // skew-defused shuffle join; relations (dictionary-light) are
         // linked inline via broadcast and cached already-canonicalized.
+        // skew keys from a 1% SENTENCE sample detected separately — a
+        // Zipf head survives heavy sampling, and the hint costs ~1% of
+        // one detect pass instead of a full scan of the cached stage
+        val skew = Linker.inferSkewKeys(spark,
+          detectMentions(spark, sents.sample(0.01, 42),
+            new GazetteerTagger(gazetteer), cfg),
+          sampleFraction = 1.0)
         val slim = detectRows(spark, sents, new GazetteerTagger(gazetteer), cfg)
           .flatMap { row =>
             if (row.mention != null) {
@@ -223,10 +230,12 @@ object KgPipeline {
             }
           }
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize ONCE before the two consumers below — without this
+        // the union's branches race and recompute detect partitions
+        slim.count()
         val mentions = slim.filter(_.r == null).toDF()
           .select("doc_id", "span_offset", "sentence_idx", "surface_norm",
             "entity_type")
-        val skew = Linker.inferSkewKeysNorm(spark, mentions)
         val linked = Linker.linkSaltedSlim(spark, mentions, aliases,
           cfg.saltBuckets, Some(skew))
         val mUnits = linked.map { lm =>
