@@ -276,6 +276,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(avg("p_retailprice"), 4).as("avg_price"))
         .orderBy("p_brand")),
+    // ---- corpus-curation filters (Gopher/C4-family, decontamination) ----
+    "q46_repetition" -> ((s, dir) =>
+      graft.ops.Filters.repetitionStats(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+    "q47_sample_budget" -> ((s, dir) =>
+      graft.ops.Filters.sampleToBudget(t(s, dir, "documents"), budgetTokens = 1000)
+        .orderBy("source")),
+    "q48_contamination" -> ((s, dir) =>
+      graft.ops.Filters.contamination(t(s, dir, "documents"))
+        .orderBy("doc_id")),
     // ---- BPE-ish regex token counting (whitespace twin: q13) ----
     "q40_token_bpe" -> ((s, dir) =>
       graft.ops.TextOps.bpeTokenCount(t(s, dir, "documents")).orderBy("doc_id")),
@@ -933,6 +943,62 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
         |FROM part WHERE p_size BETWEEN 1 AND 25
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q46_repetition" ->
+      """WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+        | base AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+        |   len(list_distinct(ws))::BIGINT AS n_distinct FROM w),
+        | bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |   i -> ws[i]||' '||ws[i+1])) AS b FROM w),
+        | tb AS (SELECT doc_id, max(c)::BIGINT AS top_c FROM (
+        |   SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+        |   GROUP BY doc_id),
+        | posr AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i FROM w),
+        | pos AS (SELECT doc_id, i, ws[i] AS word FROM posr),
+        | runs AS (SELECT doc_id, word,
+        |   i - row_number() OVER (PARTITION BY doc_id, word ORDER BY i) AS g
+        |   FROM pos),
+        | mr AS (SELECT doc_id, max(c)::BIGINT AS max_run FROM (
+        |   SELECT doc_id, count(*) AS c FROM runs GROUP BY doc_id, word, g)
+        |   GROUP BY doc_id)
+        |SELECT base.doc_id, base.n_words, base.n_distinct,
+        | round(1 - base.n_distinct::DOUBLE / base.n_words, 6) AS dup_word_ratio,
+        | round(coalesce(tb.top_c, 0)::DOUBLE / greatest(base.n_words - 1, 1), 6)
+        |   AS top_bigram_ratio,
+        | mr.max_run
+        |FROM base LEFT JOIN tb ON tb.doc_id = base.doc_id
+        |JOIN mr ON mr.doc_id = base.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+    "q47_sample_budget" ->
+      """WITH toks AS (SELECT source, doc_id,
+        |   len(str_split(text,' '))::BIGINT AS n_tokens FROM documents),
+        | totals AS (SELECT source, sum(n_tokens)::BIGINT AS total_tokens
+        |   FROM toks GROUP BY source),
+        | t2 AS (SELECT source, total_tokens,
+        |   least(1000000, 1000000000::BIGINT // total_tokens)::BIGINT AS keep_ppm
+        |   FROM totals),
+        | kept AS (SELECT toks.source, count(*)::BIGINT AS n_docs_kept,
+        |   sum(n_tokens)::BIGINT AS tokens_kept
+        |   FROM toks JOIN t2 ON toks.source = t2.source
+        |   WHERE ('0x'||substr(md5(doc_id||'_samp'),1,15))::BIGINT % 1000000 < keep_ppm
+        |   GROUP BY toks.source)
+        |SELECT t2.source, t2.total_tokens, t2.keep_ppm,
+        | coalesce(n_docs_kept, 0)::BIGINT AS n_docs_kept,
+        | coalesce(tokens_kept, 0)::BIGINT AS tokens_kept
+        |FROM t2 LEFT JOIN kept ON kept.source = t2.source
+        |ORDER BY t2.source""".stripMargin,
+    "q48_contamination" ->
+      """WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+        | g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(ws)-7,0)+1),
+        |   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+        |     ||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]))) AS gram FROM w),
+        | bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+        | hits AS (SELECT doc_id, count(*)::BIGINT AS n_hits
+        |   FROM g JOIN bench USING (gram) WHERE doc_id >= 20 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q40_token_bpe" ->
       """SELECT doc_id, len(str_split(text,' ')) AS n_ws_tokens,
         | len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import TextOps.hexInt
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingestion and tokenization: repetition-based quality signals
+  * (the Gopher/C4 family of filters, Rae et al. 2021 §A1.1 — public),
+  * deterministic downsampling of over-represented sources to a token
+  * budget, and benchmark decontamination (n-gram overlap screening,
+  * GPT-3 appendix C style). All randomness is md5-derived, so every
+  * operator replays bit-identically in the DuckDB oracles.
+  */
+object Filters {
+
+  /** Per-document repetition signals in ONE typed pass (zero shuffle,
+    * zero fan-out — the DuckDB twin explodes words and bigrams; this
+    * kernel keeps per-doc hash maps, bounded by the doc's vocabulary):
+    *   - dup_word_ratio: 1 − |distinct words| / |words|
+    *   - top_bigram_ratio: occurrences of the most frequent bigram /
+    *     (|words| − 1)
+    *   - max_run: longest run of consecutive identical words.
+    * High values of any signal mark degenerate machine text for removal.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val ws = text.split(" ", -1)
+          val nw = ws.length
+          val distinct = new java.util.HashSet[String]()
+          val bigrams = new java.util.HashMap[String, Int]()
+          var maxRun = 1
+          var run = 1
+          var topBigram = 0
+          var i = 0
+          while (i < nw) {
+            distinct.add(ws(i))
+            if (i > 0) {
+              if (ws(i) == ws(i - 1)) { run += 1; if (run > maxRun) maxRun = run }
+              else run = 1
+              val b = ws(i - 1) + " " + ws(i)
+              val c = bigrams.merge(b, 1, Integer.sum)
+              if (c > topBigram) topBigram = c
+            }
+            i += 1
+          }
+          val dupRatio = AnnKernels.round6(1.0 - distinct.size.toDouble / nw)
+          val topRatio =
+            if (nw < 2) 0.0
+            else AnnKernels.round6(topBigram.toDouble / (nw - 1))
+          (id, nw.toLong, distinct.size.toLong, dupRatio, topRatio, maxRun.toLong)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_distinct", "dup_word_ratio",
+        "top_bigram_ratio", "max_run")
+  }
+
+  /** Downsample each source to ~`budgetTokens` whitespace tokens with a
+    * deterministic md5 Bernoulli draw: keep_ppm = min(10^6,
+    * budget·10^6 div total_tokens) — integer division, so both engines
+    * agree exactly — and doc survives iff h60(doc_id‖"_samp") mod 10^6 <
+    * keep_ppm. The per-source totals are one aggregation; the filter is
+    * a broadcast join + pure column predicate — the corpus is scanned
+    * once and never shuffled. Returns the per-source sampling report.
+    */
+  def sampleToBudget(docs: DataFrame, budgetTokens: Long = 5000): DataFrame = {
+    val toks = docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val totals = toks.groupBy("source")
+      .agg(sum("n_tokens").as("total_tokens"))
+      .withColumn("keep_ppm",
+        least(lit(1000000L),
+          expr(s"CAST(${budgetTokens * 1000000L} AS BIGINT) div total_tokens")))
+    val kept = toks.join(broadcast(totals), "source")
+      .where(pmod(hexInt(concat(col("doc_id"), lit("_samp"))), lit(1000000L))
+        < col("keep_ppm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum("n_tokens").as("tokens_kept"))
+    totals.join(kept, Seq("source"), "left")
+      .select(col("source"), col("total_tokens"), col("keep_ppm"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+  }
+
+  /** Benchmark decontamination: count, per corpus doc, the distinct word
+    * `n`-grams it shares with a benchmark set (docs with id <
+    * `benchMaxId` stand in for the held-out benchmark). The benchmark
+    * gram set is dictionary-sized and broadcast; corpus grams fan out
+    * only into an immediately-joined stream (never shuffled on the gram
+    * key). One row per NON-benchmark doc, n_hits = 0 when clean.
+    */
+  def contamination(docs: DataFrame, benchMaxId: Long = 20, n: Int = 8): DataFrame = {
+    val grams = array_distinct(TextOps.shinglesN(col("text"), n))
+    val bench = docs.where(col("doc_id") < benchMaxId)
+      .select(explode(grams).as("gram")).distinct()
+    val corpus = docs.where(col("doc_id") >= benchMaxId)
+    val hits = corpus.select(col("doc_id"), explode(grams).as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+}

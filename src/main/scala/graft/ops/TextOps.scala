@@ -99,16 +99,19 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
         .cast("long").as("n_bpe_tokens"))
 
-  /** Word-3-gram shingles of a text column (slice is 1-based; DuckDB twin
+  /** Word n-gram shingles of a text column (slice is 1-based; DuckDB twin
     * uses 1-based list slicing over the same index range).
     */
-  def shingles3(text: Column): Column = {
+  def shinglesN(text: Column, n: Int): Column = {
     val w = split(text, " ")
-    when(size(w) >= 3,
-      transform(sequence(lit(0), size(w) - 3),
-        i => concat_ws(" ", slice(w, i + 1, lit(3)))))
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Word-3-gram shingles (the dedup family's unit). */
+  def shingles3(text: Column): Column = shinglesN(text, 3)
 
   /** Document fingerprint: min/max over word-3-gram hashes + full md5 —
     * a locality-insensitive content signature (rolling-hash analog).

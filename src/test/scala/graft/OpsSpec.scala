@@ -49,6 +49,51 @@ class OpsSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getDouble(2) == 1.0)
   }
 
+  test("repetitionStats: planted degenerate docs score high, clean docs low") {
+    import graft.ops.Filters
+    val d = docs(
+      (1, "a a a a b", "s"),          // run of 4, heavy dup
+      (2, "x y x y x y x y", "s"),    // one bigram pair dominating
+      (3, "the quick brown fox jumps", "s")) // clean
+    val r = Filters.repetitionStats(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1).getLong(5) == 4)                     // max_run
+    assert(r(1).getDouble(3) == 0.6)                 // 1 - 2/5
+    assert(r(2).getDouble(4) == 0.571429)            // "y x" 4/7
+    assert(r(3).getDouble(3) == 0.0 && r(3).getLong(5) == 1)
+  }
+
+  test("sampleToBudget: deterministic, budget-bounded, small sources kept whole") {
+    import graft.ops.Filters
+    val rows = (0L until 200L).map(i =>
+      (i, (0 until 10).map(j => s"w${i}_$j").mkString(" "),
+        if (i < 180) "big" else "small"))
+    val d = docs(rows: _*)
+    val r = Filters.sampleToBudget(d, budgetTokens = 500).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // small source: 20 docs × 10 tokens = 200 ≤ 500 → keep_ppm = 10^6, all kept
+    assert(r("small").getLong(2) == 1000000L && r("small").getLong(3) == 20L)
+    // big source: 1800 tokens → ppm 277777; kept tokens well under 2× budget
+    assert(r("big").getLong(2) == 277777L)
+    assert(r("big").getLong(4) < 1000L && r("big").getLong(3) > 10L)
+    // deterministic replay
+    val r2 = Filters.sampleToBudget(d, budgetTokens = 500).collect()
+      .map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(r2 == r.map { case (k, v) => k -> v.getLong(3) })
+  }
+
+  test("contamination: planted benchmark overlap detected, clean docs zero") {
+    import graft.ops.Filters
+    val benchText = (1 to 12).map(i => s"b$i").mkString(" ")
+    val d = docs(
+      (5, benchText, "s"),                                  // benchmark doc
+      (100, "c1 c2 " + (1 to 9).map(i => s"b$i").mkString(" "), "s"), // 2 shared 8-grams
+      (101, "clean words only here nothing shared at all", "s"))
+    val r = Filters.contamination(d, benchMaxId = 20, n = 8).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(100L -> 2L, 101L -> 0L))
+  }
+
   test("langId recovers the PLANTED language on a language-consistent corpus") {
     // the reference's evaluation culture (bert.py:276-295) applied to the
     // language-ID operator: accuracy against planted truth, not just shape
