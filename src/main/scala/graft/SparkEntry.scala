@@ -286,6 +286,28 @@ object SparkEntry {
     "q48_contamination" -> ((s, dir) =>
       graft.ops.Filters.contamination(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // ---- vocabulary construction + coverage (tokenizer preparation) ----
+    "q49_vocab_build" -> ((s, dir) =>
+      graft.ops.VocabOps.buildVocab(t(s, dir, "documents"), k = 1000)
+        .orderBy("rank")),
+    "q50_oov_rate" -> ((s, dir) =>
+      graft.ops.VocabOps.oovRate(t(s, dir, "documents"), k = 100)
+        .orderBy("source")),
+    // ---- KG graph analytics over the materialized triple store; the
+    //      oracle reads the SAME co-occurrence graph from the sequential
+    //      golden (hash-verified identical to the pipeline's output) ----
+    "q51_kg_degrees" -> ((s, dir) => {
+      graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
+      val docs = CorpusGen.docs(s, 500, parts = 8)
+      val triples = KgPipeline.run(s, docs, CorpusGen.aliases(s))
+      graft.kg.GraphOps.degreeDistribution(triples).orderBy("degree")
+    }),
+    "q52_kg_pagerank" -> ((s, dir) => {
+      graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
+      val docs = CorpusGen.docs(s, 500, parts = 8)
+      val triples = KgPipeline.run(s, docs, CorpusGen.aliases(s))
+      graft.kg.GraphOps.pageRank(triples, iters = 3).orderBy("entity")
+    }),
     // ---- BPE-ish regex token counting (whitespace twin: q13) ----
     "q40_token_bpe" -> ((s, dir) =>
       graft.ops.TextOps.bpeTokenCount(t(s, dir, "documents")).orderBy("doc_id")),
@@ -999,6 +1021,63 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
         |LEFT JOIN hits h ON h.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q49_vocab_build" ->
+      """WITH c AS (SELECT word, count(*) AS freq FROM (
+        |   SELECT unnest(str_split(text,' ')) AS word FROM documents)
+        |   GROUP BY word),
+        | t AS (SELECT word, freq,
+        |   row_number() OVER (ORDER BY freq DESC, word ASC) AS rank FROM c)
+        |SELECT rank::BIGINT AS rank, word, freq::BIGINT AS freq
+        |FROM t WHERE rank <= 1000 ORDER BY rank""".stripMargin,
+    "q50_oov_rate" ->
+      """WITH toks AS (SELECT source, unnest(str_split(text,' ')) AS word
+        |   FROM documents),
+        | c AS (SELECT word, count(*) AS freq FROM toks GROUP BY word),
+        | v AS (SELECT word FROM (SELECT word,
+        |   row_number() OVER (ORDER BY freq DESC, word ASC) AS rank FROM c)
+        |   WHERE rank <= 100),
+        | tot AS (SELECT source, count(*) AS n_tokens FROM toks GROUP BY source),
+        | oov AS (SELECT source, count(*) AS n_oov FROM toks
+        |   WHERE word NOT IN (SELECT word FROM v) GROUP BY source)
+        |SELECT tot.source, tot.n_tokens::BIGINT AS n_tokens,
+        | coalesce(oov.n_oov, 0)::BIGINT AS n_oov,
+        | round(coalesce(oov.n_oov, 0)::DOUBLE / tot.n_tokens, 6) AS oov_rate
+        |FROM tot LEFT JOIN oov ON oov.source = tot.source
+        |ORDER BY tot.source""".stripMargin,
+    "q51_kg_degrees" ->
+      s"""WITH co AS (SELECT DISTINCT subj AS src, obj AS dst
+        |   FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')
+        |   WHERE pred = 'co_occurs_with'),
+        | sym AS (SELECT src, dst FROM co UNION ALL SELECT dst, src FROM co),
+        | deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY src)
+        |SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_entities
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+    "q52_kg_pagerank" ->
+      s"""WITH co AS (SELECT DISTINCT subj AS src, obj AS dst
+        |   FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')
+        |   WHERE pred = 'co_occurs_with'),
+        | sym AS (SELECT src, dst FROM co UNION ALL SELECT dst, src FROM co),
+        | deg AS (SELECT src, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+        | r0 AS (SELECT src AS entity, 1000000::BIGINT AS rank FROM deg),
+        | c1 AS (SELECT sym.dst, sum(r0.rank // deg.deg)::BIGINT AS in_sum
+        |   FROM sym JOIN deg ON sym.src = deg.src JOIN r0 ON r0.entity = sym.src
+        |   GROUP BY sym.dst),
+        | r1 AS (SELECT deg.src AS entity,
+        |   (150000 + (850 * coalesce(in_sum, 0)) // 1000)::BIGINT AS rank
+        |   FROM deg LEFT JOIN c1 ON c1.dst = deg.src),
+        | c2 AS (SELECT sym.dst, sum(r1.rank // deg.deg)::BIGINT AS in_sum
+        |   FROM sym JOIN deg ON sym.src = deg.src JOIN r1 ON r1.entity = sym.src
+        |   GROUP BY sym.dst),
+        | r2 AS (SELECT deg.src AS entity,
+        |   (150000 + (850 * coalesce(in_sum, 0)) // 1000)::BIGINT AS rank
+        |   FROM deg LEFT JOIN c2 ON c2.dst = deg.src),
+        | c3 AS (SELECT sym.dst, sum(r2.rank // deg.deg)::BIGINT AS in_sum
+        |   FROM sym JOIN deg ON sym.src = deg.src JOIN r2 ON r2.entity = sym.src
+        |   GROUP BY sym.dst),
+        | r3 AS (SELECT deg.src AS entity,
+        |   (150000 + (850 * coalesce(in_sum, 0)) // 1000)::BIGINT AS rank
+        |   FROM deg LEFT JOIN c3 ON c3.dst = deg.src)
+        |SELECT entity, rank FROM r3 ORDER BY entity""".stripMargin,
     "q40_token_bpe" ->
       """SELECT doc_id, len(str_split(text,' ')) AS n_ws_tokens,
         | len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vocabulary construction + coverage evaluation — the corpus side of
+  * tokenizer preparation (the reference ships a fixed vocab.txt and
+  * builds pre-training corpora around it; a from-scratch pipeline has to
+  * BUILD that vocabulary from the corpus and measure its coverage).
+  */
+object VocabOps {
+
+  /** Top-k vocabulary by corpus frequency, ties broken by word: one
+    * word-count aggregation (map-side combined) + a bounded TakeOrdered —
+    * the global rank window runs over k rows, never the corpus.
+    */
+  def buildVocab(docs: DataFrame, k: Int = 1000): DataFrame = {
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("word")).limit(k)
+    counts.withColumn("rank",
+        row_number().over(Window.orderBy(desc("freq"), asc("word")))
+          .cast("long"))
+      .select("rank", "word", "freq")
+  }
+
+  /** Out-of-vocabulary rate per source against the top-k vocabulary —
+    * the coverage loop a tokenizer's vocab size is tuned with. The vocab
+    * is dictionary-sized (broadcast); tokens stream through one
+    * left-anti-style membership check and a per-source count.
+    */
+  def oovRate(docs: DataFrame, k: Int = 100): DataFrame = {
+    val vocab = buildVocab(docs, k).select("word")
+    val toks = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("word"))
+    val oov = toks.join(broadcast(vocab), Seq("word"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_oov"))
+    toks.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+      .join(oov, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("n_oov"), lit(0L)) / col("n_tokens"), 6)
+          .as("oov_rate"))
+  }
+}

@@ -258,6 +258,44 @@ class AnnKernelSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** KG graph analytics: hand-computed integer PageRank + degree shape. */
+class GraphOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import graft.model.Triple
+
+  private def co(a: String, b: String) =
+    Triple(a, "co_occurs_with", b, "d", 0, 1.0, -1, -1)
+
+  test("integer pagerank on a path graph matches the hand computation") {
+    import spark.implicits._
+    val triples = spark.createDataset(Seq(co("a", "b"), co("b", "c")))
+    val r = graft.kg.GraphOps.pageRank(triples, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // r0 = 1e6 each; three exact integer-div iterations (damping .85):
+    assert(r == Map("a" -> 629187L, "b" -> 1741625L, "c" -> 629187L), r)
+    val d = graft.kg.GraphOps.degreeDistribution(triples).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(d == Map(1L -> 2L, 2L -> 1L))
+  }
+}
+
+/** Vocabulary construction + OOV coverage. */
+class VocabOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("buildVocab ranks by freq desc then word asc; oovRate counts the tail") {
+    val d = Seq((1L, "b b a a c", "s1"), (2L, "a b zz", "s2"))
+      .toDF("doc_id", "text", "source")
+    val v = graft.ops.VocabOps.buildVocab(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(v.toSeq == Seq((1L, "a", 3L), (2L, "b", 3L)))
+    val o = graft.ops.VocabOps.oovRate(d, k = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(o == Map("s1" -> ((5L, 1L)), "s2" -> ((3L, 1L))))
+  }
+}
+
 /** MinHash family on a STRING-keyed corpus (the KG doc table shape) —
   * guards the id-type round-trip (a hard long cast would null these). */
 class DedupIdTypeSpec extends org.scalatest.funsuite.AnyFunSuite {
