@@ -154,19 +154,68 @@ object Ann {
     * centroids by dot (broadcast — the centroid set is dictionary-sized),
     * keeping the top `probes` cells.
     */
+  /** Cell assignment against an explicit (cent_id, cv) centroid table. */
+  private def assignCells(e: DataFrame, cents: DataFrame,
+                          probes: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("dot"), asc("cent_id"))
+    e.join(broadcast(cents))
+      .select(col("vec_id"),
+        col("cent_id"),
+        AnnKernels.dot6Col(e.sparkSession, col("v"), col("cv")).as("dot"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= probes)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("rn"))
+  }
+
   private def centroidAssign(emb: DataFrame, centroidMod: Int,
                              probes: Int): DataFrame = {
     val e = emb.select(col("vec_id"), vcol.as("v"))
     val cents = e.where(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("dot"), asc("cent_id"))
-    e.join(broadcast(cents))
-      .select(col("vec_id"),
-        col("cent_id"),
-        AnnKernels.dot6Col(emb.sparkSession, col("v"), col("cv")).as("dot"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= probes)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("rn"))
+    assignCells(e, cents, probes)
+  }
+
+  /** IVF top-k against TRAINED spherical-k-means centroids
+    * ([[Kmeans.train]]) — the production coarse quantizer the
+    * modulo-seeded [[ivfTopK]] stands in for in the cross-engine oracle
+    * (k-means mean updates are FP-summation-order dependent, so the
+    * trained path is engine-tested — KmeansSpec recall comparison —
+    * rather than DuckDB-replayed).
+    */
+  /** Trained centroid table (cent_id, cv) from spherical k-means. */
+  def trainedCentroids(emb: DataFrame, nCentroids: Int = 10,
+                       trainIters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (cs, _) = Kmeans.train(emb, nCentroids, trainIters)
+    spark.createDataset(cs.toSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) })
+      .toDF("cent_id", "cv")
+  }
+
+  /** Cell per vector under the trained quantizer. */
+  def ivfCellsTrained(emb: DataFrame, nCentroids: Int = 10,
+                      trainIters: Int = 5): DataFrame = {
+    val e = emb.select(col("vec_id"), vcol.as("v"))
+    assignCells(e, trainedCentroids(emb, nCentroids, trainIters), 1)
+      .select("vec_id", "cell")
+  }
+
+  def ivfTopKTrained(emb: DataFrame, k: Int = 5, nCentroids: Int = 10,
+                     trainIters: Int = 5, probes: Int = 2,
+                     queryMod: Int = 25): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = trainedCentroids(emb, nCentroids, trainIters)
+    val e = emb.select(col("vec_id"), vcol.as("v"))
+    val cells = assignCells(e, cents, 1)
+      .select(col("vec_id"), col("cell"))
+    val ec = e.join(cells, "vec_id")
+    val qc = assignCells(e, cents, probes)
+      .where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("cell").as("qc"))
+    val q = qc.join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+    topK(q.join(ec, col("qc") === col("cell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), cosine6(spark).as("cosine")), k)
   }
 
   /** IVF coarse quantization: cell = argmax-dot centroid. Search

@@ -48,6 +48,21 @@ class SomajoFixtureSpec extends AnyFunSuite {
     assert(s.flatten.forall(t => !t.contains(" ") && t.nonEmpty))
   }
 
+  test("multi-dot abbreviations survive whole mid-sentence (z.B., u.a.)") {
+    val s = SentenceSplitter.sentences(
+      "Es gab z.B. viele Seiten. Danach kam mehr.")
+    assert(s.length == 2)
+    assert(s(0).toSeq == Seq("Es", "gab", "z.B.", "viele", "Seiten", "."))
+  }
+
+  test("parentheses detach; hyphenated compounds stay whole") {
+    val s = SentenceSplitter.sentences(
+      "Die Nord-Süd-Verbindung (siehe Anhang). Ende.")
+    assert(s.length == 2)
+    assert(s(0).toSeq == Seq("Die", "Nord-Süd-Verbindung", "(",
+      "siehe", "Anhang", ")", "."))
+  }
+
   test("question/exclamation/colon-free flow keeps one sentence") {
     val s = SentenceSplitter.sentences("Wien ist gross und Berlin ist alt")
     assert(s.length == 1)
