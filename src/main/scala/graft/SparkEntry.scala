@@ -216,6 +216,23 @@ object SparkEntry {
     "q33_dedup_clusters" -> ((s, dir) =>
       graft.ops.Dedup.duplicateClusters(s, t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // ---- AS-OF join (Spark has no native form; DuckDB's ASOF JOIN is
+    //      the independent oracle): each click matched to the user's
+    //      latest view at-or-before it ----
+    "q53_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      // right side unique per (user, ts): keep the max event id
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_event_id"))
+      graft.ops.AsofJoin.lastPrior(clicks, views, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").cast("long").as("click_epoch"),
+          col("asof_view_event_id").as("view_event_id"),
+          col("asof_ts").cast("timestamp").cast("long").as("view_epoch"))
+        .orderBy("event_id")
+    }),
     // ---- gap-based sessionization (window lag + running sum) ----
     "q26_sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.sessions(t(s, dir, "events"))
@@ -1201,6 +1218,18 @@ object SparkEntry {
         |   UNION SELECT c.a, s.b FROM conn c JOIN sym s ON c.b = s.a)
         |SELECT a AS doc_id, least(a, min(b)) AS keeper
         |FROM conn GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q53_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS view_event_id
+        |   FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        | c AS (SELECT event_id, user_id, ts FROM events
+        |   WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id,
+        | floor(epoch(c.ts))::BIGINT AS click_epoch,
+        | v.view_event_id,
+        | floor(epoch(v.ts))::BIGINT AS view_epoch
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
     "q26_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS epoch,
         |   lag(floor(epoch(ts))::BIGINT) OVER

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed AS-OF join — an operator Spark has no native form of
+  * (DuckDB/kdb-style: for every left row, the latest right row of the
+  * same key with right.time ≤ left.time).
+  *
+  * Composition instead of a custom physical operator: tag both sides,
+  * union, and carry the right side's values forward with a windowed
+  * `last(..., ignoreNulls)` — ONE shuffle on the key, fully
+  * whole-stage-codegen'd window functions, no per-row range probe and no
+  * broadcast requirement on either side. At 100 TB both sides stream
+  * through the same hash partitioning; per-task state is the window
+  * frame's single carried row.
+  */
+object AsofJoin {
+
+  /** left.* + asof_<right carry cols> + asof_<time> (the matched right
+    * row's own timestamp), null when no right row precedes. `right` must
+    * be unique per (key, time) — pre-reduce it otherwise (the match
+    * would be ambiguous). Ties (equal time) match: right-at-equal-time
+    * wins (≤ semantics, like DuckDB's `ASOF ... ON l.t >= r.t`).
+    */
+  def lastPrior(left: DataFrame, right: DataFrame,
+                key: String, time: String): DataFrame = {
+    val carryCols = right.columns.filterNot(c => c == key || c == time).toSeq
+    val leftRest = left.columns.filterNot(c => c == key || c == time).toSeq
+    val rTagged = right.select(
+      Seq(col(key), col(time), lit(0).as("_k")) ++
+        carryCols.map(col) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      Seq(col(key), col(time), lit(1).as("_k")) ++
+        carryCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftRest.map(col): _*)
+    val w = Window.partitionBy(key).orderBy(col(time), col("_k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carryCols.foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>
+        df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+      }
+      .withColumn(s"asof_$time",
+        last(when(col("_k") === 0, col(time)), ignoreNulls = true).over(w))
+    carried.where(col("_k") === 1)
+      .select(left.columns.map(col).toSeq ++
+        carryCols.map(c => col(s"asof_$c")) :+ col(s"asof_$time"): _*)
+  }
+}

@@ -258,6 +258,27 @@ class AnnKernelSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Distributed as-of join: ≤-tie semantics, carry-forward, no-match nulls. */
+class AsofJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("lastPrior matches the latest right row at-or-before each left row") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 25L, "c"), (2L, 5L, "d"))
+      .toDF("key", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 22L, 101L), (2L, 9L, 102L))
+      .toDF("key", "t", "price")
+    val r = graft.ops.AsofJoin.lastPrior(left, right, "key", "t")
+      .collect().map(x => x.getString(2) ->
+        ((Option(x.get(3)).map(_.asInstanceOf[Long]),
+          Option(x.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(r("a") == ((Some(100L), Some(10L))))  // equal time matches (≤)
+    assert(r("b") == ((Some(100L), Some(10L))))  // 22 is later than 20
+    assert(r("c") == ((Some(101L), Some(22L))))  // carried forward
+    assert(r("d") == ((None, None)))             // no right row at/under 5
+  }
+}
+
 /** KG graph analytics: hand-computed integer PageRank + degree shape. */
 class GraphOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = SparkTest.spark
