@@ -50,7 +50,8 @@ object Bench {
       "q11_grouped_topk", "q12_dedup_exact", "q13_token_count",
       "q18_minhash_sig", "q20_simhash", "q23_ann_top1",
       "q27_lsh_jaccard", "q33_dedup_clusters", "q34_mlm_pairs",
-      "q36_ann_recall")
+      "q36_ann_recall", "q46_repetition", "q48_contamination",
+      "q53_asof_join")
     headline.foreach { q => SparkEntry.queries(q)(spark, sfDir).count() }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { q =>

@@ -101,6 +101,33 @@ class PlanSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("repetitionStats plan is shuffle-free; asof join has exactly one exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rep = graft.ops.Filters.repetitionStats(docs)
+      .queryExecution.executedPlan.toString
+    assert(!rep.contains("Exchange"), s"repetition kernel shuffled:\n$rep")
+    assert(!rep.toLowerCase.contains("generate"), s"repetition fans out:\n$rep")
+    // as-of join: the union+window form shuffles ONCE on the key
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("event_id").as("view_event_id"))
+    val asof = graft.ops.AsofJoin.lastPrior(clicks, views, "user_id", "ts")
+    asof.collect()
+    // the executed-plan string carries both AQE sections; audit the
+    // final one only
+    val p = asof.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // exchanges: one for the right-side dedup aggregation, one shared
+    // hash partitioning on user_id for BOTH windows — and NO join
+    assert(!p.contains("Join"), s"asof should be window-based, not a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"expected exactly 2 exchanges (dedup + window key):\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,"), p)
+  }
+
   test("minhash pairs: band table materialized once before the self-join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = graft.ops.Dedup.minhashPairs(docs)
