@@ -91,6 +91,33 @@ object LineageStore {
     committedBuckets(spark, root, stage).size - done.size
   }
 
+  /** Iceberg-style small-file compaction (the `rewrite_data_files`
+    * maintenance action): every bucket partition's accumulated part
+    * files are rewritten as ONE file per bucket via dynamic partition
+    * overwrite — readers see either the old or the new complete
+    * partition, with identical rows either way, and lineage (the resume
+    * source of truth) is untouched because no row changes. The read plan
+    * is cut from the file source with a localCheckpoint so the
+    * self-overwrite is legal; on a cluster the equivalent staging is a
+    * temp-location write or Iceberg's own snapshot swap. Returns
+    * (files before, files after).
+    */
+  def compactTriples(spark: SparkSession, root: String): (Long, Long) = {
+    val path = triplesPath(root)
+    def dataFiles(): Long = Fs.listFiles(spark, path)
+      .count(_.endsWith(".parquet"))
+    val before = dataFiles()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // hash-repartition on bucket: each bucket's rows land in exactly one
+    // task, so partitionBy(bucket) emits exactly one file per bucket
+    spark.read.parquet(path).localCheckpoint()
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(path)
+    (before, dataFiles())
+  }
+
   def readTriples(spark: SparkSession, root: String): Dataset[Triple] = {
     import spark.implicits._
     spark.read.parquet(triplesPath(root))

@@ -158,6 +158,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got != v1)
   }
 
+  test("compaction: one file per bucket, identical rows, resume state untouched") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val aliases = CorpusGen.aliases(spark)
+    val buckets = 8
+    val pipe: org.apache.spark.sql.Dataset[Doc] => org.apache.spark.sql.Dataset[Triple] =
+      ds => KgPipeline.run(spark, ds, aliases, cfg = KgPipeline.Config(buckets = buckets))
+    val docs = CorpusGen.docs(spark, 60, parts = 4)
+    // two commits over disjoint doc halves accumulate small files
+    LineageStore.commit(spark, root, "triples",
+      pipe(docs.filter(_.doc_id < CorpusGen.docId(30))), "snap-a")
+    LineageStore.commit(spark, root, "triples",
+      pipe(docs.filter(_.doc_id >= CorpusGen.docId(30))), "snap-b")
+    // second commit's dynamic overwrite replaced the first commit's
+    // partitions, so re-commit half A to actually accumulate files
+    LineageStore.commit(spark, root, "triples",
+      pipe(docs).unionByName(pipe(docs.filter(_.doc_id < CorpusGen.docId(0)))),
+      "snap-c")
+    val beforeRows = LineageStore.readTriples(spark, root)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.doc_id, t.bucket)).sorted
+    val committed = LineageStore.committedBuckets(spark, root, "triples")
+    val (nBefore, nAfter) = LineageStore.compactTriples(spark, root)
+    assert(nAfter <= buckets, s"expected <= $buckets files, got $nAfter")
+    assert(nAfter < nBefore, s"compaction did not shrink: $nBefore -> $nAfter")
+    val afterRows = LineageStore.readTriples(spark, root)
+      .collect().map(t => (t.subj, t.pred, t.obj, t.doc_id, t.bucket)).sorted
+    assert(afterRows.toSeq == beforeRows.toSeq)
+    assert(LineageStore.committedBuckets(spark, root, "triples") == committed)
+  }
+
   test("determinism: same corpus and triples at different partition counts") {
     val t1 = CorpusGen.docs(spark, 40, parts = 2)
     val t2 = CorpusGen.docs(spark, 40, parts = 7)
