@@ -328,6 +328,10 @@ object SparkEntry {
     // ---- BPE-ish regex token counting (whitespace twin: q13) ----
     "q40_token_bpe" -> ((s, dir) =>
       graft.ops.TextOps.bpeTokenCount(t(s, dir, "documents")).orderBy("doc_id")),
+    // ---- deterministic count-min word-frequency sketch ----
+    "q54_cms_counts" -> ((s, dir) =>
+      graft.ops.Sketches.cmsWordCounts(t(s, dir, "documents"))
+        .orderBy("word")),
     // ---- deterministic KMV distinct-count sketch ----
     "q39_kmv_distinct" -> ((s, dir) =>
       graft.ops.Sketches.kmvDistinct(t(s, dir, "documents"), k = 16)
@@ -1099,6 +1103,25 @@ object SparkEntry {
       """SELECT doc_id, len(str_split(text,' ')) AS n_ws_tokens,
         | len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q54_cms_counts" ->
+      """WITH wc AS (SELECT word, count(*) AS cnt FROM (
+        |   SELECT unnest(str_split(text,' ')) AS word FROM documents)
+        |   GROUP BY word),
+        | seeded AS (SELECT word, cnt, j,
+        |   ('0x'||substr(md5(j||'_'||word),1,15))::BIGINT % 64 AS h
+        |   FROM wc, range(0,4) t(j)),
+        | counters AS (SELECT j, h, sum(cnt)::BIGINT AS c
+        |   FROM seeded GROUP BY j, h),
+        | top AS (SELECT word, cnt FROM (SELECT word, cnt,
+        |   row_number() OVER (ORDER BY cnt DESC, word ASC) AS rn FROM wc)
+        |   WHERE rn <= 20),
+        | probes AS (SELECT word, cnt, j,
+        |   ('0x'||substr(md5(j||'_'||word),1,15))::BIGINT % 64 AS h
+        |   FROM top, range(0,4) t(j))
+        |SELECT probes.word, max(cnt)::BIGINT AS exact_count,
+        | min(c)::BIGINT AS cms_estimate
+        |FROM probes JOIN counters ON probes.j = counters.j AND probes.h = counters.h
+        |GROUP BY probes.word ORDER BY probes.word""".stripMargin,
     "q39_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT source,
         |   ('0x'||substr(md5(text),1,15))::BIGINT AS h FROM documents),

@@ -60,6 +60,35 @@ object Sketches {
     kmin.select(col("source"), est.as("kmv_estimate"))
   }
 
+  /** Count-min sketch over word frequencies (Cormode & Muthukrishnan
+    * 2005, public algorithm) with deterministic md5 row-hashes, so the
+    * DuckDB oracle reproduces every counter bit-for-bit. The sketch is
+    * built from the word-count table — the corpus is aggregated ONCE and
+    * only the vocab-sized table fans out ×depth; counters merge
+    * associatively (the property that lets a 1000-executor job build one
+    * global sketch with a tiny final reduce). Returns the evaluation
+    * view: top-k words with exact count and CMS estimate — estimate ≥
+    * exact by construction (one-sided error), asserted in OpsSpec.
+    */
+  def cmsWordCounts(docs: DataFrame, depth: Int = 4, width: Int = 64,
+                    topK: Int = 20): DataFrame = {
+    def bucket = pmod(hexInt(concat(col("j"), lit("_"), col("word"))), lit(width))
+    val wc = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // counters AND the top-k probe set read it
+    val seeded = wc
+      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("h", bucket)
+    val counters = seeded.groupBy("j", "h").agg(sum("cnt").as("c"))
+    val probes = wc.orderBy(desc("cnt"), asc("word")).limit(topK)
+      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("h", bucket)
+    probes.join(counters, Seq("j", "h"))
+      .groupBy("word")
+      .agg(max("cnt").as("exact_count"), min("c").as("cms_estimate"))
+      .select(col("word"), col("exact_count"), col("cms_estimate"))
+  }
+
   /** Evaluation query (q39): [[kmvEstimate]] joined with the exact
     * COUNT(DISTINCT) it approximates — the accuracy report, NOT the
     * production operator (the exact side deliberately pays the cost the

@@ -94,6 +94,19 @@ class OpsSpec extends AnyFunSuite {
     assert(r == Map(100L -> 2L, 101L -> 0L))
   }
 
+  test("count-min sketch: one-sided error (estimate >= exact), exact when no collision") {
+    import graft.ops.Sketches
+    val d = docs((1, "a a a b b c", "s"), (2, "a b d e f g", "s"))
+    val r = Sketches.cmsWordCounts(d, depth = 4, width = 64, topK = 10)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("a")._1 == 4L && r("b")._1 == 3L)
+    // CMS can only overcount, never undercount
+    assert(r.values.forall { case (exact, est) => est >= exact })
+    // with 7 distinct words in 64 buckets × 4 rows, the min-row estimate
+    // is exact for this corpus
+    assert(r.forall { case (_, (exact, est)) => est == exact })
+  }
+
   test("langId recovers the PLANTED language on a language-consistent corpus") {
     // the reference's evaluation culture (bert.py:276-295) applied to the
     // language-ID operator: accuracy against planted truth, not just shape
