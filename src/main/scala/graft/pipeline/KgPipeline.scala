@@ -127,11 +127,27 @@ object KgPipeline {
     fusedDetect(spark, sents, tagger, cfg, emitRelations = false).map(_.mention)
   }
 
-  /** Media spans table for the adjacency join. */
+  /** Media spans table for the adjacency join — COLUMN ops, not a typed
+    * flatMap: a typed lambda would deserialize whole Doc objects and
+    * defeat nested-schema pruning, making this second scan of the doc
+    * table re-read the span TEXT payload (the bulk of the bytes at
+    * 100 TB). As column expressions, Catalyst prunes the parquet read to
+    * spans.{kind,offset,media_ref} only (plan-asserted in PlanSpec).
+    */
   def mediaSpans(spark: SparkSession, docs: Dataset[Doc]): Dataset[(String, Int, String)] = {
     import spark.implicits._
-    docs.flatMap(d => d.spans.filter(_.kind == "media")
-      .map(sp => (d.doc_id, sp.offset, sp.media_ref)))
+    import org.apache.spark.sql.functions._
+    // per-field array extraction (spans.kind etc.) is what Catalyst's
+    // nested-schema pruning handles reliably; a bare explode(spans)
+    // would read the whole struct including text
+    docs.toDF()
+      .select(col("doc_id"),
+        explode(arrays_zip(col("spans.kind"), col("spans.offset"),
+          col("spans.media_ref"))).as("sp"))
+      .where(col("sp.kind") === "media")
+      .select(col("doc_id").as("_1"), col("sp.offset").as("_2"),
+        col("sp.media_ref").as("_3"))
+      .as[(String, Int, String)]
   }
 
   /** Dictionary-side preparation: alias lookup map + canonicalization map

@@ -101,6 +101,22 @@ class PlanSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("mediaSpans over parquet docs prunes the span text payload from the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_pq")
+      .toString + "/docs"
+    graft.gen.CorpusGen.docs(spark, 30, parts = 2).write.parquet(dir)
+    val docs = spark.read.parquet(dir).as[graft.model.Doc]
+    val ms = graft.pipeline.KgPipeline.mediaSpans(spark, docs)
+    ms.collect()
+    val p = ms.queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no parquet scan in plan:\n$p"))
+    assert(!readSchema.contains("text"),
+      s"media-span scan reads the span text payload: $readSchema")
+    assert(readSchema.contains("media_ref"), readSchema)
+  }
+
   test("repetitionStats plan is shuffle-free; asof join has exactly one exchange") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val rep = graft.ops.Filters.repetitionStats(docs)
