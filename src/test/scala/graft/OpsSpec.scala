@@ -276,6 +276,32 @@ class AsofJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
 
+  test("lastPrior equals a brute-force reference on randomized data") {
+    import graft.gen.CorpusGen.mix64
+    // deterministic pseudo-random event streams over 20 keys
+    val lrows = (0 until 400).map { i =>
+      (math.abs(mix64(i * 3 + 1)) % 20, math.abs(mix64(i * 7 + 2)) % 1000, i.toLong)
+    }
+    val rrows = (0 until 150).map { i =>
+      (math.abs(mix64(i * 11 + 5)) % 20, math.abs(mix64(i * 13 + 6)) % 1000, 10000L + i)
+    }
+      // unique per (key, time): keep max payload id
+      .groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+    val left = lrows.toDF("key", "t", "lid")
+    val right = rrows.toDF("key", "t", "rid")
+    val got = graft.ops.AsofJoin.lastPrior(left, right, "key", "t")
+      .collect().map(r => r.getLong(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // brute-force reference computed on the driver
+    val byKey = rrows.groupBy(_._1)
+    val want = lrows.map { case (k, t, lid) =>
+      lid -> byKey.getOrElse(k, Seq.empty).filter(_._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+    }.toMap
+    assert(got == want)
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+  }
+
   test("lastPrior matches the latest right row at-or-before each left row") {
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 25L, "c"), (2L, 5L, "d"))
       .toDF("key", "t", "tag")
