@@ -328,6 +328,19 @@ object SparkEntry {
     // ---- BPE-ish regex token counting (whitespace twin: q13) ----
     "q40_token_bpe" -> ((s, dir) =>
       graft.ops.TextOps.bpeTokenCount(t(s, dir, "documents")).orderBy("doc_id")),
+    // ---- grouped k-fold assignment via the range-partitioned rank scan
+    //      (the distributed ntile the MLM sampler and cross-validation
+    //      are built on — verified against SQL ntile directly) ----
+    "q55_cv_folds" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select("doc_id").distinct()
+      graft.ops.Scans.ntileFolds(ids, "doc_id", 5)
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .select(col("fold").cast("long").as("fold"), col("n_docs"),
+          col("min_doc"), col("max_doc"))
+        .orderBy("fold")
+    }),
     // ---- deterministic count-min word-frequency sketch ----
     "q54_cms_counts" -> ((s, dir) =>
       graft.ops.Sketches.cmsWordCounts(t(s, dir, "documents"))
@@ -1103,6 +1116,12 @@ object SparkEntry {
       """SELECT doc_id, len(str_split(text,' ')) AS n_ws_tokens,
         | len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_cv_folds" ->
+      """WITH r AS (SELECT doc_id, ntile(5) OVER (ORDER BY doc_id) - 1 AS fold
+        |   FROM (SELECT DISTINCT doc_id FROM documents))
+        |SELECT fold::BIGINT AS fold, count(*)::BIGINT AS n_docs,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM r GROUP BY fold ORDER BY fold""".stripMargin,
     "q54_cms_counts" ->
       """WITH wc AS (SELECT word, count(*) AS cnt FROM (
         |   SELECT unnest(str_split(text,' ')) AS word FROM documents)

@@ -18,18 +18,8 @@ object CrossVal {
     * but computed via the range-partitioned rank scan instead of a
     * single-partition global window — GroupKFold at any scale.
     */
-  def foldAssignment(spark: SparkSession, gt: Dataset[GtToken], k: Int): DataFrame = {
-    val ids = gt.select("nsentence").distinct()
-    val ranked = graft.ops.Scans.zeroBasedRank(ids, "nsentence")
-    val n = ids.count()
-    val q = n / k; val r = n % k
-    val fold =
-      if (q == 0) col("idx") // fewer ids than folds: one id per fold
-      else when(col("idx") < r * (q + 1),
-          floor(col("idx") / (q + 1)))
-        .otherwise(lit(r) + floor((col("idx") - r * (q + 1)) / q))
-    ranked.select(col("nsentence"), fold.cast("int").as("fold"))
-  }
+  def foldAssignment(spark: SparkSession, gt: Dataset[GtToken], k: Int): DataFrame =
+    graft.ops.Scans.ntileFolds(gt.select("nsentence").distinct(), "nsentence", k)
 
   /** Re-tag one fold: sentences of `fold` become TEST, the rest TRAIN
     * (bert.py:462-468 via broadcast fold map, no shuffle of the GT side

@@ -36,4 +36,21 @@ object Scans {
       it.map { k => val row = (k, i); i += 1; row }
     }.toDF(key, "idx")
   }
+
+  /** ntile(k) over ordered UNIQUE keys without a global window: the
+    * first N mod k folds get one extra key (exact SQL ntile semantics,
+    * oracle-verified), ranks from [[zeroBasedRank]]. Returns
+    * (key, fold ∈ [0, k)).
+    */
+  def ntileFolds(df: DataFrame, key: String, k: Int): DataFrame = {
+    val ranked = zeroBasedRank(df, key)
+    val n = df.count()
+    val q = n / k; val r = n % k
+    val fold =
+      if (q == 0) col("idx") // fewer keys than folds: one key per fold
+      else when(col("idx") < r * (q + 1),
+          floor(col("idx") / (q + 1)))
+        .otherwise(lit(r) + floor((col("idx") - r * (q + 1)) / q))
+    ranked.select(col(key), fold.cast("int").as("fold"))
+  }
 }
