@@ -18,6 +18,10 @@ import org.apache.spark.sql.SparkSession
   *   mlm <docsParquetDir> <outDir> [epochs]
   *     masked-LM pre-training instance pregeneration (epoch JSONL files
   *     with sidecar metrics, seeded per-epoch shuffle)
+  *   compact <outRoot>
+  *     triple-store maintenance: rewrite each bucket partition's
+  *     accumulated small files as one file per bucket (rows + lineage
+  *     unchanged).
   *   verify <sfDir> <outDir>   — driver correctness dump (graft.Verify)
   *   bench                      — graft.Bench (env-configured)
   *
@@ -93,10 +97,16 @@ object Main {
       }
       spark.stop()
 
+    case Some("compact") =>
+      val spark = session("graft-compact")
+      val (before, after) = LineageStore.compactTriples(spark, args(1))
+      println(s"compacted ${LineageStore.triplesPath(args(1))}: $before -> $after data files")
+      spark.stop()
+
     case Some("verify") => Verify.main(args.drop(1))
     case Some("bench") => Bench.main(Array.empty)
     case _ =>
-      System.err.println("usage: graft.Main run|stream|mlm|verify|bench ...")
+      System.err.println("usage: graft.Main run|stream|mlm|compact|verify|bench ...")
       sys.exit(2)
   }
 }
