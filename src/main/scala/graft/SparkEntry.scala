@@ -154,6 +154,9 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "q20_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")),
+    "q56_simhash_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.simhashPairs(t(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b")),
     "q21_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.05)
         .orderBy("doc_a", "doc_b")),
@@ -596,6 +599,25 @@ object SparkEntry {
         |SELECT doc_id,
         | sum(CASE WHEN s > 0 THEN 1::BIGINT << j::INT ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q56_simhash_pairs" ->
+      """WITH words AS (SELECT doc_id, unnest(str_split(text,' ')) AS word FROM documents),
+        | hb AS (SELECT doc_id, ('0x'||substr(md5(word),1,15))::BIGINT AS h, j
+        |        FROM words, range(0,60) t(j)),
+        | bits AS (SELECT doc_id, j,
+        |   sum(CASE WHEN (h >> j::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |   FROM hb GROUP BY doc_id, j),
+        | sig AS (SELECT doc_id,
+        |   sum(CASE WHEN s > 0 THEN 1::BIGINT << j::INT ELSE 0 END)::BIGINT AS simhash
+        |   FROM bits GROUP BY doc_id),
+        | banded AS (SELECT doc_id, simhash, b,
+        |   (simhash >> (b*10)::INT) & 1023 AS band_key
+        |   FROM sig, range(0,6) t(b)),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |   FROM banded a JOIN banded b
+        |     ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q21_jaccard" ->
       """WITH w AS (SELECT doc_id, source, str_split(text,' ') AS ws FROM documents),
         | sh AS (SELECT DISTINCT doc_id, source,

@@ -216,6 +216,35 @@ object Dedup {
            |       (a, h) -> a + if((shiftright(h, j) & 1) = 1, 1L, -1L)) > 0,
            |     shiftleft(1L, j), 0L))""".stripMargin).as("simhash"))
 
+  /** SimHash near-duplicate pairs — the pairing step that completes the
+    * SimHash path (mirror of minhash → bands → pairs): pigeonhole
+    * banding on a wide simhash (`bands` bands of nBits/bands bits each:
+    * any two signatures within Hamming distance < bands MUST share a
+    * band — candidates are found by equi-join, never all-pairs), then
+    * exact Hamming verify via bit_count(xor) ≤ maxHamming. The signature
+    * table is materialized once; the only exchange is the band join.
+    */
+  def simhashPairs(docs: DataFrame, nBits: Int = 60, bands: Int = 6,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
+    val width = nBits / bands
+    val sig = simhash(docs, nBits).localCheckpoint()
+    val banded = sig
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key",
+        expr(s"shiftright(simhash, cast(band * $width as int)) & ${(1L << width) - 1}"))
+    val l = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val r = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    l.join(r, Seq("band", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** n-gram Jaccard similarity of doc pairs within the same source
     * (bounded candidate set): |A∩B| / |A∪B| over DISTINCT word-3-grams.
     */

@@ -43,6 +43,21 @@ class OpsSpec extends AnyFunSuite {
     assert(m(1) != m(3))
   }
 
+  test("simhash pairs: planted near-dup within hamming budget, disjoint doc excluded") {
+    // near-dup docs share a dominant repeated anchor (wide per-bit vote
+    // margins), so a one-word edit moves the signature by ≤ the budget;
+    // the disjoint doc has a different anchor (signature far away)
+    val base = ("anker " * 50) + (1 to 20).map(i => s"w$i").mkString(" ")
+    val nearDup = ("anker " * 50) +
+      (1 to 20).map(i => if (i == 10) "CHANGED" else s"w$i").mkString(" ")
+    val other = ("grund " * 50) + (100 to 120).map(i => s"v$i").mkString(" ")
+    val d = docs((1, base, "s"), (2, nearDup, "s"), (3, other, "s"))
+    val pairs = Dedup.simhashPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 3L), pairs.toSeq)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("ngram jaccard: identical docs = 1.0") {
     val d = docs((1, "a b c d e", "s"), (2, "a b c d e", "s"))
     val r = Dedup.ngramJaccardPairs(d, 0.5).collect()
