@@ -215,6 +215,10 @@ object SparkEntry {
       graft.ops.MlmGen.nspPairs(t(s, dir, "documents")).orderBy("doc_id")),
     "q35_mlm_masks" -> ((s, dir) =>
       graft.ops.MlmGen.maskedLm(t(s, dir, "documents")).orderBy("doc_id", "pos")),
+    // ---- contrastive-pair negative sampling (rank-space md5 draws) ----
+    "q57_neg_sampling" -> ((s, dir) =>
+      graft.ops.MlmGen.negativeSamples(t(s, dir, "documents"))
+        .orderBy("doc_id", "j")),
     // ---- dedup cluster collapse: LSH pairs → connected components ----
     "q33_dedup_clusters" -> ((s, dir) =>
       graft.ops.Dedup.duplicateClusters(s, t(s, dir, "documents"))
@@ -1244,6 +1248,19 @@ object SparkEntry {
         |      ELSE least(q.n - (q.n+1)//2, 63) END AS n_b
         |FROM q JOIN smp ON smp.doc_id = q.doc_id
         |ORDER BY q.doc_id""".stripMargin,
+    "q57_neg_sampling" ->
+      """WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        |   FROM (SELECT DISTINCT doc_id FROM documents)),
+        | nn AS (SELECT count(*) AS n FROM r),
+        | a AS (SELECT doc_id, idx, j,
+        |   ('0x'||substr(md5(doc_id||'_neg_'||j),1,15))::BIGINT % nn.n AS draw
+        |   FROM r, range(0,4) t(j), nn),
+        | b AS (SELECT doc_id, j,
+        |   CASE WHEN draw = idx THEN (draw + 1) % (SELECT n FROM nn)
+        |        ELSE draw END AS neg_idx FROM a)
+        |SELECT b.doc_id, j::BIGINT AS j, r2.doc_id AS neg_doc_id
+        |FROM b JOIN r r2 ON r2.idx = b.neg_idx
+        |ORDER BY b.doc_id, j""".stripMargin,
     "q35_mlm_masks" ->
       """WITH w AS (SELECT doc_id, str_split(text,' ')[1:128] AS toks FROM documents),
         | t AS (SELECT doc_id, toks, len(toks) AS m FROM w),

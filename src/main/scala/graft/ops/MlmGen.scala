@@ -190,6 +190,32 @@ object MlmGen {
           .as("replacement"))
   }
 
+  /** Deterministic negative sampling for contrastive training pairs: k
+    * md5-drawn negatives per anchor document, drawn over the doc RANK
+    * space (via the range-partitioned rank scan, so doc ids need not be
+    * dense), self-collisions shifted +1 mod N. The draw is a pure column
+    * expression; resolving rank → doc id is one equi-join — the standard
+    * distributed random-access pattern, no driver-side iteration (the
+    * only collected scalar is N).
+    */
+  def negativeSamples(docs: DataFrame, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ranked = Scans.zeroBasedRank(docs.select("doc_id").distinct(), "doc_id")
+      .localCheckpoint() // anchor side + rank-lookup side both read it
+    val n = ranked.count()
+    val anchors = ranked
+      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("draw",
+        pmod(TextOps.hexInt(concat(col("doc_id"), lit("_neg_"), col("j"))), lit(n)))
+      .withColumn("neg_idx",
+        when(col("draw") === col("idx"), pmod(col("draw") + 1, lit(n)))
+          .otherwise(col("draw")))
+    anchors.join(
+        ranked.select(col("idx").as("neg_idx"), col("doc_id").as("neg_doc_id")),
+        "neg_idx")
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_doc_id"))
+  }
+
   /** Per-epoch JSON-lines sink with sidecar metrics, the reference's
     * epoch_N.json + epoch_N_metrics.json layout (:278-298). Returns the
     * instance count. Sidecar goes through the Hadoop FS API (DFS-safe).

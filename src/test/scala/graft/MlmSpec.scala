@@ -1,5 +1,24 @@
 package graft
 
+/** Contrastive negative sampling: k per anchor, never self, replayable. */
+class NegSamplingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("k draws per anchor, self-collisions shifted away, deterministic") {
+    val d = (0L until 7L).map(i => (i, s"text $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.ops.MlmGen.negativeSamples(d, k = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.length == 21)
+    assert(r.forall { case (a, _, neg) => a != neg }) // shift rule: never self
+    assert(r.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L)))
+    val r2 = graft.ops.MlmGen.negativeSamples(d, k = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.sorted.toSeq == r2.sorted.toSeq)
+  }
+}
+
 import graft.ops.MlmGen
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
