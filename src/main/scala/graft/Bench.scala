@@ -29,11 +29,14 @@ object Bench {
     * ctx — O(dictionary), excluded from per-doc throughput.
     */
   def kgRun(spark: SparkSession, n: Long, parts: Int,
-            ctx: Option[KgPipeline.LinkContext] = None): (Double, Long) = {
+            ctx: Option[KgPipeline.LinkContext] = None,
+            cfg: KgPipeline.Config = KgPipeline.Config()): (Double, Long) = {
     val t0 = System.nanoTime()
     val docs = CorpusGen.docs(spark, n, parts)
-    val triples = KgPipeline.run(spark, docs, CorpusGen.aliases(spark), ctx = ctx)
+    val triples = KgPipeline.run(spark, docs, CorpusGen.aliases(spark),
+      cfg = cfg, ctx = ctx)
     val cnt = triples.count()
+    spark.catalog.clearCache() // the salted path persists its detect stage
     ((System.nanoTime() - t0) / 1e9, cnt)
   }
 

@@ -31,6 +31,12 @@ object ScalingBench {
       val nDocs = args(1).toLong
       val cpus = args(2).toInt
       val out = args(3)
+      // optional 5th arg: "salted" measures the skew-defused shuffle-join
+      // linking path instead of the broadcast default
+      val cfg =
+        if (args.length > 4 && args(4) == "salted")
+          KgPipeline.Config(broadcastLink = false)
+        else KgPipeline.Config()
       val spark = Bench.session(cpus.toString)
       // dictionary-side setup (alias collect + connected components) is
       // O(dictionary) one-time work shared by every job over the same
@@ -43,11 +49,12 @@ object ScalingBench {
       // same job on N vs 4N executors. One full-size JIT warm-up run, then
       // best-of-3 steady state (C2 needs a full pass to compile the hot
       // tokenizer/encoder loops).
-      Bench.kgRun(spark, nDocs, 256, ctx) // JIT warm-up
-      val runs = (1 to 3).map(_ => Bench.kgRun(spark, nDocs, 256, ctx))
+      Bench.kgRun(spark, nDocs, 256, ctx, cfg) // JIT warm-up
+      val runs = (1 to 3).map(_ => Bench.kgRun(spark, nDocs, 256, ctx, cfg))
       val (sec, n) = runs.minBy(_._1)
       spark.stop()
-      val json = f"""{"cpus":$cpus,"nDocs":$nDocs,"sec":$sec%.3f,"triples":$n,"tps":${n / sec}%.1f}"""
+      val mode = if (cfg.broadcastLink) "broadcast" else "salted"
+      val json = f"""{"cpus":$cpus,"nDocs":$nDocs,"mode":"$mode","sec":$sec%.3f,"triples":$n,"tps":${n / sec}%.1f}"""
       Files.writeString(Paths.get(out), json)
       println(json)
 
