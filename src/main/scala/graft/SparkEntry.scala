@@ -332,6 +332,21 @@ object SparkEntry {
       val triples = KgPipeline.run(s, docs, CorpusGen.aliases(s))
       graft.kg.GraphOps.pageRank(triples, iters = 3).orderBy("entity")
     }),
+    // ---- triangle counts (degree-ordered orientation; oracle uses the
+    //      orientation-free naive a<b<c triple-join — same counts) ----
+    "q58_kg_triangles" -> ((s, dir) => {
+      graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
+      val docs = CorpusGen.docs(s, 500, parts = 8)
+      val triples = KgPipeline.run(s, docs, CorpusGen.aliases(s))
+      graft.kg.GraphOps.triangleCounts(triples).orderBy("entity")
+    }),
+    // ---- integer-math co-occurrence lift (relation-strength score) ----
+    "q59_kg_lift" -> ((s, dir) => {
+      graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
+      val docs = CorpusGen.docs(s, 500, parts = 8)
+      val triples = KgPipeline.run(s, docs, CorpusGen.aliases(s))
+      graft.kg.GraphOps.cooccurrenceLift(triples).orderBy("subj", "obj")
+    }),
     // ---- BPE-ish regex token counting (whitespace twin: q13) ----
     "q40_token_bpe" -> ((s, dir) =>
       graft.ops.TextOps.bpeTokenCount(t(s, dir, "documents")).orderBy("doc_id")),
@@ -347,6 +362,16 @@ object SparkEntry {
         .select(col("fold").cast("long").as("fold"), col("n_docs"),
           col("min_doc"), col("max_doc"))
         .orderBy("fold")
+    }),
+    // ---- exact global percentiles via the range-partitioned
+    //      rank-select scan (no global sort / single-partition window;
+    //      the exact-at-scale twin of approx_percentile) ----
+    "q60_percentiles" -> ((s, dir) => {
+      val lens = t(s, dir, "documents")
+        .select(length(col("text")).cast("long").as("len"))
+      graft.ops.Scans
+        .exactPercentiles(lens, "len", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("p")
     }),
     // ---- deterministic count-min word-frequency sketch ----
     "q54_cms_counts" -> ((s, dir) =>
@@ -1138,6 +1163,45 @@ object SparkEntry {
         |   (150000 + (850 * coalesce(in_sum, 0)) // 1000)::BIGINT AS rank
         |   FROM deg LEFT JOIN c3 ON c3.dst = deg.src)
         |SELECT entity, rank FROM r3 ORDER BY entity""".stripMargin,
+    "q58_kg_triangles" ->
+      s"""WITH co AS (SELECT DISTINCT subj AS src, obj AS dst
+        |   FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')
+        |   WHERE pred = 'co_occurs_with'),
+        | sym AS (SELECT src, dst FROM co UNION ALL SELECT dst, src FROM co),
+        | und AS (SELECT DISTINCT src, dst FROM sym WHERE src < dst),
+        | tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |   FROM und e1 JOIN und e2 ON e2.src = e1.dst
+        |   JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        | pere AS (SELECT entity, count(*)::BIGINT AS n FROM (
+        |   SELECT a AS entity FROM tri
+        |   UNION ALL SELECT b FROM tri
+        |   UNION ALL SELECT c FROM tri) GROUP BY entity),
+        | nodes AS (SELECT DISTINCT src AS entity FROM sym)
+        |SELECT nodes.entity, coalesce(pere.n, 0)::BIGINT AS n_triangles
+        |FROM nodes LEFT JOIN pere ON pere.entity = nodes.entity
+        |ORDER BY nodes.entity""".stripMargin,
+    "q59_kg_lift" ->
+      s"""WITH p AS (SELECT subj, obj, count(*)::BIGINT AS pair_n
+        |   FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')
+        |   WHERE pred = 'co_occurs_with' GROUP BY subj, obj),
+        | occ AS (SELECT entity, sum(pair_n)::BIGINT AS ent_n FROM (
+        |   SELECT subj AS entity, pair_n FROM p
+        |   UNION ALL SELECT obj, pair_n FROM p) GROUP BY entity),
+        | tot AS (SELECT sum(pair_n)::BIGINT AS total FROM p)
+        |SELECT p.subj, p.obj, p.pair_n,
+        | ((1000000::BIGINT * p.pair_n * tot.total)
+        |   // (a.ent_n * b.ent_n))::BIGINT AS lift_micro
+        |FROM p JOIN occ a ON a.entity = p.subj
+        | JOIN occ b ON b.entity = p.obj, tot
+        |ORDER BY p.subj, p.obj""".stripMargin,
+    "q60_percentiles" ->
+      """WITH v AS (SELECT length(text)::BIGINT AS v FROM documents),
+        | r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk,
+        |   count(*) OVER () AS n FROM v)
+        |SELECT ps.p::DOUBLE AS p, r.v AS value
+        |FROM (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) ps(p)
+        |JOIN r ON r.rk = greatest(1, ceil(ps.p::DOUBLE * r.n))
+        |ORDER BY p""".stripMargin,
     "q40_token_bpe" ->
       """SELECT doc_id, len(str_split(text,' ')) AS n_ws_tokens,
         | len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens

@@ -59,4 +59,91 @@ object GraphOps {
     }
     ranks.select(col("entity"), col("rank").cast("long").as("rank"))
   }
+
+  /** Per-entity triangle counts over the co-occurrence graph, via the
+    * degree-ordered orientation (Suri & Vassilvitskii, WWW'11): each
+    * undirected edge is directed from its lower endpoint in the total
+    * order (degree asc, id asc), so every node's out-degree is
+    * O(sqrt(m)) even on a power-law graph. The wedge self-join then
+    * fans out by out-degree² — bounded — where the naive adjacency
+    * self-join explodes on hub entities (a hub with d neighbours would
+    * contribute d² wedge rows; oriented it contributes ≤ m). Three
+    * distributed joins total, all on entity ids; the oriented edge list
+    * is materialized once and reused on every side.
+    *
+    * Returns one row per entity (including triangle-free ones) with its
+    * triangle membership count. Each triangle contributes 1 to each of
+    * its three corners; counts are orientation-independent, so the
+    * DuckDB oracle can use the naive a<b<c triple-join formulation.
+    */
+  def triangleCounts(triples: Dataset[Triple]): DataFrame = {
+    val sym = coEdges(triples)
+    // one row per undirected edge (dedup: coEdges may carry both
+    // plant-time directions of the same pair)
+    val und = sym.where(col("src") < col("dst")).distinct()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    // total order (deg asc, id asc) as one sortable key; any consistent
+    // total order is correct — degree-ascending is the skew bound
+    val keyed = deg.select(col("src").as("node"),
+      concat(lpad(col("deg").cast("string"), 10, "0"), lit("|"),
+        col("src")).as("okey"))
+    val oriented = und
+      .join(keyed.select(col("node").as("src"), col("okey").as("k_src")), "src")
+      .join(keyed.select(col("node").as("dst"), col("okey").as("k_dst")), "dst")
+      .select(
+        when(col("k_src") < col("k_dst"), col("src")).otherwise(col("dst"))
+          .as("lo"),
+        when(col("k_src") < col("k_dst"), col("dst")).otherwise(col("src"))
+          .as("hi"),
+        when(col("k_src") < col("k_dst"), col("k_dst")).otherwise(col("k_src"))
+          .as("k_hi"))
+      .localCheckpoint() // reused on all three sides of the wedge closure
+    val e1 = oriented.select(col("lo"), col("hi").as("b"), col("k_hi").as("kb"))
+    val e2 = oriented.select(col("lo"), col("hi").as("c"), col("k_hi").as("kc"))
+    val wedges = e1.join(e2, "lo").where(col("kb") < col("kc"))
+    val closing = oriented.select(col("lo").as("b"), col("hi").as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"))
+      .select(col("lo").as("a"), col("b"), col("c"))
+    val perEntity = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("entity"))
+      .groupBy("entity").agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("src").as("entity"))
+      .join(perEntity, Seq("entity"), "left")
+      .select(col("entity"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Co-occurrence lift per entity pair in INTEGER micro-units
+    * (10^6 = lift 1.0): lift = (10^6 · pair_n · total) div (n_a · n_b),
+    * where pair_n counts co-occurrence triples for the pair, n_x the
+    * entity's total co-occurrence participations, total the global
+    * triple count. The integer formulation (like [[pageRank]]) makes
+    * the score bit-identical across engines and partitionings — a
+    * log-space PMI would be summation-order-dependent. Lift > 10^6
+    * means the pair co-occurs more than independence predicts — the
+    * relation-strength signal a KG builder ranks candidate edges by.
+    *
+    * Overflow bound: 10^6 · pair_n · total must fit in a signed 64-bit
+    * long — safe while pair_n · total < 9.2·10^12 (e.g. 10^6 pairs of
+    * max multiplicity 10^6·…); at larger scales drop the 10^6 scale
+    * factor or pre-divide total.
+    */
+  def cooccurrenceLift(triples: Dataset[Triple]): DataFrame = {
+    val pairs = triples.toDF().where(col("pred") === "co_occurs_with")
+      .groupBy("subj", "obj").agg(count(lit(1)).as("pair_n"))
+      .localCheckpoint() // reused for both marginals and the output join
+    val occ = pairs.select(col("subj").as("entity"), col("pair_n"))
+      .unionByName(pairs.select(col("obj").as("entity"), col("pair_n")))
+      .groupBy("entity").agg(sum("pair_n").as("ent_n"))
+    // O(1) driver scalar, like ntileFolds' count — not a data collect
+    val total = pairs.agg(sum("pair_n").cast("long")).head().getLong(0)
+    pairs
+      .join(occ.select(col("entity").as("subj"), col("ent_n").as("subj_n")),
+        "subj")
+      .join(occ.select(col("entity").as("obj"), col("ent_n").as("obj_n")),
+        "obj")
+      .select(col("subj"), col("obj"), col("pair_n"),
+        expr(s"(1000000L * pair_n * ${total}L) div (subj_n * obj_n)")
+          .as("lift_micro"))
+  }
 }

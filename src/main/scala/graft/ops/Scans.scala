@@ -37,6 +37,51 @@ object Scans {
     }.toDF(key, "idx")
   }
 
+  /** Exact global percentiles over a (non-unique) long value column,
+    * `percentile_disc` semantics: for each p the value at 1-indexed rank
+    * max(1, ceil(p·n)) in ascending order. No global sort to one node
+    * and no single-partition window: range-partition the values, count
+    * per partition (O(partitions) driver collect), broadcast the global
+    * offsets + target ranks, then each partition emits ONLY the rows
+    * sitting at a target rank — two passes, O(|ps|) output, the form
+    * that holds at 10^12 rows where approx_percentile would be the
+    * lossy alternative. Equal values land in one range partition, so
+    * the in-partition sort yields a correct global order for ranking.
+    *
+    * Returns (p, value), one row per requested percentile.
+    */
+  def exactPercentiles(df: DataFrame, valueCol: String,
+                       ps: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    val ranged = df.select(col(valueCol).cast("long").as("v"))
+      .repartitionByRange(parts, col("v"))
+      .sortWithinPartitions("v")
+      .as[Long]
+      .localCheckpoint()
+    val counts = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L; it.foreach(_ => c += 1); Iterator.single((pid, c))
+    }.collect().sortBy(_._1).map(_._2)
+    val n = counts.sum
+    // ceil(p·n) in IEEE double on BOTH sides of the oracle compare —
+    // representability of p (0.9, 0.99, …) cancels out
+    val targets: Map[Long, Seq[Double]] = ps
+      .map(p => (math.max(1L, math.ceil(p * n).toLong) - 1L) -> p)
+      .groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2) }
+    val bcTargets = spark.sparkContext.broadcast(targets)
+    val off = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = off.value(pid)
+      it.flatMap { v =>
+        val hit = bcTargets.value.get(i).map(_.map(p => (p, v)))
+          .getOrElse(Nil)
+        i += 1
+        hit
+      }
+    }.toDF("p", "value")
+  }
+
   /** ntile(k) over ordered UNIQUE keys without a global window: the
     * first N mod k folds get one extra key (exact SQL ntile semantics,
     * oracle-verified), ranks from [[zeroBasedRank]]. Returns

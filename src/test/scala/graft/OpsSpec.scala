@@ -352,6 +352,81 @@ class GraphOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(d == Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("triangle counts: K4 minus one edge has one triangle, corner-correct") {
+    import spark.implicits._
+    // edges ab, ac, bc, cd → triangle (a,b,c); d touches none
+    val triples = spark.createDataset(
+      Seq(co("a", "b"), co("a", "c"), co("b", "c"), co("c", "d")))
+    val r = graft.kg.GraphOps.triangleCounts(triples).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 0L), r)
+  }
+
+  test("triangle counts: orientation agrees with naive on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph incl. a hub (node h touches all)
+    val nodes = (0 until 12).map(i => s"n$i")
+    val edges = (for {
+      i <- 0 until 12; j <- (i + 1) until 12
+      if (i * 31 + j * 17) % 3 == 0
+    } yield (s"n$i", s"n$j")) ++ nodes.filter(_ != "h").map(("h", _))
+    val triples = spark.createDataset(edges.map { case (a, b) => co(a, b) })
+    val got = graft.kg.GraphOps.triangleCounts(triples).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // naive per-entity count on the driver
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a < b }.distinct.toSet
+    val vs = und.flatMap(e => Seq(e._1, e._2)).toSeq.distinct.sorted
+    val naive = scala.collection.mutable.Map(vs.map(_ -> 0L): _*)
+    for {
+      a <- vs; b <- vs if a < b && und((a, b))
+      c <- vs if b < c && und((b, c)) && und((a, c))
+    } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
+    assert(got == naive.toMap, got)
+  }
+
+  test("co-occurrence lift: integer micro-units match hand computation") {
+    import spark.implicits._
+    val triples = spark.createDataset(
+      Seq(co("a", "b"), co("c", "d"), co("a", "c"), co("a", "c")))
+    val r = graft.kg.GraphOps.cooccurrenceLift(triples).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+    // total=4; occ: a=3 b=1 c=3 d=1
+    assert(r == Map(
+      ("a", "b") -> ((1L, 1000000L * 1 * 4 / (3 * 1))),
+      ("c", "d") -> ((1L, 1000000L * 1 * 4 / (3 * 1))),
+      ("a", "c") -> ((2L, 1000000L * 2 * 4 / (3 * 3)))), r)
+  }
+}
+
+/** Range-partitioned exact percentile scan vs the naive sorted pick. */
+class PercentileScanSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+
+  test("exactPercentiles equals percentile_disc on skewed data with ties") {
+    import spark.implicits._
+    // Zipf-ish with heavy ties, deliberately unsorted input
+    val vals = (1 to 997).map(i => (i * i * 7919L) % 50) ++ Seq(0L, 0L, 49L)
+    val df = new scala.util.Random(7).shuffle(vals).toDF("len")
+    val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val got = graft.ops.Scans.exactPercentiles(df, "len", ps)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val sorted = vals.sorted
+    val n = sorted.size
+    val want = ps.map(p =>
+      p -> sorted((math.max(1L, math.ceil(p * n).toLong) - 1).toInt)).toMap
+    assert(got == want, got)
+  }
+
+  test("exactPercentiles handles n smaller than the partition count") {
+    import spark.implicits._
+    val df = Seq(5L, 1L, 9L).toDF("len")
+    val got = graft.ops.Scans.exactPercentiles(df, "len", Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got == Map(0.5 -> 5L, 1.0 -> 9L), got)
+  }
 }
 
 /** Vocabulary construction + OOV coverage. */
