@@ -54,7 +54,8 @@ object Bench {
       "q18_minhash_sig", "q20_simhash", "q23_ann_top1",
       "q27_lsh_jaccard", "q33_dedup_clusters", "q34_mlm_pairs",
       "q36_ann_recall", "q46_repetition", "q48_contamination",
-      "q53_asof_join")
+      "q53_asof_join", "q60_percentiles", "q61_bloom_prune",
+      "q62_kmeans_int", "q63_topk_pruned")
     headline.foreach { q => SparkEntry.queries(q)(spark, sfDir).count() }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { q =>

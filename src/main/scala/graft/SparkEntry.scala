@@ -373,6 +373,32 @@ object SparkEntry {
         .exactPercentiles(lens, "len", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
         .orderBy("p")
     }),
+    // ---- map-side-pruned grouped top-k (bounded heaps before the
+    //      exchange; output identical to the q11 window form) ----
+    "q63_topk_pruned" -> ((s, dir) =>
+      graft.ops.TopK.groupedTopK(
+        t(s, dir, "events").select(col("event_type").as("grp"),
+          col("event_id").as("id"), col("value").as("v")), k = 3)
+        .select(col("grp").as("event_type"), col("id").as("event_id"),
+          col("v").as("value"), col("rn").cast("long").as("rn"))
+        .orderBy("event_type", "rn")),
+    // ---- deterministic Bloom-filter membership pruning: the output is
+    //      the bloom-passing SUPERSET (false positives included — both
+    //      engines derive the same md5 bit positions) ----
+    "q61_bloom_prune" -> ((s, dir) => {
+      import s.implicits._
+      val smallKeys = t(s, dir, "customer").where(col("c_nationkey") < 5)
+        .select(col("c_custkey").cast("string")).distinct().as[String]
+      val large = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_custkey").cast("string").as("key"))
+      graft.ops.Bloom.prune(large, "key", smallKeys, m = 1 << 12, k = 4)
+        .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+    }),
+    // ---- FP-free integer-quantized k-means (trained IVF quantizer,
+    //      fully DuckDB-replayed: quantize → 2 Lloyd updates → assign) ----
+    "q62_kmeans_int" -> ((s, dir) =>
+      graft.ops.Kmeans.assignQuantized(t(s, dir, "embeddings"),
+        k = 4, updates = 2).orderBy("vec_id")),
     // ---- deterministic count-min word-frequency sketch ----
     "q54_cms_counts" -> ((s, dir) =>
       graft.ops.Sketches.cmsWordCounts(t(s, dir, "documents"))
@@ -1194,6 +1220,60 @@ object SparkEntry {
         |FROM p JOIN occ a ON a.entity = p.subj
         | JOIN occ b ON b.entity = p.obj, tot
         |ORDER BY p.subj, p.obj""".stripMargin,
+    "q63_topk_pruned" ->
+      """SELECT event_type, event_id, value, rn FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events) WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "q61_bloom_prune" ->
+      """WITH small AS (SELECT DISTINCT c_custkey::VARCHAR AS key
+        |   FROM customer WHERE c_nationkey < 5),
+        | pos AS (SELECT DISTINCT
+        |   ('0x'||substr(md5(key||'_b_'||j),1,15))::BIGINT % 4096 AS p
+        |   FROM small, range(0,4) t(j)),
+        | lk AS (SELECT o_orderkey, o_custkey, o_custkey::VARCHAR AS key
+        |   FROM orders),
+        | kp AS (SELECT key,
+        |   ('0x'||substr(md5(key||'_b_'||j),1,15))::BIGINT % 4096 AS pp
+        |   FROM (SELECT DISTINCT key FROM lk), range(0,4) t(j)),
+        | surv AS (SELECT key FROM kp JOIN pos ON pos.p = kp.pp
+        |   GROUP BY key HAVING count(*) = 4)
+        |SELECT lk.o_orderkey, lk.o_custkey
+        |FROM lk JOIN surv ON surv.key = lk.key
+        |ORDER BY lk.o_orderkey""".stripMargin,
+    "q62_kmeans_int" ->
+      """WITH e AS (SELECT vec_id, j AS dim,
+        |   CAST(round(CAST(embedding[j+1] AS DOUBLE) * 1000) AS BIGINT) AS v
+        |   FROM embeddings, range(0, 64) t(j)),
+        | ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+        |   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        | cent0 AS (SELECT ids.cell, e.dim, e.v
+        |   FROM ids JOIN e ON e.vec_id = ids.vec_id),
+        | d1 AS (SELECT e.vec_id, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cent0 c ON c.dim = e.dim GROUP BY e.vec_id, c.cell),
+        | a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |   FROM d1) WHERE rn = 1),
+        | cent1 AS (SELECT a1.cell, e.dim,
+        |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
+        |   FROM a1 JOIN e ON e.vec_id = a1.vec_id GROUP BY a1.cell, e.dim),
+        | d2 AS (SELECT e.vec_id, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cent1 c ON c.dim = e.dim GROUP BY e.vec_id, c.cell),
+        | a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |   FROM d2) WHERE rn = 1),
+        | cent2 AS (SELECT a2.cell, e.dim,
+        |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
+        |   FROM a2 JOIN e ON e.vec_id = a2.vec_id GROUP BY a2.cell, e.dim),
+        | d3 AS (SELECT e.vec_id, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cent2 c ON c.dim = e.dim GROUP BY e.vec_id, c.cell)
+        |SELECT vec_id, cell::INT AS cell, dist FROM (SELECT vec_id, cell, dist,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |  FROM d3) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q60_percentiles" ->
       """WITH v AS (SELECT length(text)::BIGINT AS v FROM documents),
         | r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk,

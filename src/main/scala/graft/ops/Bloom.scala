@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Deterministic Bloom-filter membership pruning for semi-joins.
+  *
+  * At 100 TB the expensive part of `large SEMI JOIN small` is shuffling
+  * (or even scanning + hashing) the large side; when the small side fits
+  * in a few KB of bits, a broadcast Bloom filter drops most non-matching
+  * rows at the scan, before any join machinery — the same idea as
+  * Spark's runtime `InjectRuntimeFilter`, but with a *deterministic*
+  * md5-derived hash family so the pruned superset is bit-identical
+  * across engines and partitionings (Spark's built-in bloom uses
+  * implementation-defined hashing and is not replayable). k positions
+  * per key: h_j(key) = h60(key ++ "_b_" ++ j) mod m (TextOps.hexInt —
+  * the engine-wide cross-engine hash primitive).
+  *
+  * The filter itself is an associative [[Aggregator]] over the small
+  * side's keys (per-partition partial bitsets OR-merged — one reduce,
+  * no shuffle of the keys beyond the final combine), and the membership
+  * test on the large side is pure native column expressions
+  * (element_at + shiftright + bitwise AND — whole-stage codegen, no
+  * UDF). The m-bit array travels as a plan literal; keep m ≤ ~2^20 so
+  * the serialized plan stays small (the Bloom regime — if the small
+  * side needs more bits than that, it deserves a real shuffled join).
+  */
+object Bloom {
+
+  /** OR-merging bitset aggregator: each key sets its k md5 positions. */
+  private class BitsetAgg(m: Int, k: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("MD5")
+    def zero: Array[Long] = new Array[Long](m / 64)
+    def reduce(b: Array[Long], key: String): Array[Long] = {
+      var j = 0
+      while (j < k) {
+        val pos = (TextOps.h60(md, key + "_b_" + j) % m).toInt
+        b(pos >>> 6) |= (1L << (pos & 63))
+        j += 1
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoderCompat.longArray
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderCompat.longArray
+  }
+
+  private object ExpressionEncoderCompat {
+    val longArray: Encoder[Array[Long]] = {
+      val s = SparkSession.active
+      s.implicits.newLongArrayEncoder
+    }
+  }
+
+  /** Build the m-bit Bloom bitset from the small side's distinct keys
+    * (string column `key`). m must be a multiple of 64.
+    */
+  def buildBits(keys: Dataset[String], m: Int, k: Int): Array[Long] = {
+    require(m % 64 == 0, s"m must be a multiple of 64, got $m")
+    keys.select(new BitsetAgg(m, k).toColumn).head()
+  }
+
+  /** Prune `large` to the rows whose `keyCol` (string) passes the Bloom
+    * filter built from `smallKeys` — a deterministic SUPERSET of the
+    * semi-join result (false-positive rate ≈ (1-e^{-kn/m})^k, zero
+    * false negatives). Chain with an exact join for exactness; the
+    * bloom stage is what cuts the scan-to-shuffle volume.
+    */
+  def prune(large: DataFrame, keyCol: String, smallKeys: Dataset[String],
+            m: Int = 1 << 16, k: Int = 4): DataFrame = {
+    val bits = buildBits(smallKeys, m, k)
+    val withBits = large
+      .withColumn("__bloom_bits", typedLit(bits.toSeq))
+    val pass = (0 until k).map { j =>
+      val pos = TextOps.hexInt(concat(col(keyCol), lit("_b_" + j))) % m
+      expr(
+        s"""(shiftright(element_at(__bloom_bits,
+           |  CAST(__bloom_pos$j div 64 AS INT) + 1),
+           |  CAST(__bloom_pos$j % 64 AS INT)) & 1) = 1""".stripMargin) ->
+        (s"__bloom_pos$j", pos)
+    }
+    val staged = pass.foldLeft(withBits) { case (df, (_, (name, c))) =>
+      df.withColumn(name, c)
+    }
+    staged
+      .where(pass.map(_._1).reduce(_ && _))
+      .drop("__bloom_bits" +: pass.map(_._2._1): _*)
+  }
+
+  /** Exact semi-join with Bloom pre-pruning: the production composition
+    * (prune at the scan, then a broadcast semi-join over the survivors
+    * for exactness).
+    */
+  def semiJoin(large: DataFrame, keyCol: String, smallKeys: Dataset[String],
+               m: Int = 1 << 16, k: Int = 4): DataFrame = {
+    val pruned = prune(large, keyCol, smallKeys, m, k)
+    pruned.join(broadcast(smallKeys.toDF("__sj_key")),
+      col(keyCol) === col("__sj_key"), "left_semi")
+  }
+}

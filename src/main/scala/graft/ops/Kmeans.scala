@@ -96,4 +96,86 @@ object Kmeans {
     e.unpersist()
     (cents, objs)
   }
+
+  /** Argmin-distance cell for a quantized vector: exact long Σ(v−c)²,
+    * ties to the smallest cell id (`cs` must be cell-ascending).
+    */
+  private def nearest(cs: Seq[(Int, Array[Long])],
+                      v: Array[Long]): (Int, Long) = {
+    var best = -1; var bestD = Long.MaxValue
+    cs.foreach { case (c, cv) =>
+      var s = 0L; var i = 0
+      while (i < v.length) { val t = v(i) - cv(i); s += t * t; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+    }
+    (best, bestD)
+  }
+
+  /** FP-free Lloyd k-means over INTEGER-QUANTIZED embeddings — the
+    * oracle-able twin of [[train]]. Vectors are quantized once
+    * (round(x·scale) per dimension, half-away-from-zero in both Spark
+    * and DuckDB), then every distance (Σ(v−c)², long), every centroid
+    * update (Σv div n, truncating division — Spark `div`, DuckDB `//`,
+    * Scala `/` all truncate toward zero) and every tie-break (smallest
+    * cell id) is exact integer arithmetic: the result is bit-identical
+    * under ANY partitioning and ANY engine, unlike floating-point means
+    * whose summation order is nondeterministic. This closes the gap
+    * that kept the trained quantizer out of the DuckDB oracle set.
+    *
+    * Scale shape identical to [[train]]: one mapPartitions per round
+    * emitting ≤ k (cell, sum-vector, count) partials per partition,
+    * O(partitions·k·d) merged on the driver, centroids broadcast back.
+    * Empty cells are DROPPED (not held at their old position) so the
+    * SQL replay — where a missing group simply yields no row — agrees.
+    *
+    * Returns the final assignment (vec_id, cell, dist) after `updates`
+    * centroid-update rounds from the deterministic init (the k vectors
+    * with smallest vec_id, cell = rank order).
+    */
+  def assignQuantized(emb: DataFrame, k: Int = 4, updates: Int = 2,
+                      scale: Int = 1000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col("vec_id").cast("long").as("_1"),
+        transform(col("embedding"), x =>
+          round(x.cast("double") * scale).cast("long")).as("_2"))
+      .as[(Long, Array[Long])]
+      .persist()
+    // init: cell c = the (c+1)-th smallest vec_id's vector
+    var cents: Seq[(Int, Array[Long])] =
+      q.orderBy("_1").limit(k).collect().map(_._2).zipWithIndex
+        .map { case (v, c) => (c, v) }
+    for (_ <- 1 to updates) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = q.mapPartitions { rows =>
+        val cs = bc.value
+        val sums = scala.collection.mutable.Map.empty[Int, Array[Long]]
+        val counts = scala.collection.mutable.Map.empty[Int, Long]
+        rows.foreach { case (_, v) =>
+          val (cell, _) = nearest(cs, v)
+          val acc = sums.getOrElseUpdate(cell, new Array[Long](v.length))
+          var i = 0
+          while (i < v.length) { acc(i) += v(i); i += 1 }
+          counts(cell) = counts.getOrElse(cell, 0L) + 1
+        }
+        sums.iterator.map { case (c, s) => (c, s, counts(c)) }
+      }.collect()
+      val merged = scala.collection.mutable.Map.empty[Int, (Array[Long], Long)]
+      partials.foreach { case (c, s, n) =>
+        val (acc, cnt) = merged.getOrElseUpdate(c,
+          (new Array[Long](s.length), 0L))
+        var i = 0
+        while (i < s.length) { acc(i) += s(i); i += 1 }
+        merged(c) = (acc, cnt + n)
+      }
+      cents = merged.toSeq.sortBy(_._1).map { case (c, (s, n)) =>
+        (c, s.map(_ / n)) // truncating integer division, matches // and div
+      }
+    }
+    val bc = spark.sparkContext.broadcast(cents)
+    q.map { case (id, v) =>
+      val (cell, dist) = nearest(bc.value, v)
+      (id, cell, dist)
+    }.toDF("vec_id", "cell", "dist")
+  }
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Map-side-pruned grouped top-k — the scale form of
+  * `row_number().over(Window.partitionBy(g).orderBy(...)) <= k`.
+  *
+  * The window form shuffles EVERY row of the corpus to its group's
+  * reducer before discarding all but k; at 10^12 rows that shuffle is
+  * the job. Here each input partition first keeps only its own top-k
+  * per group (bounded heaps, O(groups·k) task state), so the exchange
+  * that follows moves at most partitions·k rows per group — the final
+  * window then ranks that pruned set exactly. Output is identical to
+  * the window form for any input because per-partition top-k is a
+  * superset of the global top-k (proof: any global top-k row is top-k
+  * within its own partition), and the tie order (v desc, id asc) is a
+  * total order.
+  */
+object TopK {
+
+  /** Top-k rows per group by (v desc, id asc). Input columns:
+    * (grp string, id long, v double); output adds rn ∈ [1, k].
+    */
+  def groupedTopK(df: DataFrame, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pruned = df
+      .select(col("grp").cast("string"), col("id").cast("long"),
+        col("v").cast("double"))
+      .as[(String, Long, Double)]
+      .mapPartitions { it =>
+        // min-heap whose head is the WORST kept row (smallest v, then
+        // largest id) — evicted when a better row arrives at capacity
+        val worstFirst = new java.util.Comparator[(Long, Double)] {
+          def compare(a: (Long, Double), b: (Long, Double)): Int = {
+            val c = java.lang.Double.compare(a._2, b._2)
+            if (c != 0) c else java.lang.Long.compare(b._1, a._1)
+          }
+        }
+        val heaps = new java.util.HashMap[String,
+          java.util.PriorityQueue[(Long, Double)]]()
+        it.foreach { case (g, id, v) =>
+          val pq = heaps.computeIfAbsent(g, _ =>
+            new java.util.PriorityQueue[(Long, Double)](k + 1, worstFirst))
+          if (pq.size < k) pq.add((id, v))
+          else if (worstFirst.compare((id, v), pq.peek()) > 0) {
+            pq.poll(); pq.add((id, v))
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.entrySet().iterator().asScala.flatMap(e =>
+          e.getValue.iterator().asScala.map(t => (e.getKey, t._1, t._2)))
+      }
+      .toDF("grp", "id", "v")
+    val w = Window.partitionBy("grp").orderBy(desc("v"), asc("id"))
+    pruned.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+}

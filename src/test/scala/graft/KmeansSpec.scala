@@ -82,4 +82,62 @@ class KmeansSpec extends AnyFunSuite {
     // here) cannot recover the partition
     assert(mM + sM > 0, "modulo seeding unexpectedly recovered the partition")
   }
+
+  test("integer-quantized k-means: planted recovery, partitioning-invariant") {
+    import spark.implicits._
+    // two tight planted clusters around (+1…) and (−1…), dim 4
+    def vec(base: Float, wiggle: Float) = Array(base + wiggle, base, base, base)
+    val rows = (0 until 20).map { i =>
+      val c = i % 2
+      (i.toLong, vec(if (c == 0) 1f else -1f, (i / 2) * 0.01f), c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "truth")
+    val got = graft.ops.Kmeans.assignQuantized(df, k = 2, updates = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // exact recovery: each truth class maps to exactly one cell
+    val byTruth = rows.groupBy(_._3).map { case (tr, rs) =>
+      tr -> rs.map(r => got(r._1)._1).toSet
+    }
+    assert(byTruth.values.forall(_.size == 1), byTruth)
+    assert(byTruth(0) != byTruth(1), byTruth)
+    // identical output (cells AND integer distances) under a different
+    // partitioning — the partitioning-invariance the oracle relies on
+    val got2 = graft.ops.Kmeans
+      .assignQuantized(df.repartition(7), k = 2, updates = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got == got2)
+  }
+}
+
+/** Deterministic Bloom membership pruning: exactness + replayability. */
+class BloomSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+
+  test("bloom prune: no false negatives; matches a driver-side bit replay") {
+    import spark.implicits._
+    val smallKeys = (1 to 8).map(i => s"k$i")
+    val small = smallKeys.toDS()
+    val keys = (1 to 500).map(i => s"k$i")
+    val large = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("row_id", "key")
+    val m = 64; val k = 4 // deliberately overloaded (see FP check below)
+    val got = graft.ops.Bloom.prune(large, "key", small, m, k)
+      .collect().map(_.getString(1)).toSet
+    // zero false negatives
+    assert(smallKeys.toSet.subsetOf(got), got)
+    // driver-side replay of the same md5 bit rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def positions(key: String) =
+      (0 until k).map(j => (graft.ops.TextOps.h60(md, key + "_b_" + j) % m).toInt)
+    val bits = smallKeys.flatMap(positions).toSet
+    val want = keys.filter(kk => positions(kk).forall(bits.contains)).toSet
+    assert(got == want)
+    // the demo m is deliberately overloaded, so false positives exist —
+    // proves the compare exercises bloom semantics, not the exact join
+    assert(got.size > smallKeys.size, got.size)
+    // exact composition: bloom + broadcast semi == plain semi-join
+    val exact = graft.ops.Bloom.semiJoin(large, "key", small, m, k)
+      .collect().map(_.getString(1)).toSet
+    assert(exact == smallKeys.toSet)
+  }
 }

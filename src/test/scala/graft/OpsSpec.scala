@@ -401,6 +401,34 @@ class GraphOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Map-side-pruned grouped top-k vs the plain window form. */
+class TopKSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  test("groupedTopK equals the window form (heavy ties), prunes pre-exchange") {
+    import spark.implicits._
+    // (i*37)%50 forces many equal v values → exercises the tie order
+    val rows = (1 to 500).map(i =>
+      (s"g${i % 7}", i.toLong, ((i * 37) % 50).toDouble))
+    val df = rows.toDF("grp", "id", "v").repartition(13)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val topk = graft.ops.TopK.groupedTopK(df, 5)
+    val got = topk.collect().map(key).toSet
+    val w = Window.partitionBy("grp").orderBy(desc("v"), asc("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5).collect().map(key).toSet
+    assert(got == want)
+    assert(got.size == 35) // 7 groups × k=5
+    // the heap prune (MapPartitions) runs BEFORE the window's exchange
+    val p = topk.queryExecution.executedPlan.toString
+    assert(p.indexOf("MapPartitions") >= 0 &&
+      p.indexOf("Exchange") < p.indexOf("MapPartitions"), p)
+  }
+}
+
 /** Range-partitioned exact percentile scan vs the naive sorted pick. */
 class PercentileScanSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = SparkTest.spark

@@ -89,6 +89,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!bm.toLowerCase.contains("generate"), s"lshBucketsMulti fans out:\n$bm")
   }
 
+  test("bloom prune: membership test is native codegen, no UDF, no join") {
+    import spark.implicits._
+    val small = Seq("1", "2", "3").toDS()
+    val large = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(o_custkey AS STRING) AS key")
+    val p = graft.ops.Bloom.prune(large, "key", small)
+      .queryExecution.executedPlan.toString
+    // pure scan+filter+project: the prune adds NO join and NO exchange,
+    // and the bit test is native expressions (codegen), not a UDF
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(!p.contains("Join") && !p.contains("Exchange"), p)
+    // `*(n)` prefixes = whole-stage-codegen'd operators; the filter and
+    // project must both sit inside one codegen stage
+    assert(p.contains("*(1) Filter") && p.contains("*(1) Project"), p)
+  }
+
   test("kmvEstimate plan carries no exact distinct aggregation") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val est = graft.ops.Sketches.kmvEstimate(docs)
