@@ -1229,14 +1229,20 @@ object SparkEntry {
     "q61_bloom_prune" ->
       """WITH small AS (SELECT DISTINCT c_custkey::VARCHAR AS key
         |   FROM customer WHERE c_nationkey < 5),
-        | pos AS (SELECT DISTINCT
-        |   ('0x'||substr(md5(key||'_b_'||j),1,15))::BIGINT % 4096 AS p
-        |   FROM small, range(0,4) t(j)),
+        | sh AS (SELECT key,
+        |   ('0x'||substr(md5(key||'_h1'),1,15))::BIGINT % 4096 AS h1,
+        |   ('0x'||substr(md5(key||'_h2'),1,15))::BIGINT % 4096 AS h2
+        |   FROM small),
+        | pos AS (SELECT DISTINCT (h1 + j*h2) % 4096 AS p
+        |   FROM sh, range(0,4) t(j)),
         | lk AS (SELECT o_orderkey, o_custkey, o_custkey::VARCHAR AS key
         |   FROM orders),
-        | kp AS (SELECT key,
-        |   ('0x'||substr(md5(key||'_b_'||j),1,15))::BIGINT % 4096 AS pp
-        |   FROM (SELECT DISTINCT key FROM lk), range(0,4) t(j)),
+        | kh AS (SELECT key,
+        |   ('0x'||substr(md5(key||'_h1'),1,15))::BIGINT % 4096 AS h1,
+        |   ('0x'||substr(md5(key||'_h2'),1,15))::BIGINT % 4096 AS h2
+        |   FROM (SELECT DISTINCT key FROM lk)),
+        | kp AS (SELECT key, (h1 + j*h2) % 4096 AS pp
+        |   FROM kh, range(0,4) t(j)),
         | surv AS (SELECT key FROM kp JOIN pos ON pos.p = kp.pp
         |   GROUP BY key HAVING count(*) = 4)
         |SELECT lk.o_orderkey, lk.o_custkey

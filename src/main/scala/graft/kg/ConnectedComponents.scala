@@ -96,6 +96,38 @@ object ConnectedComponents {
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
+  /** Incremental update: fold NEW edges into an EXISTING
+    * (node, component) assignment without recomputing over the old edge
+    * set. The existing assignment is re-encoded as its star edges
+    * (node → component) — already the converged fixpoint shape, and
+    * |nodes| rows instead of however many raw edges produced it — so
+    * the iteration over (stars ∪ new edges) contracts untouched
+    * components immediately; only components actually bridged by new
+    * edges do more than one round of work. Connectivity-equivalent to a
+    * full recompute because a star preserves exactly its component's
+    * reachability (asserted against the from-scratch run in
+    * CcIncrementalSpec). This is the streaming-ingest shape: each
+    * micro-batch folds its new co-occurrence/alias edges into the
+    * canonical map at O(affected-cluster) cost, not O(corpus).
+    *
+    * Isolated nodes of the old assignment (component = self, no edges)
+    * are carried through unchanged.
+    */
+  def incremental(spark: SparkSession, existing: DataFrame,
+                  newEdges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val star = existing.where(col("node") =!= col("component"))
+      .select(col("node").as("src"), col("component").as("dst"))
+    val cc = run(spark,
+      star.unionByName(newEdges.select(col("src"), col("dst"))), maxIter)
+    val allNodes = existing.select(col("node"))
+      .union(newEdges.select(col("src").as("node")))
+      .union(newEdges.select(col("dst").as("node")))
+      .distinct()
+    allNodes.join(cc, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+  }
+
   /** Canonical entity map from the alias dictionary: bipartite graph of
     * surface nodes ("s:<surface>") and entity-record nodes ("e:<id>");
     * canonical id of a record = min record id in its component.

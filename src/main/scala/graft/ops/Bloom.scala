@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   * Spark's runtime `InjectRuntimeFilter`, but with a *deterministic*
   * md5-derived hash family so the pruned superset is bit-identical
   * across engines and partitionings (Spark's built-in bloom uses
-  * implementation-defined hashing and is not replayable). k positions
-  * per key: h_j(key) = h60(key ++ "_b_" ++ j) mod m (TextOps.hexInt —
-  * the engine-wide cross-engine hash primitive).
+  * implementation-defined hashing and is not replayable). The k
+  * positions per key come from DOUBLE HASHING (Kirsch & Mitzenmacher,
+  * "Less hashing, same performance", ESA'06 — public result):
+  * p_j(key) = (h1 + j·h2) mod m with h1/h2 = h60(key ++ "_h1"/"_h2")
+  * mod m (TextOps.hexInt — the engine-wide cross-engine hash
+  * primitive). Two md5 evaluations per probed row regardless of k —
+  * at 100 TB the per-row hash count IS the prune's cost.
   *
   * The filter itself is an associative [[Aggregator]] over the small
   * side's keys (per-partition partial bitsets OR-merged — one reduce,
@@ -35,9 +39,11 @@ object Bloom {
       java.security.MessageDigest.getInstance("MD5")
     def zero: Array[Long] = new Array[Long](m / 64)
     def reduce(b: Array[Long], key: String): Array[Long] = {
+      val h1 = (TextOps.h60(md, key + "_h1") % m).toInt
+      val h2 = (TextOps.h60(md, key + "_h2") % m).toInt
       var j = 0
       while (j < k) {
-        val pos = (TextOps.h60(md, key + "_b_" + j) % m).toInt
+        val pos = (h1 + j * h2) % m
         b(pos >>> 6) |= (1L << (pos & 63))
         j += 1
       }
@@ -77,22 +83,23 @@ object Bloom {
   def prune(large: DataFrame, keyCol: String, smallKeys: Dataset[String],
             m: Int = 1 << 16, k: Int = 4): DataFrame = {
     val bits = buildBits(smallKeys, m, k)
-    val withBits = large
+    // two md5 evaluations per row; the k bit probes are arithmetic
+    val staged = large
       .withColumn("__bloom_bits", typedLit(bits.toSeq))
+      .withColumn("__bloom_h1",
+        TextOps.hexInt(concat(col(keyCol), lit("_h1"))) % m)
+      .withColumn("__bloom_h2",
+        TextOps.hexInt(concat(col(keyCol), lit("_h2"))) % m)
     val pass = (0 until k).map { j =>
-      val pos = TextOps.hexInt(concat(col(keyCol), lit("_b_" + j))) % m
       expr(
         s"""(shiftright(element_at(__bloom_bits,
-           |  CAST(__bloom_pos$j div 64 AS INT) + 1),
-           |  CAST(__bloom_pos$j % 64 AS INT)) & 1) = 1""".stripMargin) ->
-        (s"__bloom_pos$j", pos)
-    }
-    val staged = pass.foldLeft(withBits) { case (df, (_, (name, c))) =>
-      df.withColumn(name, c)
+           |  CAST(((__bloom_h1 + $j * __bloom_h2) % $m) div 64 AS INT) + 1),
+           |  CAST(((__bloom_h1 + $j * __bloom_h2) % $m) % 64 AS INT))
+           |  & 1) = 1""".stripMargin)
     }
     staged
-      .where(pass.map(_._1).reduce(_ && _))
-      .drop("__bloom_bits" +: pass.map(_._2._1): _*)
+      .where(pass.reduce(_ && _))
+      .drop("__bloom_bits", "__bloom_h1", "__bloom_h2")
   }
 
   /** Exact semi-join with Bloom pre-pruning: the production composition

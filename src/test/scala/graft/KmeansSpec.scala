@@ -125,10 +125,13 @@ class BloomSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSet
     // zero false negatives
     assert(smallKeys.toSet.subsetOf(got), got)
-    // driver-side replay of the same md5 bit rule
+    // driver-side replay of the same double-hashing bit rule
     val md = java.security.MessageDigest.getInstance("MD5")
-    def positions(key: String) =
-      (0 until k).map(j => (graft.ops.TextOps.h60(md, key + "_b_" + j) % m).toInt)
+    def positions(key: String) = {
+      val h1 = (graft.ops.TextOps.h60(md, key + "_h1") % m).toInt
+      val h2 = (graft.ops.TextOps.h60(md, key + "_h2") % m).toInt
+      (0 until k).map(j => (h1 + j * h2) % m)
+    }
     val bits = smallKeys.flatMap(positions).toSet
     val want = keys.filter(kk => positions(kk).forall(bits.contains)).toSet
     assert(got == want)

@@ -236,6 +236,46 @@ class CcScaleSpec extends AnyFunSuite {
   }
 }
 
+/** Incremental canonicalization: folding new edges into a converged
+  * assignment must equal the from-scratch recompute. */
+class CcIncrementalSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("incremental == full recompute when new edges bridge components") {
+    // batch 1: chains a-b-c and d-e; isolated node z (via self-assignment)
+    val e1 = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("src", "dst")
+    val base = graft.kg.ConnectedComponents.run(spark, e1)
+      .union(Seq(("z", "z")).toDF("node", "component"))
+    // batch 2: bridge c-d (merges the two chains), new pair (x, y)
+    val e2 = Seq(("c", "d"), ("x", "y")).toDF("src", "dst")
+    val inc = asMap(graft.kg.ConnectedComponents.incremental(spark, base, e2))
+    val full = asMap(graft.kg.ConnectedComponents.run(spark,
+      e1.unionByName(e2)))
+    // merged + new nodes match the from-scratch answer
+    assert(full.forall { case (n, c) => inc(n) == c }, (inc, full))
+    // the old isolated node survives untouched
+    assert(inc("z") == "z")
+    assert(inc.keySet == full.keySet + "z")
+  }
+
+  test("incremental on a larger random graph matches full recompute") {
+    val edges = (0 until 400).map { i =>
+      (s"n${(i * 13) % 97}", s"n${(i * 29 + 7) % 97}")
+    }.filter { case (a, b) => a != b }
+    val (e1, e2) = edges.splitAt(250)
+    val base = graft.kg.ConnectedComponents.run(spark, e1.toDF("src", "dst"))
+    val inc = asMap(graft.kg.ConnectedComponents.incremental(spark, base,
+      e2.toDF("src", "dst")))
+    val full = asMap(graft.kg.ConnectedComponents.run(spark,
+      edges.toDF("src", "dst")))
+    assert(inc == full)
+  }
+}
+
 /** Torn-commit atomicity: data written but lineage row missing (the crash
   * window between the two writes) must NOT double-count after resume —
   * the bucket is rewritten idempotently (dynamic partition overwrite).
