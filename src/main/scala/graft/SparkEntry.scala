@@ -382,6 +382,15 @@ object SparkEntry {
         .select(col("grp").as("event_type"), col("id").as("event_id"),
           col("v").as("value"), col("rn").cast("long").as("rn"))
         .orderBy("event_type", "rn")),
+    // ---- deterministic uniform k-sample per group (md5-rank order,
+    //      same map-side heap pruning as q63) ----
+    "q64_group_sample" -> ((s, dir) =>
+      graft.ops.TopK.sampleKPerGroup(t(s, dir, "documents"),
+          "source", "doc_id", k = 5)
+        .select(col("grp").as("source"),
+          col("id").cast("long").as("doc_id"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("source", "rn")),
     // ---- deterministic Bloom-filter membership pruning: the output is
     //      the bloom-passing SUPERSET (false positives included — both
     //      engines derive the same md5 bit positions) ----
@@ -1226,6 +1235,12 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY value DESC, event_id ASC) AS rn
         |  FROM events) WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+    "q64_group_sample" ->
+      """SELECT source, doc_id, rn FROM (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT
+        |      % 1125899906842624 ASC, doc_id ASC) AS rn
+        |  FROM documents) WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
     "q61_bloom_prune" ->
       """WITH small AS (SELECT DISTINCT c_custkey::VARCHAR AS key
         |   FROM customer WHERE c_nationkey < 5),

@@ -57,4 +57,51 @@ object TopK {
     val w = Window.partitionBy("grp").orderBy(desc("v"), asc("id"))
     pruned.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
+
+  /** Deterministic uniform k-sample per group: rank each row by the
+    * md5 hash of its id (a fixed uniform permutation of the group) and
+    * keep the k smallest — a reproducible, engine-replayable sample
+    * with the same map-side heap pruning as [[groupedTopK]] (shuffle
+    * volume partitions·k per group, never the corpus). The hash rank is
+    * reduced mod 2^50 so it is exactly representable as a double on
+    * both sides of the oracle compare. Output: (grp, id, rn ∈ [1, k]).
+    */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pruned = df
+      .select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("string").as("id"),
+        (TextOps.hexInt(col(idCol).cast("string")) % (1L << 50))
+          .cast("double").as("v"))
+      .as[(String, String, Double)]
+      .mapPartitions { it =>
+        // max-heap: head = LARGEST kept (v asc, id asc priority) —
+        // evicted when a smaller-ranked row arrives at capacity
+        val largestFirst = new java.util.Comparator[(String, Double)] {
+          def compare(a: (String, Double), b: (String, Double)): Int = {
+            val c = java.lang.Double.compare(b._2, a._2)
+            if (c != 0) c else b._1.compareTo(a._1)
+          }
+        }
+        val heaps = new java.util.HashMap[String,
+          java.util.PriorityQueue[(String, Double)]]()
+        it.foreach { case (g, id, v) =>
+          val pq = heaps.computeIfAbsent(g, _ =>
+            new java.util.PriorityQueue[(String, Double)](k + 1, largestFirst))
+          if (pq.size < k) pq.add((id, v))
+          else if (largestFirst.compare((id, v), pq.peek()) > 0) {
+            pq.poll(); pq.add((id, v))
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        heaps.entrySet().iterator().asScala.flatMap(e =>
+          e.getValue.iterator().asScala.map(t => (e.getKey, t._1, t._2)))
+      }
+      .toDF("grp", "id", "v")
+    val w = Window.partitionBy("grp").orderBy(asc("v"), asc("id"))
+    pruned.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .drop("v")
+  }
 }

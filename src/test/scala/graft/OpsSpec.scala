@@ -427,6 +427,28 @@ class TopKSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(p.indexOf("MapPartitions") >= 0 &&
       p.indexOf("Exchange") < p.indexOf("MapPartitions"), p)
   }
+
+  test("sampleKPerGroup: deterministic md5-rank sample equals the window form") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i => (s"src${i % 4}", s"doc_$i"))
+    val df = rows.toDF("source", "doc_id").repartition(9)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getInt(2))
+    val got = graft.ops.TopK.sampleKPerGroup(df, "source", "doc_id", 4)
+      .collect().map(key).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+      rs.map(_._2)
+        .sortBy(id => (graft.ops.TextOps.h60(md, id) % (1L << 50), id))
+        .take(4).zipWithIndex.map { case (id, i) => (src, id, i + 1) }
+    }.toSet
+    assert(got == want)
+    // stable under repartitioning
+    val got2 = graft.ops.TopK
+      .sampleKPerGroup(df.repartition(3), "source", "doc_id", 4)
+      .collect().map(key).toSet
+    assert(got2 == got)
+  }
 }
 
 /** Range-partitioned exact percentile scan vs the naive sorted pick. */
