@@ -347,6 +347,19 @@ object SparkEntry {
       val triples = KgPipeline.run(s, docs, CorpusGen.aliases(s))
       graft.kg.GraphOps.cooccurrenceLift(triples).orderBy("subj", "obj")
     }),
+    // ---- deterministic label-propagation communities (sync updates,
+    //      count-desc/label-asc ties — replayable, unlike async LPA) ----
+    "q65_kg_communities" -> ((s, dir) => {
+      graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
+      val docs = CorpusGen.docs(s, 500, parts = 8)
+      val triples = KgPipeline.run(s, docs, CorpusGen.aliases(s))
+      graft.kg.GraphOps.labelPropagation(triples, iters = 2)
+        .orderBy("entity")
+    }),
+    // ---- key-skew diagnostics (top-N heavy keys, integer ppm share) ----
+    "q66_skew_report" -> ((s, dir) =>
+      graft.ops.Diagnostics.skewReport(t(s, dir, "events"), "user_id",
+        topN = 10)),
     // ---- BPE-ish regex token counting (whitespace twin: q13) ----
     "q40_token_bpe" -> ((s, dir) =>
       graft.ops.TextOps.bpeTokenCount(t(s, dir, "documents")).orderBy("doc_id")),
@@ -1198,6 +1211,34 @@ object SparkEntry {
         |   (150000 + (850 * coalesce(in_sum, 0)) // 1000)::BIGINT AS rank
         |   FROM deg LEFT JOIN c3 ON c3.dst = deg.src)
         |SELECT entity, rank FROM r3 ORDER BY entity""".stripMargin,
+    "q65_kg_communities" ->
+      s"""WITH co AS (SELECT DISTINCT subj AS src, obj AS dst
+        |   FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')
+        |   WHERE pred = 'co_occurs_with'),
+        | sym AS (SELECT src, dst FROM co UNION ALL SELECT dst, src FROM co),
+        | l0 AS (SELECT DISTINCT src AS node FROM sym),
+        | n1 AS (SELECT sym.src AS node, l.label, count(*) AS n
+        |   FROM sym JOIN (SELECT node, node AS label FROM l0) l
+        |     ON l.node = sym.dst
+        |   GROUP BY sym.src, l.label),
+        | l1 AS (SELECT node, label FROM (SELECT node, label,
+        |   row_number() OVER (PARTITION BY node ORDER BY n DESC, label ASC)
+        |     AS rn FROM n1) WHERE rn = 1),
+        | n2 AS (SELECT sym.src AS node, l1.label, count(*) AS n
+        |   FROM sym JOIN l1 ON l1.node = sym.dst
+        |   GROUP BY sym.src, l1.label),
+        | l2 AS (SELECT node, label FROM (SELECT node, label,
+        |   row_number() OVER (PARTITION BY node ORDER BY n DESC, label ASC)
+        |     AS rn FROM n2) WHERE rn = 1)
+        |SELECT node AS entity, label AS community FROM l2
+        |ORDER BY entity""".stripMargin,
+    "q66_skew_report" ->
+      """WITH c AS (SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS cnt
+        |   FROM events GROUP BY 1),
+        | tot AS (SELECT sum(cnt)::BIGINT AS total FROM c)
+        |SELECT c.key, c.cnt,
+        | ((1000000 * c.cnt) // tot.total)::BIGINT AS share_ppm
+        |FROM c, tot ORDER BY c.cnt DESC, c.key ASC LIMIT 10""".stripMargin,
     "q58_kg_triangles" ->
       s"""WITH co AS (SELECT DISTINCT subj AS src, obj AS dst
         |   FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')

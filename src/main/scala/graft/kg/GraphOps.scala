@@ -113,6 +113,38 @@ object GraphOps {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007, public algorithm) with DETERMINISTIC tie rules: every
+    * node starts as its own label; each round it adopts the most
+    * frequent label among its neighbours, ties broken by the smallest
+    * label string. Fixed `iters` rounds, synchronous updates — no
+    * randomized visit order, so the result is identical under any
+    * partitioning and replayable in SQL (the usual async/random-order
+    * LPA is not). Each round is one join on the entity id + one
+    * count aggregation + one per-node (not global) window — the same
+    * bounded shape as [[pageRank]], dictionary-scale.
+    *
+    * Note: after round 1 every node holds its minimum neighbour id
+    * (all neighbour labels are distinct singletons); real community
+    * structure emerges from round 2 onward.
+    */
+  def labelPropagation(triples: Dataset[Triple], iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = coEdges(triples).localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val nb = edges
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .select(col("src").as("node"), col("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("node").orderBy(desc("n"), asc("label"))
+      labels = nb.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select(col("node"), col("label"))
+    }
+    labels.select(col("node").as("entity"), col("label").as("community"))
+  }
+
   /** Co-occurrence lift per entity pair in INTEGER micro-units
     * (10^6 = lift 1.0): lift = (10^6 · pair_n · total) div (n_a · n_b),
     * where pair_n counts co-occurrence triples for the pair, n_x the

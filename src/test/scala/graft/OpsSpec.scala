@@ -386,6 +386,30 @@ class GraphOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == naive.toMap, got)
   }
 
+  test("label propagation matches a sequential replay of the sync rule") {
+    import spark.implicits._
+    val nodes = (0 until 14).map(i => s"n$i")
+    val edges = (for {
+      i <- 0 until 14; j <- (i + 1) until 14
+      if (i * 19 + j * 23) % 4 == 0
+    } yield (s"n$i", s"n$j")).distinct
+    val triples = spark.createDataset(edges.map { case (a, b) => co(a, b) })
+    val got = graft.kg.GraphOps.labelPropagation(triples, iters = 2)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    // sequential synchronous replay with the same tie rule
+    val adj = (edges ++ edges.map(_.swap)).distinct
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 2) {
+      labels = adj.map { case (n, nbrs) =>
+        val freq = nbrs.map(labels).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        n -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got == labels, got)
+  }
+
   test("co-occurrence lift: integer micro-units match hand computation") {
     import spark.implicits._
     val triples = spark.createDataset(
@@ -448,6 +472,20 @@ class TopKSpec extends org.scalatest.funsuite.AnyFunSuite {
       .sampleKPerGroup(df.repartition(3), "source", "doc_id", 4)
       .collect().map(key).toSet
     assert(got2 == got)
+  }
+}
+
+/** Key-skew diagnostics. */
+class DiagnosticsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+
+  test("skewReport: exact counts, integer ppm share, deterministic ties") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val r = graft.ops.Diagnostics.skewReport(df, "k", topN = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("a", 5L, 500000L), ("b", 3L, 300000L)), r.toSeq)
   }
 }
 
