@@ -421,6 +421,21 @@ object SparkEntry {
     "q62_kmeans_int" -> ((s, dir) =>
       graft.ops.Kmeans.assignQuantized(t(s, dir, "embeddings"),
         k = 4, updates = 2).orderBy("vec_id")),
+    // ---- end-to-end integer IVF ANN: trained quantizer + cell-
+    //      restricted search, ranked by exact integer L2 (bit-exact
+    //      replay of index build AND search) ----
+    "q67_ann_ivf_int" -> ((s, dir) =>
+      graft.ops.Kmeans.ivfSearchQuantized(t(s, dir, "embeddings"),
+          k = 4, updates = 2, nQueries = 10, topK = 3)
+        .orderBy("q_id", "rank")),
+    // ---- per-source exact percentiles (grouped rank-select scan) ----
+    "q68_percentiles_by_src" -> ((s, dir) =>
+      graft.ops.Scans.groupedExactPercentiles(
+          t(s, dir, "documents")
+            .select(col("source"), length(col("text")).as("len")),
+          "source", "len", Seq(0.5, 0.9, 0.99))
+        .select(col("grp").as("source"), col("p"), col("value"))
+        .orderBy("source", "p")),
     // ---- deterministic count-min word-frequency sketch ----
     "q54_cms_counts" -> ((s, dir) =>
       graft.ops.Sketches.cmsWordCounts(t(s, dir, "documents"))
@@ -1304,6 +1319,50 @@ object SparkEntry {
         |SELECT lk.o_orderkey, lk.o_custkey
         |FROM lk JOIN surv ON surv.key = lk.key
         |ORDER BY lk.o_orderkey""".stripMargin,
+    "q67_ann_ivf_int" ->
+      """WITH e AS (SELECT vec_id, j AS dim,
+        |   CAST(round(CAST(embedding[j+1] AS DOUBLE) * 1000) AS BIGINT) AS v
+        |   FROM embeddings, range(0, 64) t(j)),
+        | ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+        |   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        | cent0 AS (SELECT ids.cell, e.dim, e.v
+        |   FROM ids JOIN e ON e.vec_id = ids.vec_id),
+        | d1 AS (SELECT e.vec_id, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cent0 c ON c.dim = e.dim GROUP BY e.vec_id, c.cell),
+        | a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |   FROM d1) WHERE rn = 1),
+        | cent1 AS (SELECT a1.cell, e.dim,
+        |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
+        |   FROM a1 JOIN e ON e.vec_id = a1.vec_id GROUP BY a1.cell, e.dim),
+        | d2 AS (SELECT e.vec_id, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cent1 c ON c.dim = e.dim GROUP BY e.vec_id, c.cell),
+        | a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |   FROM d2) WHERE rn = 1),
+        | cent2 AS (SELECT a2.cell, e.dim,
+        |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
+        |   FROM a2 JOIN e ON e.vec_id = a2.vec_id GROUP BY a2.cell, e.dim),
+        | d3 AS (SELECT e.vec_id, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cent2 c ON c.dim = e.dim GROUP BY e.vec_id, c.cell),
+        | a3 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |   FROM d3) WHERE rn = 1),
+        | qs AS (SELECT vec_id AS q_id, cell FROM a3 ORDER BY vec_id LIMIT 10),
+        | pairs AS (SELECT qs.q_id, a3.vec_id AS nn_id
+        |   FROM qs JOIN a3 ON a3.cell = qs.cell WHERE a3.vec_id <> qs.q_id),
+        | pd AS (SELECT p.q_id, p.nn_id,
+        |   sum((eq.v - ev.v)*(eq.v - ev.v))::BIGINT AS dist
+        |   FROM pairs p JOIN e eq ON eq.vec_id = p.q_id
+        |   JOIN e ev ON ev.vec_id = p.nn_id AND ev.dim = eq.dim
+        |   GROUP BY p.q_id, p.nn_id)
+        |SELECT q_id, rank::BIGINT AS rank, nn_id, dist FROM (
+        |  SELECT q_id, nn_id, dist, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY dist ASC, nn_id ASC) AS rank FROM pd)
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "q62_kmeans_int" ->
       """WITH e AS (SELECT vec_id, j AS dim,
         |   CAST(round(CAST(embedding[j+1] AS DOUBLE) * 1000) AS BIGINT) AS v
@@ -1336,6 +1395,15 @@ object SparkEntry {
         |SELECT vec_id, cell::INT AS cell, dist FROM (SELECT vec_id, cell, dist,
         |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
         |  FROM d3) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q68_percentiles_by_src" ->
+      """WITH v AS (SELECT source AS g, length(text)::BIGINT AS v
+        |   FROM documents),
+        | r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v)
+        |     AS rk, count(*) OVER (PARTITION BY g) AS n FROM v)
+        |SELECT r.g AS source, ps.p::DOUBLE AS p, r.v AS value
+        |FROM (VALUES (0.5),(0.9),(0.99)) ps(p)
+        |JOIN r ON r.rk = greatest(1, ceil(ps.p::DOUBLE * r.n))
+        |ORDER BY source, p""".stripMargin,
     "q60_percentiles" ->
       """WITH v AS (SELECT length(text)::BIGINT AS v FROM documents),
         | r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk,

@@ -136,11 +136,38 @@ object Kmeans {
                       scale: Int = 1000): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val q = emb.select(col("vec_id").cast("long").as("_1"),
+    val q = quantized(emb, scale).persist()
+    val cents = trainQuantizedCentroids(q, k, updates)
+    val bc = spark.sparkContext.broadcast(cents)
+    q.map { case (id, v) =>
+      val (cell, dist) = nearest(bc.value, v)
+      (id, cell, dist)
+    }.toDF("vec_id", "cell", "dist")
+  }
+
+  /** Quantize (vec_id, embedding) to integer vectors (round(x·scale),
+    * half-away-from-zero on every engine). Columns aliased _1/_2 so the
+    * tuple encoder AND `orderBy("_1")` both resolve.
+    */
+  def quantized(emb: DataFrame, scale: Int = 1000)
+      : org.apache.spark.sql.Dataset[(Long, Array[Long])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id").cast("long").as("_1"),
         transform(col("embedding"), x =>
           round(x.cast("double") * scale).cast("long")).as("_2"))
       .as[(Long, Array[Long])]
-      .persist()
+  }
+
+  /** The Lloyd loop of [[assignQuantized]], reusable by the IVF search:
+    * init = k smallest vec_ids' vectors, `updates` integer-exact
+    * centroid updates, empty cells dropped.
+    */
+  def trainQuantizedCentroids(
+      q: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      k: Int, updates: Int): Seq[(Int, Array[Long])] = {
+    val spark = q.sparkSession
+    import spark.implicits._
     // init: cell c = the (c+1)-th smallest vec_id's vector
     var cents: Seq[(Int, Array[Long])] =
       q.orderBy("_1").limit(k).collect().map(_._2).zipWithIndex
@@ -172,10 +199,42 @@ object Kmeans {
         (c, s.map(_ / n)) // truncating integer division, matches // and div
       }
     }
+    cents
+  }
+
+  /** End-to-end integer IVF ANN: train the quantized coarse quantizer
+    * ([[trainQuantizedCentroids]]), assign every vector to its cell,
+    * then for each of the `nQueries` smallest-vec_id query vectors rank
+    * its CELL-MATES by exact integer squared L2 distance (ties → the
+    * smaller vec_id) and keep the top `topK` non-self neighbours. All
+    * arithmetic is long-integer, so index build AND search replay
+    * bit-identically in SQL — the oracle-verified composition of the
+    * trained-quantizer pieces (cell restriction is the IVF scale story:
+    * each query scans one cell, not the corpus).
+    */
+  def ivfSearchQuantized(emb: DataFrame, k: Int = 4, updates: Int = 2,
+                         nQueries: Int = 10, topK: Int = 3,
+                         scale: Int = 1000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = quantized(emb, scale).persist()
+    val cents = trainQuantizedCentroids(q, k, updates)
     val bc = spark.sparkContext.broadcast(cents)
-    q.map { case (id, v) =>
-      val (cell, dist) = nearest(bc.value, v)
-      (id, cell, dist)
-    }.toDF("vec_id", "cell", "dist")
+    val assigned = q.map { case (id, v) => (id, nearest(bc.value, v)._1, v) }
+      .toDF("vec_id", "cell", "qv")
+      .localCheckpoint() // reused as both query and candidate side
+    val queries = assigned.orderBy("vec_id").limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("cell"), col("qv").as("q_qv"))
+    val joined = queries.join(assigned, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        expr("""aggregate(zip_with(q_qv, qv, (a, b) -> (a - b) * (a - b)),
+               |0L, (acc, x) -> acc + x)""".stripMargin).as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(asc("dist"), asc("nn_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("dist"))
   }
 }

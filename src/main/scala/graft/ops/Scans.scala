@@ -82,6 +82,60 @@ object Scans {
     }.toDF("p", "value")
   }
 
+  /** Per-GROUP exact percentiles, same machinery as
+    * [[exactPercentiles]]: range-partition by (group, value) — each
+    * group occupies a contiguous run of partitions, so the
+    * per-(partition, group) count table collected to the driver has at
+    * most partitions + groups rows (each partition adds one row per
+    * group it touches, and a group can only straddle a partition
+    * boundary partitions-1 times). Broadcast per-group offsets + target
+    * ranks, second pass emits only the hit rows. percentile_disc
+    * semantics per group; returns (grp, p, value).
+    */
+  def groupedExactPercentiles(df: DataFrame, grpCol: String,
+                              valueCol: String,
+                              ps: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    val ranged = df
+      .select(col(grpCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .repartitionByRange(parts, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .as[(String, Long)]
+      .localCheckpoint()
+    val counts: Array[(Int, String, Long)] =
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (g, _) => m(g) = m.getOrElse(g, 0L) + 1 }
+        m.iterator.map { case (g, c) => (pid, g, c) }
+      }.collect()
+    // per-group totals and the group-local start offset of each partition
+    val offsets: Map[(Int, String), Long] = counts.groupBy(_._2).flatMap {
+      case (g, xs) =>
+        val sorted = xs.sortBy(_._1)
+        sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+          .map { case (pid, off) => (pid, g) -> off }
+    }
+    val targets: Map[String, Map[Long, Seq[Double]]] =
+      counts.groupBy(_._2).map { case (g, xs) =>
+        val n = xs.map(_._3).sum
+        g -> ps.map(p => (math.max(1L, math.ceil(p * n).toLong) - 1L) -> p)
+          .groupBy(_._1).map { case (i, ys) => i -> ys.map(_._2) }
+      }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcTgt = spark.sparkContext.broadcast(targets)
+    ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val idx = scala.collection.mutable.Map.empty[String, Long]
+      it.flatMap { case (g, v) =>
+        val i = idx.getOrElse(g, bcOff.value((pid, g)))
+        idx(g) = i + 1
+        bcTgt.value(g).get(i).map(_.map(p => (g, p, v))).getOrElse(Nil)
+      }
+    }.toDF("grp", "p", "value")
+  }
+
   /** ntile(k) over ordered UNIQUE keys without a global window: the
     * first N mod k folds get one extra key (exact SQL ntile semantics,
     * oracle-verified), ranks from [[zeroBasedRank]]. Returns

@@ -508,6 +508,24 @@ class PercentileScanSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == want, got)
   }
 
+  test("groupedExactPercentiles equals the per-group naive pick") {
+    import spark.implicits._
+    val rows = (1 to 600).map(i => (s"g${i % 5}", (i * i * 31L) % 40))
+    val df = new scala.util.Random(3).shuffle(rows).toDF("src", "len")
+      .repartition(11)
+    val ps = Seq(0.25, 0.5, 0.9)
+    val got = graft.ops.Scans
+      .groupedExactPercentiles(df, "src", "len", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    val want = rows.groupBy(_._1).flatMap { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      ps.map(p => (g, p) ->
+        sorted((math.max(1L, math.ceil(p * sorted.size).toLong) - 1).toInt))
+    }
+    assert(got == want, got)
+  }
+
   test("exactPercentiles handles n smaller than the partition count") {
     import spark.implicits._
     val df = Seq(5L, 1L, 9L).toDF("len")
