@@ -140,9 +140,29 @@ object Linker {
     */
   def linkSaltedSlim(spark: SparkSession, m: DataFrame,
                      aliases: Dataset[Alias], saltBuckets: Int = 8,
-                     skewKeys: Option[Seq[String]] = None): Dataset[SlimLinked] = {
+                     skewKeys: Option[Seq[String]] = None,
+                     bloomPrune: Boolean = true,
+                     bloomBits: Option[Array[Long]] = None): Dataset[SlimLinked] = {
     import spark.implicits._
-    val skew = skewKeys.getOrElse(inferSkewKeysNorm(spark, m))
+    // Bloom pre-prune on the DICTIONARY's surface set: the link join is
+    // INNER, so a mention whose surface is not in the dictionary cannot
+    // survive it — the bloom passes a superset (false positives fall
+    // out in the join itself), so output is identical while the OOV
+    // mention fraction never reaches the shuffle. Bits come prebuilt
+    // from the driver-resident dictionary when a LinkContext is around
+    // (zero extra jobs), else from one O(dictionary) aggregation;
+    // membership is two md5 expressions per mention row at the scan.
+    val mIn =
+      if (!bloomPrune) m
+      else bloomBits match {
+        case Some(bits) =>
+          graft.ops.Bloom.pruneWithBits(m, "surface_norm", bits)
+        case None =>
+          graft.ops.Bloom.prune(m, "surface_norm",
+            aliases.select(col("surface_norm").cast("string")).distinct()
+              .as[String])
+      }
+    val skew = skewKeys.getOrElse(inferSkewKeysNorm(spark, mIn))
     val skewArr =
       if (skew.isEmpty) array(lit(" ")) else array(skew.map(lit): _*)
     // dictionary-side scoring: best candidate per (surface, type) + the
@@ -165,7 +185,7 @@ object Linker {
           sequence(lit(0), lit(saltBuckets - 1)))
           .otherwise(array(lit(0))))
       .withColumn("salt", explode(col("salts"))).drop("salts")
-    val salted = m.withColumn("salt",
+    val salted = mIn.withColumn("salt",
       when(array_contains(skewArr, col("surface_norm")),
         pmod(hash(col("doc_id")), lit(saltBuckets))).otherwise(lit(0)))
     val picked = coalesce(

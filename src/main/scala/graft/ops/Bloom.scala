@@ -39,14 +39,7 @@ object Bloom {
       java.security.MessageDigest.getInstance("MD5")
     def zero: Array[Long] = new Array[Long](m / 64)
     def reduce(b: Array[Long], key: String): Array[Long] = {
-      val h1 = (TextOps.h60(md, key + "_h1") % m).toInt
-      val h2 = (TextOps.h60(md, key + "_h2") % m).toInt
-      var j = 0
-      while (j < k) {
-        val pos = (h1 + j * h2) % m
-        b(pos >>> 6) |= (1L << (pos & 63))
-        j += 1
-      }
+      setBits(b, md, key, m, k)
       b
     }
     def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
@@ -66,12 +59,37 @@ object Bloom {
     }
   }
 
+  private def setBits(b: Array[Long], md: java.security.MessageDigest,
+                      key: String, m: Int, k: Int): Unit = {
+    val h1 = (TextOps.h60(md, key + "_h1") % m).toInt
+    val h2 = (TextOps.h60(md, key + "_h2") % m).toInt
+    var j = 0
+    while (j < k) {
+      val pos = (h1 + j * h2) % m
+      b(pos >>> 6) |= (1L << (pos & 63))
+      j += 1
+    }
+  }
+
   /** Build the m-bit Bloom bitset from the small side's distinct keys
     * (string column `key`). m must be a multiple of 64.
     */
   def buildBits(keys: Dataset[String], m: Int, k: Int): Array[Long] = {
     require(m % 64 == 0, s"m must be a multiple of 64, got $m")
     keys.select(new BitsetAgg(m, k).toColumn).head()
+  }
+
+  /** Driver-side twin of [[buildBits]] for key sets already on the
+    * driver (e.g. a broadcast dictionary's key set) — same bits, zero
+    * Spark jobs.
+    */
+  def buildBitsLocal(keys: IterableOnce[String],
+                     m: Int = 1 << 16, k: Int = 4): Array[Long] = {
+    require(m % 64 == 0, s"m must be a multiple of 64, got $m")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = new Array[Long](m / 64)
+    keys.iterator.foreach(setBits(b, md, _, m, k))
+    b
   }
 
   /** Prune `large` to the rows whose `keyCol` (string) passes the Bloom
@@ -81,8 +99,14 @@ object Bloom {
     * bloom stage is what cuts the scan-to-shuffle volume.
     */
   def prune(large: DataFrame, keyCol: String, smallKeys: Dataset[String],
-            m: Int = 1 << 16, k: Int = 4): DataFrame = {
-    val bits = buildBits(smallKeys, m, k)
+            m: Int = 1 << 16, k: Int = 4): DataFrame =
+    pruneWithBits(large, keyCol, buildBits(smallKeys, m, k), m, k)
+
+  /** [[prune]] with a pre-built bitset (e.g. [[buildBitsLocal]] over a
+    * driver-resident dictionary) — no job to build the filter.
+    */
+  def pruneWithBits(large: DataFrame, keyCol: String, bits: Array[Long],
+                    m: Int = 1 << 16, k: Int = 4): DataFrame = {
     // two md5 evaluations per row; the k bit probes are arithmetic
     val staged = large
       .withColumn("__bloom_bits", typedLit(bits.toSeq))

@@ -157,7 +157,9 @@ object KgPipeline {
     * dictionary snapshot (the reference's warm-singleton-model pattern,
     * webapp/app.py:126-149).
     */
-  case class LinkContext(dict: Map[String, Seq[Alias]], canon: Map[String, String])
+  case class LinkContext(dict: Map[String, Seq[Alias]],
+                         canon: Map[String, String],
+                         bloomBits: Option[Array[Long]] = None)
 
   /** Persisted row of the salted path's detect cache: EITHER a slim
     * mention projection (surface_norm + join key + type — the minimum
@@ -173,7 +175,11 @@ object KgPipeline {
     val all = aliases.collect().toSeq
     val canonMap = ConnectedComponents.canonicalMap(spark, aliases.toDF())
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    LinkContext(all.groupBy(_.surface_norm), canonMap)
+    val dict = all.groupBy(_.surface_norm)
+    // bloom bits for the salted path's dictionary prune, built here
+    // driver-side once per context — no per-run Spark job
+    LinkContext(dict, canonMap,
+      Some(graft.ops.Bloom.buildBitsLocal(dict.keysIterator)))
   }
 
   /** Full run: docs + alias dict → triples. Pass a prepared [[LinkContext]]
@@ -253,7 +259,7 @@ object KgPipeline {
           .select("doc_id", "span_offset", "sentence_idx", "surface_norm",
             "entity_type")
         val linked = Linker.linkSaltedSlim(spark, mentions, aliases,
-          cfg.saltBuckets, Some(skew))
+          cfg.saltBuckets, Some(skew), bloomBits = context.bloomBits)
         val mUnits = linked.map { lm =>
           DocUnit(lm.doc_id, SlimMention(lm.span_offset, lm.sentence_idx,
             bcCanon.value.getOrElse(lm.entity_id, lm.entity_id), lm.conf), null)

@@ -88,6 +88,27 @@ class PipelineSpec extends AnyFunSuite {
     mentions.unpersist()
   }
 
+  test("bloom-pruned salted link == unpruned, and OOV surfaces never link") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val aliases = CorpusGen.aliases(spark)
+    val known = CorpusGen.aliasDict.map(_.surface_norm).distinct.take(6)
+    // mention projection incl. OOV garbage surfaces (bloom may pass a
+    // false positive; the inner join must still drop it)
+    val m = (known.zipWithIndex.map { case (s, i) => (s"d$i", i, 0, s, "PER") }
+      ++ (0 until 40).map(i => (s"dx$i", i, 0, s"zz_not_a_surface_$i", "PER")))
+      .toDF("doc_id", "span_offset", "sentence_idx", "surface_norm",
+        "entity_type")
+    def res(bloom: Boolean) =
+      Linker.linkSaltedSlim(spark, m, aliases, bloomPrune = bloom)
+        .collect().map(l => (l.doc_id, l.span_offset, l.entity_id)).toSet
+    val withBloom = res(true)
+    val noBloom = res(false)
+    assert(withBloom == noBloom, (withBloom, noBloom))
+    assert(withBloom.nonEmpty)
+    assert(!withBloom.exists(_._1.startsWith("dx")))
+  }
+
   test("full salted pipeline (slim persist) equals the broadcast pipeline") {
     val docs = CorpusGen.docs(spark, N, parts = 4)
     val aliases = CorpusGen.aliases(spark)
