@@ -55,7 +55,8 @@ object Bench {
       "q27_lsh_jaccard", "q33_dedup_clusters", "q34_mlm_pairs",
       "q36_ann_recall", "q46_repetition", "q48_contamination",
       "q53_asof_join", "q60_percentiles", "q61_bloom_prune",
-      "q62_kmeans_int", "q63_topk_pruned")
+      "q62_kmeans_int", "q63_topk_pruned", "q70_hist_quantile",
+      "q71_fuzzy_tokens")
     headline.foreach { q => SparkEntry.queries(q)(spark, sfDir).count() }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { q =>

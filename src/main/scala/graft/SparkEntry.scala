@@ -436,6 +436,45 @@ object SparkEntry {
           "source", "len", Seq(0.5, 0.9, 0.99))
         .select(col("grp").as("source"), col("p"), col("value"))
         .orderBy("source", "p")),
+    // ---- breadth-first k-hop reachability from a deterministic seed
+    //      set (frontier BFS; oracle = recursive CTE + min(hops)) ----
+    "q69_kg_khop" -> ((s, dir) => {
+      graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
+      val docs = CorpusGen.docs(s, 500, parts = 8)
+      val triples = KgPipeline.run(s, docs, CorpusGen.aliases(s))
+      graft.kg.GraphOps.kHopDistances(triples, maxHops = 3, seedMod = 16)
+        .orderBy("entity")
+    }),
+    // ---- entity-neighbourhood Jaccard (integer ppm; wedge join with
+    //      the hub-degree cap replayed by the oracle) ----
+    "q72_kg_nbr_jaccard" -> ((s, dir) => {
+      graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
+      val docs = CorpusGen.docs(s, 500, parts = 8)
+      val triples = KgPipeline.run(s, docs, CorpusGen.aliases(s))
+      graft.kg.GraphOps.neighborhoodJaccard(triples)
+        .orderBy("a", "b")
+    }),
+    // ---- bounded-state histogram quantiles per group (the approximate
+    //      twin of q68's exact rank-select scan) ----
+    "q70_hist_quantile" -> ((s, dir) =>
+      graft.ops.Scans.histogramQuantiles(
+          t(s, dir, "documents").select(col("source"),
+            length(col("text")).as("len")),
+          "source", "len", binWidth = 64L, ps = Seq(0.5, 0.9))
+        .select(col("grp").as("source"), col("p"), col("bin"),
+          col("lo"), col("hi"))
+        .orderBy("source", "p")),
+    // ---- edit-distance-1 token pairs via (first char, length)
+    //      blocking + levenshtein verify (fuzzy linking primitive);
+    //      universe = document vocabulary ∪ md5-derived OCR variants ----
+    "q71_fuzzy_tokens" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word").rlike("^[a-z]{4,}$")).distinct()
+      graft.ops.FuzzyJoin.nearTokenPairs(
+          words.unionByName(graft.ops.FuzzyJoin.ocrVariants(words)))
+        .orderBy("a", "b")
+    }),
     // ---- deterministic count-min word-frequency sketch ----
     "q54_cms_counts" -> ((s, dir) =>
       graft.ops.Sketches.cmsWordCounts(t(s, dir, "documents"))
@@ -1285,6 +1324,76 @@ object SparkEntry {
         |FROM p JOIN occ a ON a.entity = p.subj
         | JOIN occ b ON b.entity = p.obj, tot
         |ORDER BY p.subj, p.obj""".stripMargin,
+    "q69_kg_khop" ->
+      s"""WITH RECURSIVE co AS (SELECT DISTINCT subj AS src, obj AS dst
+        |   FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')
+        |   WHERE pred = 'co_occurs_with'),
+        | sym AS (SELECT DISTINCT src, dst FROM
+        |   (SELECT src, dst FROM co UNION ALL SELECT dst, src FROM co)),
+        | seeds AS (SELECT entity FROM (SELECT DISTINCT src AS entity FROM sym)
+        |   WHERE ('0x'||substr(md5(entity),1,15))::BIGINT % 16 = 0),
+        | walk AS (
+        |   SELECT entity, 0 AS hops FROM seeds
+        |   UNION
+        |   SELECT sym.dst AS entity, walk.hops + 1 AS hops
+        |   FROM walk JOIN sym ON sym.src = walk.entity
+        |   WHERE walk.hops < 3)
+        |SELECT entity, min(hops)::BIGINT AS hops FROM walk
+        |GROUP BY entity ORDER BY entity""".stripMargin,
+    "q72_kg_nbr_jaccard" ->
+      s"""WITH co AS (SELECT DISTINCT subj AS src, obj AS dst
+        |   FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')
+        |   WHERE pred = 'co_occurs_with'),
+        | sym AS (SELECT DISTINCT src, dst FROM
+        |   (SELECT src, dst FROM co UNION ALL SELECT dst, src FROM co)),
+        | deg AS (SELECT src, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+        | capped AS (SELECT sym.src, sym.dst FROM sym
+        |   JOIN deg ON deg.src = sym.src WHERE deg.deg <= ${1L << 20}),
+        | cm AS (SELECT e1.dst AS a, e2.dst AS b, count(*)::BIGINT AS common
+        |   FROM capped e1 JOIN capped e2 ON e1.src = e2.src
+        |   WHERE e1.dst < e2.dst GROUP BY a, b)
+        |SELECT cm.a, cm.b, cm.common,
+        | ((1000000::BIGINT * cm.common)
+        |   // (da.deg + db.deg - cm.common))::BIGINT AS jaccard_ppm
+        |FROM cm JOIN deg da ON da.src = cm.a JOIN deg db ON db.src = cm.b
+        |ORDER BY cm.a, cm.b""".stripMargin,
+    "q70_hist_quantile" ->
+      """WITH b AS (SELECT source, length(text)::BIGINT // 64 AS bin,
+        |   count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
+        | cum AS (SELECT source, bin, n,
+        |   sum(n) OVER (PARTITION BY source ORDER BY bin) AS cum FROM b),
+        | tgt AS (SELECT source, ps.p::DOUBLE AS p,
+        |   greatest(1, ceil(ps.p::DOUBLE * sum(n))) AS target
+        |   FROM b, (VALUES (0.5),(0.9)) ps(p) GROUP BY source, ps.p)
+        |SELECT tgt.source, tgt.p, min(cum.bin)::BIGINT AS bin,
+        | min(cum.bin)::BIGINT * 64 AS lo,
+        | (min(cum.bin)::BIGINT + 1) * 64 - 1 AS hi
+        |FROM cum JOIN tgt ON cum.source = tgt.source AND cum.cum >= tgt.target
+        |GROUP BY tgt.source, tgt.p ORDER BY tgt.source, tgt.p""".stripMargin,
+    "q71_fuzzy_tokens" ->
+      """WITH w AS (SELECT DISTINCT word FROM (
+        |   SELECT unnest(str_split(text,' ')) AS word FROM documents)
+        |   WHERE regexp_matches(word, '^[a-z]{4,}$')),
+        | nz AS (SELECT substr(word,1,p0) || chr(nc) || substr(word,p0+2)
+        |     AS word FROM (
+        |   SELECT word,
+        |     (('0x'||substr(md5(word),1,15))::BIGINT % length(word))::INT
+        |       AS p0,
+        |     (97 + ('0x'||substr(md5(word||'_c'),1,15))::BIGINT % 26)::INT
+        |       AS nc
+        |   FROM w
+        |   WHERE ('0x'||substr(md5(word||'_sel'),1,15))::BIGINT % 3 = 0)),
+        | toks AS (SELECT DISTINCT word FROM
+        |   (SELECT word FROM w UNION ALL SELECT word FROM nz)
+        |   WHERE regexp_matches(word, '^[a-z]{4,}$')),
+        | t AS (SELECT word, length(word) AS len, substr(word,1,1) AS c1
+        |   FROM toks)
+        |SELECT DISTINCT least(a.word, b.word) AS a,
+        | greatest(a.word, b.word) AS b
+        |FROM t a JOIN t b ON a.c1 = b.c1
+        | AND b.len BETWEEN a.len AND a.len + 1 AND a.word <> b.word
+        |WHERE levenshtein(a.word, b.word) <= 1
+        |ORDER BY a, b""".stripMargin,
     "q63_topk_pruned" ->
       """SELECT event_type, event_id, value, rn FROM (
         |  SELECT event_type, event_id, value,

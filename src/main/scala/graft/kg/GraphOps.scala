@@ -145,6 +145,84 @@ object GraphOps {
     labels.select(col("node").as("entity"), col("label").as("community"))
   }
 
+  /** Breadth-first k-hop reachability from a deterministic seed set over
+    * the co-occurrence graph: (entity, hops) with hops = MINIMUM number
+    * of edges from any seed, seeds at hops 0, entities beyond `maxHops`
+    * omitted. Seeds are the entities whose md5-derived hash is ≡ 0 mod
+    * `seedMod` — an engine-replayable uniform sample of the node set
+    * (the "expand context around these entities" query a KG consumer
+    * runs constantly).
+    *
+    * Frontier BFS, not a recursive join: each hop is ONE equi-join of
+    * the current frontier against the (checkpointed, reused) edge list
+    * plus a left-anti against the visited set, so per-hop cost is
+    * O(frontier boundary), never O(reachable set)² — the shape that
+    * holds when the graph is 10^9 entities and maxHops stays small.
+    * Plan lineage is truncated per hop with localCheckpoint; the loop
+    * short-circuits when a frontier empties (O(maxHops) tiny counts).
+    */
+  def kHopDistances(triples: Dataset[Triple], maxHops: Int = 3,
+                    seedMod: Int = 16): DataFrame = {
+    val edges = coEdges(triples).distinct().localCheckpoint()
+    val nodes = edges.select(col("src").as("entity")).distinct()
+    val seeds = nodes.where(
+      graft.ops.TextOps.hexInt(col("entity")) % seedMod === 0)
+    var visited = seeds.select(col("entity"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var frontier = visited.select("entity")
+    var h = 1
+    var exhausted = frontier.isEmpty
+    while (h <= maxHops && !exhausted) {
+      val next = edges
+        .join(frontier.select(col("entity").as("src")), "src")
+        .select(col("dst").as("entity")).distinct()
+        .join(visited.select("entity"), Seq("entity"), "left_anti")
+        .localCheckpoint()
+      exhausted = next.isEmpty
+      visited = visited
+        .unionByName(next.select(col("entity"), lit(h.toLong).as("hops")))
+        .localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    visited
+  }
+
+  /** Entity-neighbourhood Jaccard similarity in INTEGER ppm
+    * (10^6 = identical neighbourhoods): for every entity pair sharing at
+    * least one co-occurrence neighbour,
+    * jaccard_ppm = (10^6 · |Γa ∩ Γb|) div (|Γa| + |Γb| − |Γa ∩ Γb|).
+    * The "these two entities keep the same company" signal alias
+    * suggestion and merge candidates are ranked by — a structural
+    * complement to the surface-string linker.
+    *
+    * Shape: one wedge self-join through the shared neighbour (the only
+    * way |∩| can be computed without materializing per-entity sets),
+    * then two broadcast-size degree joins. Wedge fan-out is Σ deg(n)² —
+    * `maxCenterDegree` caps the center (a hub's co-neighbour pairs say
+    * nothing about similarity anyway; the cap is part of the operator's
+    * contract and the oracle replays it). Integer division keeps the
+    * score bit-identical across engines and partitionings.
+    */
+  def neighborhoodJaccard(triples: Dataset[Triple],
+                          maxCenterDegree: Long = 1L << 20): DataFrame = {
+    val sym = coEdges(triples).distinct().localCheckpoint()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // reused: center cap + both marginal joins
+    val capped = sym.join(
+      deg.where(col("deg") <= maxCenterDegree).select(col("src")), "src")
+    val e1 = capped.select(col("src").as("n"), col("dst").as("a"))
+    val e2 = capped.select(col("src").as("n"), col("dst").as("b"))
+    val common = e1.join(e2, "n").where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("src").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("src").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("common"),
+        expr("(1000000L * common) div (deg_a + deg_b - common)")
+          .as("jaccard_ppm"))
+  }
+
   /** Co-occurrence lift per entity pair in INTEGER micro-units
     * (10^6 = lift 1.0): lift = (10^6 · pair_n · total) div (n_a · n_b),
     * where pair_n counts co-occurrence triples for the pair, n_x the

@@ -152,4 +152,45 @@ object Scans {
         .otherwise(lit(r) + floor((col("idx") - r * (q + 1)) / q))
     ranked.select(col(key), fold.cast("int").as("fold"))
   }
+
+  /** Fixed-width histogram quantiles per group — the bounded-state
+    * APPROXIMATE percentile that replaces [[groupedExactPercentiles]]
+    * when even the rank-select scan is too much (e.g. percentiles per
+    * key over 10^12 rows, recomputed every batch): state per group is
+    * O(value range / binWidth) histogram buckets, aggregated map-side,
+    * never the rows themselves. The answer is exact up to binWidth —
+    * each p reports the smallest bin whose cumulative count reaches
+    * ceil(p·n) (percentile_disc rounding, like the exact scan), plus
+    * the bin's value bounds [lo, hi].
+    *
+    * Entirely integer (bin = value div binWidth; the ceil(p·n) target is
+    * the one IEEE-double step, identical on every engine per the q60
+    * recipe), so results are bit-identical across engines and
+    * partitionings. The per-group cumulative window runs over bins, not
+    * rows — bounded, skew-free state.
+    *
+    * Returns (grp, p, bin, lo, hi).
+    */
+  def histogramQuantiles(df: DataFrame, grpCol: String, valueCol: String,
+                         binWidth: Long, ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val bins = df.select(col(grpCol).cast("string").as("grp"),
+        expr(s"cast($valueCol as bigint) div ${binWidth}L").as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // reused: cumulative pass + per-group totals
+    val cum = bins.withColumn("cum",
+      sum("n").over(Window.partitionBy("grp").orderBy("bin")))
+    val psDf = spark.createDataFrame(ps.map(Tuple1(_))).toDF("p")
+    val targets = bins.groupBy("grp").agg(sum("n").as("total"))
+      .crossJoin(broadcast(psDf))
+      .select(col("grp"), col("p"),
+        greatest(lit(1L), ceil(col("p") * col("total"))).as("target"))
+    cum.join(targets, "grp")
+      .where(col("cum") >= col("target"))
+      .groupBy("grp", "p").agg(min("bin").as("bin"))
+      .select(col("grp"), col("p"), col("bin"),
+        (col("bin") * binWidth).as("lo"),
+        ((col("bin") + 1) * binWidth - 1).as("hi"))
+  }
 }

@@ -25,6 +25,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamIngest {
 
   def streamPath(root: String) = s"$root/triples_stream"
+  def canonPath(root: String) = s"$root/canon_stream"
 
   /** Start the ingestion query over a parquet-directory doc stream. */
   def run(spark: SparkSession, docsStream: Dataset[Doc], root: String,
@@ -69,6 +70,7 @@ object StreamIngest {
           r.getAs[Int]("omin").toLong, r.getAs[Int]("omax").toLong,
           r.getAs[Long]("n"), r.getAs[Long]("docs"), snap, now)
       }
+    updateCanonMap(spark, persisted.toDF(), batchId, root)
     persisted.unpersist()
     if (rows.nonEmpty) {
       spark.createDataset(rows.toSeq).write.mode(SaveMode.Append)
@@ -78,6 +80,66 @@ object StreamIngest {
         graft.store.Snapshots.configHash(spark,
           cfg.toString, s"buckets=${cfg.buckets}"))
     }
+  }
+
+  /** Incrementally-maintained canonical entity map: the co-mention
+    * components of every triple streamed so far (the streaming face of the
+    * north rule's "canonicalization via connected components").
+    *
+    * Each micro-batch folds ONLY its new subj–obj edges into the previous
+    * batch's converged assignment via
+    * [[graft.kg.ConnectedComponents.incremental]] — the old assignment
+    * re-enters as its star edges (|entities| rows, already a fixpoint), so
+    * untouched components contract in one round and per-batch cost is
+    * O(new edges + affected clusters), NOT O(all triples ever streamed).
+    *
+    * Snapshot-per-commit layout (Iceberg copy-on-write analog): the FULL
+    * updated assignment lands under `canon_stream/batch=<id>/` with
+    * dynamic partition overwrite, so a replayed batch deterministically
+    * rewrites its own partition (it reads state from the latest batch
+    * BELOW its own id, never its own possibly-torn output) and the map is
+    * time-travelable per batch like the triple partitions.
+    */
+  private def updateCanonMap(spark: SparkSession, triples: DataFrame,
+                             batchId: Long, root: String): Unit = {
+    val newEdges = triples
+      .where(col("subj") =!= col("obj"))
+      .select(least(col("subj"), col("obj")).as("src"),
+        greatest(col("subj"), col("obj")).as("dst"))
+      .distinct()
+    val updated = readCanonBefore(spark, root, batchId) match {
+      case Some(prev) =>
+        graft.kg.ConnectedComponents.incremental(spark, prev, newEdges)
+      case None => graft.kg.ConnectedComponents.run(spark, newEdges)
+    }
+    updated.withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("batch")
+      .parquet(canonPath(root))
+  }
+
+  /** Latest committed canon snapshot strictly below `batchId` (None before
+    * the first batch). Partition pruning keeps this a single-partition read.
+    */
+  private def readCanonBefore(spark: SparkSession, root: String,
+                              batchId: Long): Option[DataFrame] = {
+    if (!graft.store.Fs.exists(spark, canonPath(root))) return None
+    val snaps = spark.read.parquet(canonPath(root))
+    val prior = snaps.select(col("batch").cast("long")).where(col("batch") < batchId)
+      .agg(max("batch")).head()
+    if (prior.isNullAt(0)) None
+    else Some(snaps.where(col("batch") === prior.getLong(0))
+      .select(col("node"), col("component")))
+  }
+
+  /** Current canonical map (latest batch), or as-of a given batch id. */
+  def readCanonMap(spark: SparkSession, root: String,
+                   asOfBatch: Option[Long] = None): DataFrame = {
+    val snaps = spark.read.parquet(canonPath(root))
+    val latest = asOfBatch.getOrElse {
+      snaps.agg(max(col("batch").cast("long"))).head().getLong(0)
+    }
+    snaps.where(col("batch") === latest).select(col("node"), col("component"))
   }
 
   def readStreamTriples(spark: SparkSession, root: String): Dataset[Triple] = {

@@ -423,6 +423,58 @@ class GraphOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       ("c", "d") -> ((1L, 1000000L * 1 * 4 / (3 * 1))),
       ("a", "c") -> ((2L, 1000000L * 2 * 4 / (3 * 3)))), r)
   }
+
+  test("k-hop BFS matches a sequential BFS with the same md5 seed rule") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: ~40 nodes, two stranded chains
+    val edges = ((for {
+      i <- 0 until 30; j <- (i + 1) until 30
+      if (i * 13 + j * 29) % 17 == 0
+    } yield (s"m$i", s"m$j")) ++
+      (30 until 39).map(i => (s"m$i", s"m${i + 1}"))).distinct
+    val triples = spark.createDataset(edges.map { case (a, b) => co(a, b) })
+    val got = graft.kg.GraphOps.kHopDistances(triples, maxHops = 3, seedMod = 4)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // driver replay: same seed rule (md5 hex prefix % 4 == 0), plain BFS
+    def hexInt(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val adj = (edges ++ edges.map(_.swap)).distinct
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val seeds = adj.keySet.filter(n => hexInt(n) % 4 == 0)
+    assert(seeds.nonEmpty, "test graph must contain at least one seed")
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(adj).diff(dist.keySet)
+      dist ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    assert(got == dist, s"got=$got expected=$dist")
+  }
+
+  test("neighbourhood jaccard: hand graph, hub cap replayed") {
+    import spark.implicits._
+    // ab, ac, bc, cd → Γa={b,c} Γb={a,c} Γc={a,b,d} Γd={c}
+    val triples = spark.createDataset(
+      Seq(co("a", "b"), co("a", "c"), co("b", "c"), co("c", "d")))
+    val r = graft.kg.GraphOps.neighborhoodJaccard(triples).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      ("a", "b") -> ((1L, 333333L)), // ∩={c}, 1e6/(2+2-1)
+      ("a", "c") -> ((1L, 250000L)), // ∩={b}, 1e6/(2+3-1)
+      ("b", "c") -> ((1L, 250000L)),
+      ("a", "d") -> ((1L, 500000L)), // ∩={c}, 1e6/(2+1-1)
+      ("b", "d") -> ((1L, 500000L))), r)
+    // cap at degree 2: wedges through hub c (deg 3) are dropped
+    val capped = graft.kg.GraphOps.neighborhoodJaccard(triples,
+        maxCenterDegree = 2L).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(capped == Set(("a", "c"), ("b", "c")), capped)
+  }
 }
 
 /** Map-side-pruned grouped top-k vs the plain window form. */
@@ -532,6 +584,66 @@ class PercentileScanSpec extends org.scalatest.funsuite.AnyFunSuite {
     val got = graft.ops.Scans.exactPercentiles(df, "len", Seq(0.5, 1.0))
       .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
     assert(got == Map(0.5 -> 5L, 1.0 -> 9L), got)
+  }
+
+  test("histogramQuantiles: bounded-bin answer brackets the exact percentile") {
+    import spark.implicits._
+    // group g: values 0..99; group h: values 0..9 (bin width 10)
+    val df = ((0 until 100).map(v => ("g", v.toLong)) ++
+      (0 until 10).map(v => ("h", v.toLong))).toDF("grp", "v")
+      .repartition(7)
+    val got = graft.ops.Scans
+      .histogramQuantiles(df, "grp", "v", binWidth = 10L, ps = Seq(0.5, 0.91))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // g: target ceil(.5·100)=50 → cum reaches 50 at bin 4 [40,49];
+    //    target ceil(.91·100)=91 → bin 9 [90,99]
+    // h: ceil(.5·10)=5 → bin 0; ceil(.91·10)=10 → bin 0 (all in bin 0)
+    assert(got == Map(
+      ("g", 0.5) -> ((4L, 40L, 49L)), ("g", 0.91) -> ((9L, 90L, 99L)),
+      ("h", 0.5) -> ((0L, 0L, 9L)), ("h", 0.91) -> ((0L, 0L, 9L))), got)
+    // the exact per-group percentile always falls inside the reported bin
+    val exact = graft.ops.Scans.groupedExactPercentiles(
+        df, "grp", "v", Seq(0.5, 0.91)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    exact.foreach { case (k, v) =>
+      val (_, lo, hi) = got(k); assert(v >= lo && v <= hi, s"$k: $v ∉ [$lo,$hi]")
+    }
+  }
+}
+
+/** Edit-distance-1 blocking join + deterministic OCR variants. */
+class FuzzyJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("nearTokenPairs finds same-first-char dist-1 pairs across the length band") {
+    val toks = Seq("hello", "hellp", "jello", "help", "world")
+      .toDF("word").repartition(3)
+    val got = graft.ops.FuzzyJoin.nearTokenPairs(toks).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // hello↔hellp (substitution, same length); hellp↔help (insertion,
+    // len band); jello↔hello is dist 1 but BLOCKED by first char —
+    // the documented recall trade of prefix blocking
+    assert(got == Set(("hello", "hellp"), ("hellp", "help")), got)
+  }
+
+  test("ocrVariants is deterministic and single-edit") {
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet").toDF("word")
+    val v1 = graft.ops.FuzzyJoin.ocrVariants(words, selMod = 1)
+      .collect().map(_.getString(0)).sorted
+    val v2 = graft.ops.FuzzyJoin.ocrVariants(words, selMod = 1)
+      .collect().map(_.getString(0)).sorted
+    assert(v1.sameElements(v2) && v1.length == 10)
+    // substitution keeps length; every variant is ≤1 char off SOME source
+    val originals = Seq("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    v1.foreach { v =>
+      assert(originals.exists(o => o.length == v.length &&
+        o.zip(v).count { case (a, b) => a != b } <= 1), s"orphan variant $v")
+    }
   }
 }
 

@@ -53,6 +53,23 @@ class StreamingSpec extends AnyFunSuite {
     val asOf0 = graft.store.Snapshots.readStreamAsOf(spark, root, "batch-0")
       .select("doc_id").distinct().collect().map(_.getString(0))
     assert(asOf0.forall(_ < CorpusGen.docId(20)) && asOf0.nonEmpty)
+    // incremental canonical map: after batch 1 (folded incrementally into
+    // batch 0's converged assignment) it must equal a from-scratch CC over
+    // the co-mention edges of ALL streamed triples
+    import org.apache.spark.sql.functions.{least, greatest, col}
+    val allEdges = StreamIngest.readStreamTriples(spark, root).toDF()
+      .where(col("subj") =!= col("obj"))
+      .select(least(col("subj"), col("obj")).as("src"),
+        greatest(col("subj"), col("obj")).as("dst")).distinct()
+    val fullCc = graft.kg.ConnectedComponents.run(spark, allEdges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val streamedCc = StreamIngest.readCanonMap(spark, root)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streamedCc == fullCc && streamedCc.nonEmpty)
+    // canon snapshots time-travel per batch: the batch-0 snapshot holds
+    // only batch-0 entities (strictly fewer than the current snapshot)
+    val canon0 = StreamIngest.readCanonMap(spark, root, asOfBatch = Some(0L))
+    assert(canon0.count() > 0 && canon0.count() < streamedCc.size)
   }
 
   test("streaming doc source end-to-end via AvailableNow trigger") {
