@@ -56,7 +56,7 @@ object Bench {
       "q36_ann_recall", "q46_repetition", "q48_contamination",
       "q53_asof_join", "q60_percentiles", "q61_bloom_prune",
       "q62_kmeans_int", "q63_topk_pruned", "q70_hist_quantile",
-      "q71_fuzzy_tokens")
+      "q71_fuzzy_tokens", "q73_setsim_prefix", "q74_bpe_merges")
     headline.foreach { q => SparkEntry.queries(q)(spark, sfDir).count() }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { q =>

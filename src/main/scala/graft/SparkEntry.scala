@@ -475,6 +475,25 @@ object SparkEntry {
           words.unionByName(graft.ops.FuzzyJoin.ocrVariants(words)))
         .orderBy("a", "b")
     }),
+    // ---- EXACT Jaccard-threshold set-similarity join via prefix
+    //      filtering (no false negatives — oracle is the naive
+    //      all-pairs join, which must agree exactly) ----
+    "q73_setsim_prefix" -> ((s, dir) =>
+      graft.ops.Dedup.setSimJoinPrefix(t(s, dir, "documents"),
+          tPpm = 700000L)
+        .orderBy("doc_a", "doc_b")),
+    // ---- one BPE-trainer step: top-k adjacent char-pair merges over
+    //      the word-frequency table ----
+    "q74_bpe_merges" -> ((s, dir) =>
+      graft.ops.VocabOps.bpeMergePairs(t(s, dir, "documents"), k = 20)
+        .orderBy("rank")),
+    // ---- local clustering coefficient (integer ppm) ----
+    "q75_kg_clustering" -> ((s, dir) => {
+      graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
+      val docs = CorpusGen.docs(s, 500, parts = 8)
+      val triples = KgPipeline.run(s, docs, CorpusGen.aliases(s))
+      graft.kg.GraphOps.clusteringCoefficient(triples).orderBy("entity")
+    }),
     // ---- deterministic count-min word-frequency sketch ----
     "q54_cms_counts" -> ((s, dir) =>
       graft.ops.Sketches.cmsWordCounts(t(s, dir, "documents"))
@@ -1394,6 +1413,56 @@ object SparkEntry {
         | AND b.len BETWEEN a.len AND a.len + 1 AND a.word <> b.word
         |WHERE levenshtein(a.word, b.word) <= 1
         |ORDER BY a, b""".stripMargin,
+    "q73_setsim_prefix" ->
+      """WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |     i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS g FROM w),
+        | sz AS (SELECT doc_id, count(*)::BIGINT AS s FROM sh GROUP BY 1),
+        | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   count(*)::BIGINT AS i
+        |   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | ((1000000::BIGINT * i) // (sa.s + sb.s - i))::BIGINT AS jacc_ppm
+        |FROM inter JOIN sz sa ON sa.doc_id = doc_a
+        |           JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE 1000000 * i >= 700000 * (sa.s + sb.s - i)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q74_bpe_merges" ->
+      """WITH c AS (SELECT word, count(*)::BIGINT AS f FROM (
+        |   SELECT unnest(str_split(text,' ')) AS word FROM documents)
+        |   WHERE length(word) >= 2 GROUP BY word),
+        | p AS (SELECT substr(word, i, 2) AS pair, sum(f)::BIGINT AS weight
+        |   FROM c, unnest(range(1, length(word))) t(i) GROUP BY 1),
+        | r AS (SELECT pair, weight,
+        |   row_number() OVER (ORDER BY weight DESC, pair ASC) AS rank
+        |   FROM p)
+        |SELECT rank::BIGINT AS rank, pair, weight FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q75_kg_clustering" ->
+      s"""WITH co AS (SELECT DISTINCT subj AS src, obj AS dst
+        |   FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')
+        |   WHERE pred = 'co_occurs_with'),
+        | sym AS (SELECT DISTINCT src, dst FROM
+        |   (SELECT src, dst FROM co UNION ALL SELECT dst, src FROM co)),
+        | und AS (SELECT src, dst FROM sym WHERE src < dst),
+        | tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |   FROM und e1 JOIN und e2 ON e2.src = e1.dst
+        |   JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        | pere AS (SELECT entity, count(*)::BIGINT AS n FROM (
+        |   SELECT a AS entity FROM tri
+        |   UNION ALL SELECT b FROM tri
+        |   UNION ALL SELECT c FROM tri) GROUP BY entity),
+        | deg AS (SELECT src AS entity, count(*)::BIGINT AS deg
+        |   FROM sym GROUP BY src),
+        | j AS (SELECT deg.entity, coalesce(pere.n, 0)::BIGINT AS n_triangles,
+        |   deg.deg FROM deg LEFT JOIN pere ON pere.entity = deg.entity)
+        |SELECT entity, n_triangles, deg,
+        | CASE WHEN deg < 2 THEN 0
+        |      ELSE (2000000 * n_triangles) // (deg * (deg - 1))
+        | END::BIGINT AS cc_ppm
+        |FROM j ORDER BY entity""".stripMargin,
     "q63_topk_pruned" ->
       """SELECT event_type, event_id, value, rn FROM (
         |  SELECT event_type, event_id, value,

@@ -223,6 +223,26 @@ object GraphOps {
           .as("jaccard_ppm"))
   }
 
+  /** Local clustering coefficient per entity in INTEGER ppm
+    * (10^6 = fully-interconnected neighbourhood):
+    * cc_ppm = (2·10^6 · triangles(v)) div (deg(v)·(deg(v)−1)), 0 for
+    * deg < 2 — "how clique-like is this entity's neighbourhood", the
+    * standard community-tightness signal next to [[labelPropagation]].
+    * Composes [[triangleCounts]] (degree-ordered orientation) with the
+    * DISTINCT-neighbour degree; integer division keeps it
+    * engine/partitioning-invariant like [[pageRank]].
+    */
+  def clusteringCoefficient(triples: Dataset[Triple]): DataFrame = {
+    val tri = triangleCounts(triples)
+    val deg = coEdges(triples).distinct()
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+    tri.join(deg.select(col("src").as("entity"), col("deg")), "entity")
+      .select(col("entity"), col("n_triangles"), col("deg"),
+        when(col("deg") < 2, lit(0L))
+          .otherwise(expr("(2000000L * n_triangles) div (deg * (deg - 1))"))
+          .as("cc_ppm"))
+  }
+
   /** Co-occurrence lift per entity pair in INTEGER micro-units
     * (10^6 = lift 1.0): lift = (10^6 · pair_n · total) div (n_a · n_b),
     * where pair_n counts co-occurrence triples for the pair, n_x the

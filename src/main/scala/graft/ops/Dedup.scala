@@ -269,6 +269,64 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** EXACT Jaccard-threshold set-similarity join via prefix filtering
+    * (Chaudhuri et al. ICDE'06 / Xiao et al. PPJoin, public algorithms):
+    * all doc pairs whose word-3-gram shingle sets have Jaccard ≥
+    * tPpm/10^6, with NO false negatives — unlike the MinHash/LSH family
+    * ([[minhashPairs]]), which trades recall for cost, this is the
+    * lossless scale path for a hard threshold.
+    *
+    * Prefix principle: order every set by one GLOBAL total order
+    * (rarest shingle first — smallest candidate lists), keep each set's
+    * first |s| − ⌈t·|s|⌉ + 1 elements; two sets with Jaccard ≥ t MUST
+    * share a prefix element, so the equi-join on prefix shingles loses
+    * nothing and touches only the rare tokens. Verify computes exact
+    * intersection sizes over the (checkpointed, reused) sorted arrays;
+    * the threshold test is the integer cross-multiplication
+    * 10^6·|∩| ≥ tPpm·|∪| — no FP, bit-identical on any engine.
+    *
+    * Scale shape: one shingle-frequency aggregation, one shuffle on the
+    * prefix shingle (skew-bounded — prefixes hold the RARE end of the
+    * order), verification O(candidates · set size). No all-pairs stage
+    * anywhere.
+    */
+  def setSimJoinPrefix(docs: DataFrame, tPpm: Long = 700000L): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles3(col("text")))).as("g"))
+      .localCheckpoint() // reused: frequency pass + per-doc sets
+    val freq = sh.groupBy("g").agg(count(lit(1)).as("f"))
+    // global total order (freq asc, shingle asc) as one sortable key
+    val keyed = sh.join(freq, "g")
+      .select(col("doc_id"),
+        concat(lpad(col("f").cast("string"), 10, "0"), lit("|"), col("g"))
+          .as("okey"))
+    val sets = keyed.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("okey"))).as("arr"))
+      .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("s"))
+      // prefix length |s| − ceil(t·|s|) + 1, all-integer ceil
+      .withColumn("pfx",
+        expr(s"s - ((${tPpm}L * s + 999999L) div 1000000L) + 1"))
+      .localCheckpoint() // reused: prefix explode + both verify joins
+    val prefixes = sets.select(col("doc_id"),
+      explode(expr("slice(arr, 1, cast(pfx as int))")).as("okey"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.okey") === col("b.okey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("arr").as("arr_a"), col("s").as("s_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("arr").as("arr_b"), col("s").as("s_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+          .as("inter"),
+        col("s_a"), col("s_b"))
+      .where(expr(s"1000000L * inter >= ${tPpm}L * (s_a + s_b - inter)"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(1000000L * inter) div (s_a + s_b - inter)").as("jacc_ppm"))
+  }
+
   /** Embedding-cosine near-duplicates among a bounded candidate window
     * (same label — the pre-clustered analog of an LSH bucket). Cosine
     * runs through the native codegen'd kernel ([[Cosine6Expr]]).

@@ -26,6 +26,35 @@ object VocabOps {
       .select("rank", "word", "freq")
   }
 
+  /** Top-k character-pair merge candidates — ONE step of BPE tokenizer
+    * training (Sennrich et al. 2016, public algorithm): count every
+    * adjacent character pair across the corpus, weighted by word
+    * frequency; the most frequent pair is what a BPE trainer would merge
+    * next. The pair scan runs over the VOCABULARY (distinct words ×
+    * word length), never the corpus — the corpus is touched once by the
+    * map-side-combined word count, which is why real BPE trainers work
+    * off the word-frequency table. The per-word fan-out (one row per
+    * character position) is bounded by vocabulary size, not corpus size.
+    *
+    * Returns (rank, pair, weight), ties broken by pair asc; the rank
+    * window runs over k rows like [[buildVocab]].
+    */
+  def bpeMergePairs(docs: DataFrame, k: Int = 20): DataFrame = {
+    val freq = docs.select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+    val top = freq.select(col("f"),
+        explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+      .groupBy("pair").agg(sum("f").as("weight"))
+      .orderBy(desc("weight"), asc("pair")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("weight"), asc("pair")))
+          .cast("long"))
+      .select("rank", "pair", "weight")
+  }
+
   /** Out-of-vocabulary rate per source against the top-k vocabulary —
     * the coverage loop a tokenizer's vocab size is tuned with. The vocab
     * is dictionary-sized (broadcast); tokens stream through one

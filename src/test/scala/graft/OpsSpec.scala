@@ -455,6 +455,20 @@ class GraphOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == dist, s"got=$got expected=$dist")
   }
 
+  test("clustering coefficient: integer ppm on the hand graph") {
+    import spark.implicits._
+    val triples = spark.createDataset(
+      Seq(co("a", "b"), co("a", "c"), co("b", "c"), co("c", "d")))
+    val r = graft.kg.GraphOps.clusteringCoefficient(triples).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r == Map(
+      "a" -> ((1L, 2L, 1000000L)), // 2e6·1/(2·1)
+      "b" -> ((1L, 2L, 1000000L)),
+      "c" -> ((1L, 3L, 333333L)),  // 2e6·1/(3·2)
+      "d" -> ((0L, 1L, 0L))), r)   // deg < 2 → 0
+  }
+
   test("neighbourhood jaccard: hand graph, hub cap replayed") {
     import spark.implicits._
     // ab, ac, bc, cd → Γa={b,c} Γb={a,c} Γc={a,b,d} Γd={c}
@@ -661,6 +675,58 @@ class VocabOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val o = graft.ops.VocabOps.oovRate(d, k = 2).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(o == Map("s1" -> ((5L, 1L)), "s2" -> ((3L, 1L))))
+  }
+
+  test("bpeMergePairs counts frequency-weighted adjacent char pairs") {
+    // words: aba(×2) ab(×1) → pairs: ab: 2·2(from aba)+1 = 5? no —
+    // aba contributes ab,ba per occurrence: ab 2+1=3, ba 2
+    val d = Seq((1L, "aba ab", "s"), (2L, "aba", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.VocabOps.bpeMergePairs(d, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "ab", 3L), (2L, "ba", 2L)), got.toSeq)
+  }
+}
+
+/** Prefix-filtered exact set-similarity join: lossless vs naive. */
+class SetSimJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("setSimJoinPrefix equals the naive all-pairs join (no false negatives)") {
+    // 30 docs over a tiny vocab: 10 base texts, each with an exact dup
+    // and a one-word mutation — plenty of pairs straddling t=0.6
+    val vocab = Vector("rot", "blau", "gelb", "gruen", "weiss", "braun")
+    def text(seed: Int, mut: Boolean) = {
+      val ws = (0 until 8).map(i => vocab((seed * 7 + i * 3) % vocab.size))
+      // mutate the LAST word: only the final 3-gram changes, so the
+      // pair stays above t (5 of 6 shingles shared → J = 5/7 ≈ 0.71)
+      val ws2 = if (mut) ws.updated(7, vocab((seed + 1) % vocab.size)) else ws
+      ws2.mkString(" ")
+    }
+    val docs = (0 until 10).flatMap { s =>
+      Seq((s * 3L, text(s, false)), (s * 3L + 1, text(s, false)),
+        (s * 3L + 2, text(s, true)))
+    }.toDF("doc_id", "text").repartition(5)
+    val tPpm = 600000L
+    val got = graft.ops.Dedup.setSimJoinPrefix(docs, tPpm).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // driver-side naive all-pairs over the same shingle sets
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sets = docs.collect().map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val naive = (for {
+      (da, sa) <- sets; (db, sb) <- sets if da < db
+      i = (sa & sb).size.toLong
+      u = sa.size + sb.size - i
+      if 1000000L * i >= tPpm * u
+    } yield (da, db) -> (1000000L * i / u)).toMap
+    assert(got == naive && naive.nonEmpty, s"got=${got.size} naive=${naive.size}")
+    // exact dups score 10^6; mutations land strictly below
+    assert(got.values.exists(_ == 1000000L))
+    assert(got.values.exists(v => v < 1000000L && v >= tPpm))
   }
 }
 
