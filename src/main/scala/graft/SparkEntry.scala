@@ -494,6 +494,36 @@ object SparkEntry {
       val triples = KgPipeline.run(s, docs, CorpusGen.aliases(s))
       graft.kg.GraphOps.clusteringCoefficient(triples).orderBy("entity")
     }),
+    // ---- change-data capture between two dimension snapshots (both
+    //      snapshots derived from customer by md5 rules both engines
+    //      replay; unchanged keys dropped) ----
+    "q76_snapshot_diff" -> ((s, dir) => {
+      import graft.ops.TextOps.hexInt
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").cast("string").as("ck"),
+          col("c_mktsegment").as("seg"))
+      val a = base.where(hexInt(concat(col("ck"), lit("_add"))) % 10 =!= 0)
+      val b = base.where(hexInt(concat(col("ck"), lit("_rm"))) % 10 =!= 0)
+        .select(col("ck"),
+          when(hexInt(concat(col("ck"), lit("_chg"))) % 7 === 0,
+            concat(col("seg"), lit("_v2"))).otherwise(col("seg")).as("seg"))
+      graft.ops.SnapshotDiff.diff(a, b, "ck", "seg").orderBy("ck")
+    }),
+    // ---- generic skew-salted equi-join (events fact × derived dim);
+    //      the oracle is the PLAIN join — salting must not change the
+    //      result, only the partitioning ----
+    "q77_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("string").as("uid"), col("event_id"))
+      val dim = ev.select(col("uid")).distinct()
+        .withColumn("attr",
+          expr("substring(md5(concat(uid, '_attr')), 1, 4)"))
+      graft.ops.SaltedJoin.saltedEquiJoin(ev, dim, "uid",
+          heavyThreshold = 50L, salts = 8)
+        .groupBy("attr").agg(count(lit(1)).as("n_events"),
+          sum(expr("event_id % 1000")).as("id_sum"))
+        .orderBy("attr")
+    }),
     // ---- deterministic count-min word-frequency sketch ----
     "q54_cms_counts" -> ((s, dir) =>
       graft.ops.Sketches.cmsWordCounts(t(s, dir, "documents"))
@@ -1463,6 +1493,32 @@ object SparkEntry {
         |      ELSE (2000000 * n_triangles) // (deg * (deg - 1))
         | END::BIGINT AS cc_ppm
         |FROM j ORDER BY entity""".stripMargin,
+    "q76_snapshot_diff" ->
+      """WITH base AS (SELECT c_custkey::VARCHAR AS ck, c_mktsegment AS seg
+        |   FROM customer),
+        | a AS (SELECT * FROM base
+        |   WHERE ('0x'||substr(md5(ck||'_add'),1,15))::BIGINT % 10 <> 0),
+        | b AS (SELECT ck,
+        |   CASE WHEN ('0x'||substr(md5(ck||'_chg'),1,15))::BIGINT % 7 = 0
+        |        THEN seg||'_v2' ELSE seg END AS seg
+        |   FROM base
+        |   WHERE ('0x'||substr(md5(ck||'_rm'),1,15))::BIGINT % 10 <> 0)
+        |SELECT coalesce(a.ck, b.ck) AS ck,
+        | CASE WHEN a.ck IS NULL THEN 'added'
+        |      WHEN b.ck IS NULL THEN 'removed'
+        |      ELSE 'changed' END AS change,
+        | a.seg AS val_a, b.seg AS val_b
+        |FROM a FULL OUTER JOIN b ON a.ck = b.ck
+        |WHERE a.ck IS NULL OR b.ck IS NULL OR a.seg <> b.seg
+        |ORDER BY ck""".stripMargin,
+    "q77_salted_join" ->
+      """WITH ev AS (SELECT user_id::VARCHAR AS uid, event_id FROM events),
+        | dim AS (SELECT uid, substr(md5(uid||'_attr'),1,4) AS attr
+        |   FROM (SELECT DISTINCT uid FROM ev))
+        |SELECT dim.attr, count(*)::BIGINT AS n_events,
+        | sum(ev.event_id % 1000)::BIGINT AS id_sum
+        |FROM ev JOIN dim ON dim.uid = ev.uid
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q63_topk_pruned" ->
       """SELECT event_type, event_id, value, rn FROM (
         |  SELECT event_type, event_id, value,

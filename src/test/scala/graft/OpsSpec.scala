@@ -688,6 +688,54 @@ class VocabOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** CDC snapshot diff + generic skew-salted join. */
+class DeltaOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("snapshot diff classifies added/removed/changed and drops unchanged") {
+    val a = Seq(("k1", "x"), ("k2", "y"), ("k3", "z")).toDF("key", "v")
+    val b = Seq(("k2", "y"), ("k3", "z2"), ("k4", "w")).toDF("key", "v")
+    val got = graft.ops.SnapshotDiff.diff(a, b, "key", "v").collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.getString(2)), Option(r.getString(3)))))
+      .toMap
+    assert(got == Map(
+      "k1" -> (("removed", Some("x"), None)),
+      "k3" -> (("changed", Some("z"), Some("z2"))),
+      "k4" -> (("added", None, Some("w")))), got)
+  }
+
+  test("salted equi-join equals the plain join on a skewed fact") {
+    // one hot key (500 rows) + a uniform tail, across many partitions
+    val fact = ((1 to 500).map(i => ("hot", i.toLong)) ++
+      (1 to 200).map(i => (s"u${i % 40}", (1000 + i).toLong)))
+      .toDF("uid", "event_id").repartition(16)
+    val dim = fact.select("uid").distinct()
+      .withColumn("attr", expr("substring(md5(uid), 1, 4)"))
+    val salted = graft.ops.SaltedJoin
+      .saltedEquiJoin(fact, dim, "uid", heavyThreshold = 100L, salts = 4)
+    val plain = fact.join(dim, "uid")
+    assert(salted.count() == plain.count())
+    assert(salted.select("uid", "event_id", "attr").collect().toSet ==
+      plain.select("uid", "event_id", "attr").collect().toSet)
+    // the physical join key really carries the salt (skew is rerouted)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), plan.take(800))
+    // only the hot key's dim rows are replicated
+    assert(dim.count() == 41)
+  }
+
+  test("salted join with no heavy keys degenerates to the plain join") {
+    val fact = (1 to 50).map(i => (s"u$i", i.toLong)).toDF("uid", "event_id")
+    val dim = fact.select("uid").distinct().withColumn("attr", lit("a"))
+    val salted = graft.ops.SaltedJoin
+      .saltedEquiJoin(fact, dim, "uid", heavyThreshold = 100L, salts = 4)
+    assert(salted.count() == 50)
+  }
+}
+
 /** Prefix-filtered exact set-similarity join: lossless vs naive. */
 class SetSimJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = SparkTest.spark
