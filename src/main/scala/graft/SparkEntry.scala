@@ -524,6 +524,19 @@ object SparkEntry {
           sum(expr("event_id % 1000")).as("id_sum"))
         .orderBy("attr")
     }),
+    // ---- bucketed range join: purchases ⋈ same-user clicks within
+    //      the preceding hour (integer-microsecond attribution lag) ----
+    "q78_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      graft.ops.RangeJoin.windowJoin(purchases, clicks, "user_id",
+          "purchase_id", "click_id", "ts", "cts", windowSec = 3600L)
+        .orderBy("user_id", "purchase_id", "click_id")
+    }),
     // ---- deterministic count-min word-frequency sketch ----
     "q54_cms_counts" -> ((s, dir) =>
       graft.ops.Sketches.cmsWordCounts(t(s, dir, "documents"))
@@ -1519,6 +1532,18 @@ object SparkEntry {
         | sum(ev.event_id % 1000)::BIGINT AS id_sum
         |FROM ev JOIN dim ON dim.uid = ev.uid
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q78_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |   FROM events),
+        | p AS (SELECT user_id, event_id AS purchase_id, us AS pus FROM e
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, event_id AS click_id, us AS cus FROM e
+        |   WHERE event_type = 'click')
+        |SELECT p.user_id, p.purchase_id, c.click_id,
+        | (p.pus - c.cus)::BIGINT AS lag_us
+        |FROM p JOIN c ON c.user_id = p.user_id
+        | AND c.cus BETWEEN p.pus - 3600000000 AND p.pus
+        |ORDER BY p.user_id, p.purchase_id, c.click_id""".stripMargin,
     "q63_topk_pruned" ->
       """SELECT event_type, event_id, value, rn FROM (
         |  SELECT event_type, event_id, value,

@@ -688,6 +688,35 @@ class VocabOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Bucketed range (interval) join: boundary + cross-bucket cases. */
+class RangeJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("windowJoin matches the naive BETWEEN join incl. bucket boundaries") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // window 100s; purchases at 1000 (bucket 10) and 250; clicks placed
+    // at: exact lower edge (900), inside same bucket (1990 → no), inside
+    // PREVIOUS bucket (950), just outside (899), equal ts (1000), other key
+    val left = Seq((1L, 10L, t(1000)), (1L, 11L, t(250)), (2L, 20L, t(1000)))
+      .toDF("k", "lid", "lts")
+    val right = Seq((1L, 100L, t(900)), (1L, 101L, t(950)),
+      (1L, 102L, t(899)), (1L, 103L, t(1000)), (1L, 104L, t(240)),
+      (3L, 105L, t(1000)))
+      .toDF("k", "rid", "rts")
+    val got = graft.ops.RangeJoin
+      .windowJoin(left, right, "k", "lid", "rid", "lts", "rts", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val expected = Set(
+      (1L, 10L, 100L, 100000000L), // exact lower edge, previous bucket
+      (1L, 10L, 101L, 50000000L),  // previous bucket
+      (1L, 10L, 103L, 0L),         // equal ts
+      (1L, 11L, 104L, 10000000L))  // second purchase
+    assert(got == expected, got)
+  }
+}
+
 /** CDC snapshot diff + generic skew-salted join. */
 class DeltaOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = SparkTest.spark
