@@ -537,6 +537,19 @@ object SparkEntry {
           "purchase_id", "click_id", "ts", "cts", windowSec = 3600L)
         .orderBy("user_id", "purchase_id", "click_id")
     }),
+    // ---- inverted-index posting statistics (retrieval-stack prep) ----
+    "q79_inverted_index" -> ((s, dir) =>
+      graft.ops.VocabOps.invertedIndex(t(s, dir, "documents"))
+        .orderBy("word", "doc_id")),
+    // ---- hierarchical ROLLUP aggregate (OLAP subtotals; quantities
+    //      summed as exact integers) ----
+    "q80_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
     // ---- deterministic count-min word-frequency sketch ----
     "q54_cms_counts" -> ((s, dir) =>
       graft.ops.Sketches.cmsWordCounts(t(s, dir, "documents"))
@@ -1544,6 +1557,19 @@ object SparkEntry {
         |FROM p JOIN c ON c.user_id = p.user_id
         | AND c.cus BETWEEN p.pus - 3600000000 AND p.pus
         |ORDER BY p.user_id, p.purchase_id, c.click_id""".stripMargin,
+    "q79_inverted_index" ->
+      """WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+        | pos AS (SELECT doc_id, ws[i] AS word, i
+        |   FROM w, unnest(range(1, len(ws)+1)) t(i) WHERE ws[i] <> '')
+        |SELECT word, doc_id, count(*)::BIGINT AS tf,
+        | min(i)::BIGINT AS first_pos
+        |FROM pos GROUP BY word, doc_id
+        |ORDER BY word, doc_id""".stripMargin,
+    "q80_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        | sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q63_topk_pruned" ->
       """SELECT event_type, event_id, value, rn FROM (
         |  SELECT event_type, event_id, value,

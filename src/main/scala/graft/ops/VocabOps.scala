@@ -55,6 +55,22 @@ object VocabOps {
       .select("rank", "pair", "weight")
   }
 
+  /** Inverted-index posting statistics: one row per (word, doc) with
+    * term frequency and first position — the index-construction core of
+    * a retrieval stack (BM25/TF-IDF prep), exactly the shape a
+    * downstream ranking function consumes. One positional explode + one
+    * map-side-combined aggregation; at corpus scale the output is
+    * naturally partitioned by word, which IS the posting-list layout
+    * (all of a term's postings co-located, ready for bucketed writes).
+    */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
+      .where(col("word") =!= "")
+      .groupBy("word", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        (min(col("p0")) + 1).cast("long").as("first_pos"))
+
   /** Out-of-vocabulary rate per source against the top-k vocabulary —
     * the coverage loop a tokenizer's vocab size is tuned with. The vocab
     * is dictionary-sized (broadcast); tokens stream through one

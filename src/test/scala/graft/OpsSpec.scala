@@ -677,6 +677,17 @@ class VocabOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(o == Map("s1" -> ((5L, 1L)), "s2" -> ((3L, 1L))))
   }
 
+  test("invertedIndex: tf and 1-based first position per (word, doc)") {
+    val d = Seq((1L, "a b a a", "s"), (2L, "b c", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.VocabOps.invertedIndex(d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      ("a", 1L) -> ((3L, 1L)), ("b", 1L) -> ((1L, 2L)),
+      ("b", 2L) -> ((1L, 1L)), ("c", 2L) -> ((1L, 2L))), got)
+  }
+
   test("bpeMergePairs counts frequency-weighted adjacent char pairs") {
     // words: aba(×2) ab(×1) → pairs: ab: 2·2(from aba)+1 = 5? no —
     // aba contributes ab,ba per occurrence: ab 2+1=3, ba 2

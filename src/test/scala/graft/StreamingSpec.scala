@@ -16,11 +16,16 @@ class StreamingSpec extends AnyFunSuite {
     val aliases = CorpusGen.aliases(spark)
     val ctx = KgPipeline.prepareLinkContext(spark, aliases)
     val cfg = KgPipeline.Config(buckets = 8)
-    // two micro-batches of docs
-    val b0 = CorpusGen.docs(spark, 40, parts = 2).filter(_.doc_id < CorpusGen.docId(20))
-    val b1 = CorpusGen.docs(spark, 40, parts = 2).filter(_.doc_id >= CorpusGen.docId(20))
+    // three micro-batches of docs (the third folds into a canon map that
+    // has already been incrementally updated once — the bridge case)
+    val all40 = CorpusGen.docs(spark, 40, parts = 2)
+    val b0 = all40.filter(_.doc_id < CorpusGen.docId(14))
+    val b1 = all40.filter(d => d.doc_id >= CorpusGen.docId(14) &&
+      d.doc_id < CorpusGen.docId(27))
+    val b2 = all40.filter(_.doc_id >= CorpusGen.docId(27))
     StreamIngest.commitBatch(spark, b0, 0L, root, ctx, aliases, cfg)
     StreamIngest.commitBatch(spark, b1, 1L, root, ctx, aliases, cfg)
+    StreamIngest.commitBatch(spark, b2, 2L, root, ctx, aliases, cfg)
     // replay batch 0 (simulated recovery) — must be a no-op
     StreamIngest.commitBatch(spark, b0, 0L, root, ctx, aliases, cfg)
     val streamed = StreamIngest.readStreamTriples(spark, root)
@@ -32,27 +37,29 @@ class StreamingSpec extends AnyFunSuite {
     // lineage has exactly one snapshot row-set per batch
     val snaps = graft.store.LineageStore.readLineage(spark, root)
       .collect().map(_.snapshot_id).distinct.sorted
-    assert(snaps.toSeq == Seq("batch-0", "batch-1"))
+    assert(snaps.toSeq == Seq("batch-0", "batch-1", "batch-2"))
     // existence probes go through the Hadoop FileSystem API: lineage and
     // snapshots must resolve through a URI-qualified path exactly as they
     // would on hdfs:// or s3a:// (a java.io.File probe would return false
     // there and silently disable resume)
     assert(graft.store.LineageStore.readLineage(spark, "file:" + root).count() ==
       graft.store.LineageStore.readLineage(spark, root).count())
-    assert(graft.store.Snapshots.read(spark, "file:" + root).count() == 2)
+    assert(graft.store.Snapshots.read(spark, "file:" + root).count() == 3)
     assert(graft.store.LineageStore
       .readLineage(spark, "file:" + root + "_nonexistent").isEmpty)
-    // snapshot chain: batch-1 points at batch-0; current is batch-1
+    // snapshot chain: each batch points at its predecessor; current is batch-2
     val chain = graft.store.Snapshots.read(spark, root).collect()
       .sortBy(_.snapshot_id)
-    assert(chain.map(_.snapshot_id).toSeq == Seq("batch-0", "batch-1"))
-    assert(chain(0).parent_id == "none" && chain(1).parent_id == "batch-0")
+    assert(chain.map(_.snapshot_id).toSeq ==
+      Seq("batch-0", "batch-1", "batch-2"))
+    assert(chain(0).parent_id == "none" && chain(1).parent_id == "batch-0" &&
+      chain(2).parent_id == "batch-1")
     assert(graft.store.Snapshots.current(spark, root, "stream_triples")
-      .get.snapshot_id == "batch-1")
+      .get.snapshot_id == "batch-2")
     // time travel: AS OF batch-0 shows only batch-0 triples
     val asOf0 = graft.store.Snapshots.readStreamAsOf(spark, root, "batch-0")
       .select("doc_id").distinct().collect().map(_.getString(0))
-    assert(asOf0.forall(_ < CorpusGen.docId(20)) && asOf0.nonEmpty)
+    assert(asOf0.forall(_ < CorpusGen.docId(14)) && asOf0.nonEmpty)
     // incremental canonical map: after batch 1 (folded incrementally into
     // batch 0's converged assignment) it must equal a from-scratch CC over
     // the co-mention edges of ALL streamed triples
