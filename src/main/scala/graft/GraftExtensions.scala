@@ -9,13 +9,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `spark.sql.extensions=graft.GraftExtensions` and every session gets
   * `normalize_surface` as a REAL function (codegen'd
   * [[graft.kg.NormalizeSurfaceExpr]]) without any runtime register call.
-  * The same hook is where a custom `Rule[LogicalPlan]` or `SparkStrategy`
-  * would be injected if an operator ever outgrows what the DataFrame API
-  * can express (none has: the engine's custom semantics live in one
-  * native expression + typed mapPartitions stages).
+  * The optimizer-rule rung is exercised too:
+  * [[graft.plans.Rules.CollapseNormalizeSurface]] collapses idempotent
+  * nested normalizations on the link-join key. No custom `SparkStrategy`
+  * is needed — every operator's physical shape is already expressible
+  * declaratively (native expressions + typed mapPartitions stages).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.Rules.CollapseNormalizeSurface)
     ext.injectFunction((
       FunctionIdentifier(graft.kg.NormalizeSurface.fnName),
       new ExpressionInfo(classOf[graft.kg.NormalizeSurfaceExpr].getName,

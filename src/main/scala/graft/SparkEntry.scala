@@ -550,6 +550,18 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus"))),
+    // ---- SLIDING event-time windows (1h window, 30min slide) via the
+    //      native window() function; every event lands in exactly two
+    //      windows, epochs compared in integer microseconds ----
+    "q81_sliding_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts").cast("timestamp"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          unix_micros(col("window.end")).as("w_end_us"),
+          col("event_type"), col("n"))
+        .orderBy("w_start_us", "event_type")),
     // ---- deterministic count-min word-frequency sketch ----
     "q54_cms_counts" -> ((s, dir) =>
       graft.ops.Sketches.cmsWordCounts(t(s, dir, "documents"))
@@ -1570,6 +1582,15 @@ object SparkEntry {
         | sum(l_quantity::BIGINT)::BIGINT AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q81_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS u, event_type FROM events),
+        | w AS (SELECT ((u // 1800000000) - k) * 1800000000 AS ws,
+        |   event_type FROM e, range(0, 2) t(k))
+        |SELECT ws::BIGINT AS w_start_us,
+        | (ws + 3600000000)::BIGINT AS w_end_us,
+        | event_type, count(*)::BIGINT AS n
+        |FROM w GROUP BY 1, 2, 3
+        |ORDER BY w_start_us, event_type""".stripMargin,
     "q63_topk_pruned" ->
       """SELECT event_type, event_id, value, rn FROM (
         |  SELECT event_type, event_id, value,

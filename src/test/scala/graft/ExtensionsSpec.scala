@@ -32,6 +32,26 @@ class ExtensionsSpec extends AnyFunSuite {
       val plan = s2.sql("SELECT normalize_surface('x')")
         .queryExecution.executedPlan.toString
       assert(plan.toLowerCase.contains("normalizesurface"), plan)
+      // injected optimizer rule: nested idempotent normalizations
+      // collapse to ONE native call on a non-foldable input (a literal
+      // would be constant-folded away and prove nothing)
+      s2.range(2).selectExpr("concat('MÜLLER_', id) AS c")
+        .createOrReplaceTempView("ext_t")
+      val opt = s2.sql(
+        "SELECT normalize_surface(normalize_surface(c)) AS n FROM ext_t")
+        .queryExecution.optimizedPlan
+      val calls = opt.expressions.flatMap(_.collect {
+        case e: graft.kg.NormalizeSurfaceExpr => e
+      })
+      assert(calls.size == 1, opt.toString)
+      // and the idempotency property the rule relies on
+      val rnd = new scala.util.Random(7)
+      (1 to 500).foreach { _ =>
+        val s = (1 to rnd.nextInt(12))
+          .map(_ => "aÄü ö.É́Zß¿N\t".charAt(rnd.nextInt(12))).mkString
+        val once = graft.text.TextCore.normalizeSurface(s)
+        assert(graft.text.TextCore.normalizeSurface(once) == once, s)
+      }
       // do NOT s2.stop(): it shares base's SparkContext
     } finally {
       SparkSession.setDefaultSession(base)
