@@ -562,6 +562,15 @@ object SparkEntry {
           unix_micros(col("window.end")).as("w_end_us"),
           col("event_type"), col("n"))
         .orderBy("w_start_us", "event_type")),
+    // ---- PIVOT (wide counts per event type; explicit value list keeps
+    //      the plan single-pass — no extra distinct-values job) ----
+    "q82_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("bucket")),
     // ---- deterministic count-min word-frequency sketch ----
     "q54_cms_counts" -> ((s, dir) =>
       graft.ops.Sketches.cmsWordCounts(t(s, dir, "documents"))
@@ -1591,6 +1600,14 @@ object SparkEntry {
         | event_type, count(*)::BIGINT AS n
         |FROM w GROUP BY 1, 2, 3
         |ORDER BY w_start_us, event_type""".stripMargin,
+    "q82_pivot" ->
+      """SELECT (user_id % 10)::BIGINT AS bucket,
+        | count(*) FILTER (event_type = 'click')::BIGINT AS click,
+        | count(*) FILTER (event_type = 'error')::BIGINT AS error,
+        | count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+        | count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+        | count(*) FILTER (event_type = 'view')::BIGINT AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q63_topk_pruned" ->
       """SELECT event_type, event_id, value, rn FROM (
         |  SELECT event_type, event_id, value,
