@@ -58,6 +58,42 @@ object ScalingBench {
       Files.writeString(Paths.get(out), json)
       println(json)
 
+    case "setsim" =>
+      // setsim <sfDir> <replicas> <cpus> <outJson> — two-parallelism
+      // scaling evidence for a DOC-SCALE operator beyond the KG
+      // pipeline: the exact set-similarity join over the documents
+      // table replicated `replicas`× (deterministic id offsets; dup
+      // groups of size `replicas` are exactly the workload a corpus
+      // dedup faces). Input is materialized (localCheckpoint) outside
+      // the timed region so the measurement is the operator, not
+      // parquet IO; pair counts are asserted identical across levels
+      // by the report step.
+      import org.apache.spark.sql.functions._
+      val sfDir = args(1); val reps = args(2).toInt
+      val cpus = args(3).toInt; val out = args(4)
+      val spark = Bench.session(cpus.toString)
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val docs = (0 until reps)
+        .map(i => docs0.select(
+          (col("doc_id") + lit(i * 1000000000L)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+        .repartition(256).localCheckpoint()
+      val nDocs = docs.count()
+      def one(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = graft.ops.Dedup.setSimJoinPrefix(docs, 700000L).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      one() // JIT warm-up
+      val runs2 = (1 to 3).map(_ => one())
+      val (sec2, pairs) = runs2.minBy(_._1)
+      spark.stop()
+      val json =
+        f"""{"cpus":$cpus,"nDocs":$nDocs,"mode":"setsim","sec":$sec2%.3f,"triples":$pairs,"tps":${nDocs / sec2}%.1f}"""
+      Files.writeString(Paths.get(out), json)
+      println(json)
+
     case "report" =>
       // report <outMd> <json N> <json 4N> [<json extra>...]
       def readJson(p: String): Map[String, Double] = {
