@@ -454,6 +454,15 @@ object SparkEntry {
       graft.kg.GraphOps.neighborhoodJaccard(triples)
         .orderBy("a", "b")
     }),
+    // ---- personalized (seed-teleport) integer PageRank: relevance to
+    //      the q69 seed set rather than global centrality ----
+    "q83_kg_ppr" -> ((s, dir) => {
+      graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
+      val docs = CorpusGen.docs(s, 500, parts = 8)
+      val triples = KgPipeline.run(s, docs, CorpusGen.aliases(s))
+      graft.kg.GraphOps.personalizedPageRank(triples, iters = 3, seedMod = 16)
+        .orderBy("entity")
+    }),
     // ---- bounded-state histogram quantiles per group (the approximate
     //      twin of q68's exact rank-select scan) ----
     "q70_hist_quantile" -> ((s, dir) =>
@@ -1420,6 +1429,40 @@ object SparkEntry {
         |FROM p JOIN occ a ON a.entity = p.subj
         | JOIN occ b ON b.entity = p.obj, tot
         |ORDER BY p.subj, p.obj""".stripMargin,
+    "q83_kg_ppr" ->
+      s"""WITH co AS (SELECT DISTINCT subj AS src, obj AS dst
+        |   FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')
+        |   WHERE pred = 'co_occurs_with'),
+        | sym AS (SELECT src, dst FROM co UNION ALL SELECT dst, src FROM co),
+        | deg AS (SELECT src, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+        | nodes AS (SELECT src AS entity,
+        |   (('0x'||substr(md5(src),1,15))::BIGINT % 16 = 0) AS is_seed
+        |   FROM deg),
+        | r0 AS (SELECT entity,
+        |   (CASE WHEN is_seed THEN 1000000 ELSE 0 END)::BIGINT AS rank
+        |   FROM nodes),
+        | c1 AS (SELECT sym.dst, sum(r0.rank // deg.deg)::BIGINT AS in_sum
+        |   FROM sym JOIN deg ON sym.src = deg.src JOIN r0 ON r0.entity = sym.src
+        |   GROUP BY sym.dst),
+        | r1 AS (SELECT nodes.entity,
+        |   (CASE WHEN is_seed THEN 150000 ELSE 0 END
+        |     + (850 * coalesce(in_sum, 0)) // 1000)::BIGINT AS rank
+        |   FROM nodes LEFT JOIN c1 ON c1.dst = nodes.entity),
+        | c2 AS (SELECT sym.dst, sum(r1.rank // deg.deg)::BIGINT AS in_sum
+        |   FROM sym JOIN deg ON sym.src = deg.src JOIN r1 ON r1.entity = sym.src
+        |   GROUP BY sym.dst),
+        | r2 AS (SELECT nodes.entity,
+        |   (CASE WHEN is_seed THEN 150000 ELSE 0 END
+        |     + (850 * coalesce(in_sum, 0)) // 1000)::BIGINT AS rank
+        |   FROM nodes LEFT JOIN c2 ON c2.dst = nodes.entity),
+        | c3 AS (SELECT sym.dst, sum(r2.rank // deg.deg)::BIGINT AS in_sum
+        |   FROM sym JOIN deg ON sym.src = deg.src JOIN r2 ON r2.entity = sym.src
+        |   GROUP BY sym.dst),
+        | r3 AS (SELECT nodes.entity,
+        |   (CASE WHEN is_seed THEN 150000 ELSE 0 END
+        |     + (850 * coalesce(in_sum, 0)) // 1000)::BIGINT AS rank
+        |   FROM nodes LEFT JOIN c3 ON c3.dst = nodes.entity)
+        |SELECT entity, rank FROM r3 ORDER BY entity""".stripMargin,
     "q69_kg_khop" ->
       s"""WITH RECURSIVE co AS (SELECT DISTINCT subj AS src, obj AS dst
         |   FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')

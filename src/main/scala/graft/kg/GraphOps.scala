@@ -145,6 +145,40 @@ object GraphOps {
     labels.select(col("node").as("entity"), col("label").as("community"))
   }
 
+  /** Personalized (seed-teleport) PageRank in the same exact-integer
+    * micro-rank units as [[pageRank]]: the teleport mass returns ONLY to
+    * the md5-derived seed set (the [[kHopDistances]] rule), so ranks
+    * measure relevance TO those entities rather than global centrality —
+    * the "expand and rank context around these entities" scorer, the
+    * ranking twin of the k-hop expansion. r0 = 10^6·[seed];
+    * r' = 150000·[seed] + (850 · Σ_in (r div deg)) div 1000. Same
+    * bounded per-round shape (one join + one aggregation on the
+    * dictionary-scale entity graph), bit-identical on any engine.
+    */
+  def personalizedPageRank(triples: Dataset[Triple], iters: Int = 3,
+                           seedMod: Int = 16): DataFrame = {
+    val edges = coEdges(triples).localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src").localCheckpoint()
+    val nodes = deg.select(col("src").as("entity"),
+        (graft.ops.TextOps.hexInt(col("src")) % seedMod === 0).as("is_seed"))
+      .localCheckpoint() // reused every round for the teleport term
+    var ranks = nodes.select(col("entity"),
+      when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks, withDeg("src") === ranks("entity"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("in_sum"))
+      ranks = nodes
+        .join(contrib, nodes("entity") === contrib("dst"), "left")
+        .select(col("entity"),
+          (when(col("is_seed"), lit(150000L)).otherwise(lit(0L)) +
+            expr("850 * coalesce(in_sum, 0L) div 1000")).as("rank"))
+    }
+    ranks.select(col("entity"), col("rank").cast("long").as("rank"))
+  }
+
   /** Breadth-first k-hop reachability from a deterministic seed set over
     * the co-occurrence graph: (entity, hops) with hops = MINIMUM number
     * of edges from any seed, seeds at hops 0, entities beyond `maxHops`

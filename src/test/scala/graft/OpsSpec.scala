@@ -424,6 +424,19 @@ class GraphOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       ("a", "c") -> ((2L, 1000000L * 2 * 4 / (3 * 3)))), r)
   }
 
+  test("personalized pagerank with ALL nodes as seeds equals global pagerank") {
+    import spark.implicits._
+    val triples = spark.createDataset(
+      Seq(co("a", "b"), co("b", "c"), co("c", "d"), co("a", "d")))
+    val global = graft.kg.GraphOps.pageRank(triples, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // seedMod = 1 → every node is a seed → uniform teleport = global PR
+    val ppr = graft.kg.GraphOps
+      .personalizedPageRank(triples, iters = 3, seedMod = 1).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(ppr == global, s"ppr=$ppr global=$global")
+  }
+
   test("k-hop BFS matches a sequential BFS with the same md5 seed rule") {
     import spark.implicits._
     // deterministic pseudo-random graph: ~40 nodes, two stranded chains
