@@ -205,6 +205,32 @@ object SparkEntry {
           |JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name ORDER BY n_name""".stripMargin)
     }),
+    // ---- correlated EXISTS subquery (TPC-H Q4 shape): Catalyst
+    //      decorrelates it into a left-semi join — the SQL front end's
+    //      subquery path, not just flat joins ----
+    "q84_exists_subquery" -> ((s, dir) => {
+      Seq("lineitem", "orders").foreach { n =>
+        t(s, dir, n).createOrReplaceTempView(n)
+      }
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |  WHERE l_orderkey = o_orderkey
+          |    AND l_discount > 0.05)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+    // ---- set operations: INTERSECT and EXCEPT over key sets ----
+    "q85_set_ops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def ids(tpe: String) = ev.where(col("event_type") === tpe)
+        .select(col("user_id")).distinct()
+      val both = ids("click").intersect(ids("purchase"))
+        .select(col("user_id"), lit("click_and_purchase").as("cohort"))
+      val lapsed = ids("click").except(ids("purchase"))
+        .select(col("user_id"), lit("click_no_purchase").as("cohort"))
+      both.unionByName(lapsed).orderBy("cohort", "user_id")
+    }),
     // ---- scale-path dedup: LSH candidates + exact Jaccard verify ----
     "q27_lsh_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.lshJaccardPairs(t(s, dir, "documents"))
@@ -1651,6 +1677,23 @@ object SparkEntry {
         | count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
         | count(*) FILTER (event_type = 'view')::BIGINT AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q84_exists_subquery" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q85_set_ops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events
+        |   WHERE event_type = 'click'),
+        | p AS (SELECT DISTINCT user_id FROM events
+        |   WHERE event_type = 'purchase')
+        |SELECT user_id, 'click_and_purchase' AS cohort
+        |FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        |UNION ALL
+        |SELECT user_id, 'click_no_purchase' AS cohort
+        |FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        |ORDER BY cohort, user_id""".stripMargin,
     "q63_topk_pruned" ->
       """SELECT event_type, event_id, value, rn FROM (
         |  SELECT event_type, event_id, value,
