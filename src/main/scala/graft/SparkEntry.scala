@@ -225,9 +225,11 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       def ids(tpe: String) = ev.where(col("event_type") === tpe)
         .select(col("user_id")).distinct()
-      val both = ids("click").intersect(ids("purchase"))
+      val clicks = ids("click")
+      val purchases = ids("purchase")
+      val both = clicks.intersect(purchases)
         .select(col("user_id"), lit("click_and_purchase").as("cohort"))
-      val lapsed = ids("click").except(ids("purchase"))
+      val lapsed = clicks.except(purchases)
         .select(col("user_id"), lit("click_no_purchase").as("cohort"))
       both.unionByName(lapsed).orderBy("cohort", "user_id")
     }),

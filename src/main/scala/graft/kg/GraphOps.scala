@@ -39,26 +39,12 @@ object GraphOps {
     * formulation; the edge list is dictionary-scale (entities, not
     * corpus), so rounds are cheap and the loop is bounded.
     */
-  def pageRank(triples: Dataset[Triple], iters: Int = 3): DataFrame = {
-    val spark = triples.sparkSession
-    val edges = coEdges(triples).localCheckpoint()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src").localCheckpoint()
-    var ranks = deg.select(col("src").as("entity"), lit(1000000L).as("rank"))
-    for (_ <- 1 to iters) {
-      val contrib = withDeg
-        .join(ranks, withDeg("src") === ranks("entity"))
-        .select(col("dst"), expr("rank div deg").as("c"))
-        .groupBy("dst").agg(sum("c").as("in_sum"))
-      val nodes = deg.select(col("src").as("entity"))
-      ranks = nodes
-        .join(contrib, nodes("entity") === contrib("dst"), "left")
-        .select(col("entity"),
-          (lit(150000L) + expr("850 * coalesce(in_sum, 0L) div 1000"))
-            .as("rank"))
-    }
-    ranks.select(col("entity"), col("rank").cast("long").as("rank"))
-  }
+  def pageRank(triples: Dataset[Triple], iters: Int = 3): DataFrame =
+    // with EVERY node a seed (seedMod = 1), the teleport term is the
+    // uniform 150000 and the recursion is exactly global PageRank —
+    // certified bit-for-bit by the all-seeds parity test in OpsSpec, so
+    // one integer-iteration kernel serves both operators
+    personalizedPageRank(triples, iters, seedMod = 1)
 
   /** Per-entity triangle counts over the co-occurrence graph, via the
     * degree-ordered orientation (Suri & Vassilvitskii, WWW'11): each

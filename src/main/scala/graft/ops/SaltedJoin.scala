@@ -31,6 +31,12 @@ object SaltedJoin {
     */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
                      heavyThreshold: Long, salts: Int = 8): DataFrame = {
+    // the two working columns are part of the contract — fail loudly on
+    // collision instead of an opaque AMBIGUOUS_REFERENCE mid-plan
+    Seq("_heavy", "_salt").foreach { c =>
+      require(!fact.columns.contains(c) && !dim.columns.contains(c),
+        s"saltedEquiJoin reserves working column '$c'; rename it in the input")
+    }
     // the head stays distributed: a broadcast left join marks heavy rows
     // at O(1) per probed row — no driver collect, no literal key array
     // in the plan (which would codegen O(|head|) comparisons per row and
