@@ -53,25 +53,32 @@ object StreamIngest {
       .filter(l => l.stage == "stream_triples" && l.snapshot_id == snap)
       .limit(1).count() > 0
     if (done) return
-    val triples = KgPipeline.run(spark, batch, aliases, cfg = cfg, ctx = Some(ctx))
-      .withColumn("batch", lit(batchId))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val persisted = triples.persist()
-    persisted.write.mode(SaveMode.Overwrite)
-      .partitionBy("batch", "bucket")
-      .parquet(streamPath(root))
-    val now = System.currentTimeMillis()
-    val rows = persisted.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"),
-        min(col("span_offset")).as("omin"), max(col("span_offset")).as("omax"),
-        countDistinct(col("doc_id")).as("docs"))
-      .collect().map { r =>
-        LineageRow("stream_triples", r.getAs[Int]("bucket"),
-          r.getAs[Int]("omin").toLong, r.getAs[Int]("omax").toLong,
-          r.getAs[Long]("n"), r.getAs[Long]("docs"), snap, now)
-      }
-    updateCanonMap(spark, persisted.toDF(), batchId, root)
-    persisted.unpersist()
+    // the whole batch commit runs under stage-metrics capture (north
+    // rule: lineage rows carry stage metrics) — totals land as a
+    // `_metrics` sidecar keyed by the same snapshot id
+    val (rows, metrics) = graft.store.StageMetrics.capture(spark) {
+      val triples = KgPipeline.run(spark, batch, aliases, cfg = cfg, ctx = Some(ctx))
+        .withColumn("batch", lit(batchId))
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val persisted = triples.persist()
+      persisted.write.mode(SaveMode.Overwrite)
+        .partitionBy("batch", "bucket")
+        .parquet(streamPath(root))
+      val now = System.currentTimeMillis()
+      val rws = persisted.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("span_offset")).as("omin"), max(col("span_offset")).as("omax"),
+          countDistinct(col("doc_id")).as("docs"))
+        .collect().map { r =>
+          LineageRow("stream_triples", r.getAs[Int]("bucket"),
+            r.getAs[Int]("omin").toLong, r.getAs[Int]("omax").toLong,
+            r.getAs[Long]("n"), r.getAs[Long]("docs"), snap, now)
+        }
+      updateCanonMap(spark, persisted.toDF(), batchId, root)
+      persisted.unpersist()
+      rws
+    }
+    graft.store.StageMetrics.write(spark, root, "stream_triples", snap, metrics)
     if (rows.nonEmpty) {
       spark.createDataset(rows.toSeq).write.mode(SaveMode.Append)
         .parquet(LineageStore.lineagePath(root))

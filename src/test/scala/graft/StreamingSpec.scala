@@ -77,6 +77,16 @@ class StreamingSpec extends AnyFunSuite {
     // only batch-0 entities (strictly fewer than the current snapshot)
     val canon0 = StreamIngest.readCanonMap(spark, root, asOfBatch = Some(0L))
     assert(canon0.count() > 0 && canon0.count() < streamedCc.size)
+    // stage-metrics sidecar: one capture per COMMITTED batch (the
+    // replayed batch-0 added nothing), with real task totals
+    val metrics = graft.store.StageMetrics.read(spark, root).collect()
+    assert(metrics.map(_.snapshot_id).distinct.sorted.toSeq ==
+      Seq("batch-0", "batch-1", "batch-2"))
+    assert(metrics.count(_.snapshot_id == "batch-0") ==
+      metrics.count(_.snapshot_id == "batch-1"))
+    val m0 = metrics.filter(_.snapshot_id == "batch-0")
+      .map(m => m.metric -> m.value).toMap
+    assert(m0("tasks") > 0 && m0("task_time_ms") > 0, m0)
   }
 
   test("streaming doc source end-to-end via AvailableNow trigger") {
