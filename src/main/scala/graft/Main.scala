@@ -24,6 +24,9 @@ import org.apache.spark.sql.SparkSession
   *     unchanged).
   *   verify <sfDir> <outDir>   — driver correctness dump (graft.Verify)
   *   bench                      — graft.Bench (env-configured)
+  *   status <outRoot>
+  *     operational snapshot of a stream/batch root: snapshot chain,
+  *     per-batch stage metrics, current canonical-map size.
   *
   * No master/config is set here: spark-submit supplies them (the local
   * test harnesses configure their own sessions).
@@ -103,10 +106,31 @@ object Main {
       println(s"compacted ${LineageStore.triplesPath(args(1))}: $before -> $after data files")
       spark.stop()
 
+    case Some("status") =>
+      val spark = session("graft-status")
+      val root = args(1)
+      val snaps = graft.store.Snapshots.read(spark, root).collect()
+        .sortBy(_.snapshot_id)
+      snaps.foreach(s => println(
+        s"snapshot ${s.snapshot_id} (parent ${s.parent_id}): ${s.n_rows} rows"))
+      val metrics = graft.store.StageMetrics.read(spark, root).collect()
+      metrics.groupBy(_.snapshot_id).toSeq.sortBy(_._1).foreach {
+        case (snap, ms) =>
+          val kv = ms.sortBy(_.metric)
+            .map(m => s"${m.metric}=${m.value}").mkString(" ")
+          println(s"metrics $snap: $kv")
+      }
+      if (graft.store.Fs.exists(spark,
+          graft.streaming.StreamIngest.canonPath(root))) {
+        val canon = graft.streaming.StreamIngest.readCanonMap(spark, root)
+        println(s"canonical map: ${canon.count()} entities")
+      }
+      spark.stop()
+
     case Some("verify") => Verify.main(args.drop(1))
     case Some("bench") => Bench.main(Array.empty)
     case _ =>
-      System.err.println("usage: graft.Main run|stream|mlm|compact|verify|bench ...")
+      System.err.println("usage: graft.Main run|stream|mlm|compact|verify|bench|status ...")
       sys.exit(2)
   }
 }
