@@ -149,12 +149,34 @@ object StreamIngest {
     snaps.where(col("batch") === latest).select(col("node"), col("component"))
   }
 
+  /** Columns later engine versions ADDED to the triple schema, with the
+    * value old partitions implicitly carry — the Iceberg add-column
+    * evolution contract (old data reads back with the default, no
+    * rewrite). `conf` predates nothing today; it is the registered
+    * example so the mechanism stays exercised.
+    */
+  private val evolvedDefaults: Map[String, org.apache.spark.sql.Column] =
+    Map("conf" -> lit(0.0))
+
+  /** Schema-evolution-safe read of the streamed triple store:
+    * `mergeSchema` reconciles partitions written by different engine
+    * versions, and columns absent from old partitions (or from the whole
+    * store) resolve to their registered defaults instead of failing the
+    * analyzer or surfacing nulls.
+    */
   def readStreamTriples(spark: SparkSession, root: String): Dataset[Triple] = {
     import spark.implicits._
-    spark.read.parquet(streamPath(root))
-      .select("subj", "pred", "obj", "doc_id", "bucket", "conf",
-        "span_offset", "sentence_idx")
-      .as[Triple]
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(streamPath(root))
+    val cols = Seq("subj", "pred", "obj", "doc_id", "bucket", "conf",
+      "span_offset", "sentence_idx").map { c =>
+      evolvedDefaults.get(c) match {
+        case Some(d) if !df.columns.contains(c) => d.as(c)
+        case Some(d) => coalesce(col(c), d).as(c)
+        case None => col(c)
+      }
+    }
+    df.select(cols: _*).as[Triple]
   }
 
   /** Streaming windowed aggregation over the events table (watermark +

@@ -89,6 +89,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(m0("tasks") > 0 && m0("task_time_ms") > 0, m0)
   }
 
+  test("triple-store schema evolution: partitions missing an added column read back with its default") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_evolve").toString
+    // batch 0 written by an "old" engine version WITHOUT conf; batch 1
+    // by the current schema — the Iceberg add-column analog
+    val oldRows = Seq(("PER_000#0", "co_occurs_with", "LOC_000#0", "d0"))
+      .toDF("subj", "pred", "obj", "doc_id")
+      .withColumn("span_offset", lit(0)).withColumn("sentence_idx", lit(0))
+      .withColumn("batch", lit(0L)).withColumn("bucket", lit(1))
+    val newRows = oldRows
+      .withColumn("conf", lit(0.9)).withColumn("batch", lit(1L))
+    oldRows.write.partitionBy("batch", "bucket")
+      .parquet(StreamIngest.streamPath(root))
+    newRows.write.mode("append").partitionBy("batch", "bucket")
+      .parquet(StreamIngest.streamPath(root))
+    val got = StreamIngest.readStreamTriples(spark, root)
+      .collect().map(t => t.doc_id match { case _ => (t.conf, t.subj) })
+    assert(got.toSet == Set((0.0, "PER_000#0"), (0.9, "PER_000#0")), got.toSeq)
+  }
+
   test("streaming doc source end-to-end via AvailableNow trigger") {
     val root = Files.createTempDirectory("graft_stream2").toString
     val docsDir = s"$root/docs_in"
