@@ -59,7 +59,8 @@ object Bench {
       "q71_fuzzy_tokens", "q73_setsim_prefix", "q74_bpe_merges",
       "q76_snapshot_diff", "q77_salted_join", "q78_range_join",
       "q79_inverted_index", "q80_rollup", "q81_sliding_window",
-      "q82_pivot", "q84_exists_subquery", "q85_set_ops")
+      "q82_pivot", "q84_exists_subquery", "q85_set_ops",
+      "q86_split_assign")
     headline.foreach { q => SparkEntry.queries(q)(spark, sfDir).count() }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { q =>

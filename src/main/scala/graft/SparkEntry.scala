@@ -608,6 +608,13 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy("bucket")),
+    // ---- deterministic train/valid/test split (md5 draw vs integer
+    //      cumulative ppm buckets; assignment stable under ingest) ----
+    "q86_split_assign" -> ((s, dir) =>
+      graft.ops.Filters.splitAssign(t(s, dir, "documents"), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("split")),
     // ---- deterministic count-min word-frequency sketch ----
     "q54_cms_counts" -> ((s, dir) =>
       graft.ops.Sketches.cmsWordCounts(t(s, dir, "documents"))
@@ -1696,6 +1703,16 @@ object SparkEntry {
         |SELECT user_id, 'click_no_purchase' AS cohort
         |FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
         |ORDER BY cohort, user_id""".stripMargin,
+    "q86_split_assign" ->
+      """WITH d AS (SELECT doc_id,
+        |   ('0x'||substr(md5(doc_id::VARCHAR||'_split'),1,15))::BIGINT
+        |     % 1000000 AS draw FROM documents)
+        |SELECT CASE WHEN draw < 800000 THEN 'train'
+        |            WHEN draw < 900000 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        | count(*)::BIGINT AS n_docs,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q63_topk_pruned" ->
       """SELECT event_type, event_id, value, rn FROM (
         |  SELECT event_type, event_id, value,

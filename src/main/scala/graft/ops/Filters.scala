@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import TextOps.hexInt
 
@@ -105,5 +105,28 @@ object Filters {
     corpus.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** Deterministic train/validation/test split assignment — the last
+    * step of every training-data pipeline. Each row's md5-derived draw
+    * (mod 10^6, a fixed uniform ppm) falls into integer cumulative
+    * buckets of `ppm` (must sum to 10^6): same id → same split on every
+    * engine, every run, every partitioning; adding rows never reshuffles
+    * existing assignments (the property a growing corpus needs — a
+    * row_number split would reassign everything per ingest). Pure
+    * per-row column arithmetic: zero shuffle, codegen'd.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+                  ppm: Seq[(String, Long)] =
+                    Seq("train" -> 800000L, "valid" -> 100000L,
+                      "test" -> 100000L)): DataFrame = {
+    require(ppm.map(_._2).sum == 1000000L, "split ppm must sum to 10^6")
+    val draw = hexInt(concat(col(idCol).cast("string"),
+      lit("_split"))) % 1000000L
+    val cum = ppm.scanLeft(0L)(_ + _._2).tail
+    val assign = ppm.zip(cum).foldRight(lit(ppm.last._1): Column) {
+      case (((name, _), hi), els) => when(draw < hi, name).otherwise(els)
+    }
+    df.withColumn("split", assign)
   }
 }

@@ -712,6 +712,29 @@ class VocabOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Deterministic split assignment: stability + proportions. */
+class SplitAssignSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("assignments are stable under corpus growth and ≈ the requested ppm") {
+    val small = (0 until 2000).map(_.toLong).toDF("id")
+    val grown = (0 until 6000).map(_.toLong).toDF("id")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Filters.splitAssign(df, "id").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = asMap(small)
+    val b = asMap(grown)
+    // growing the corpus never reassigns an existing row
+    assert(a.forall { case (id, s) => b(id) == s })
+    // proportions within 3 points of 80/10/10 at n=6000
+    val frac = b.values.groupBy(identity).view.mapValues(_.size / 6000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.03, frac)
+    assert(math.abs(frac("valid") - 0.1) < 0.03, frac)
+    assert(math.abs(frac("test") - 0.1) < 0.03, frac)
+  }
+}
+
 /** Bucketed range (interval) join: boundary + cross-bucket cases. */
 class RangeJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = SparkTest.spark
