@@ -38,12 +38,18 @@ object ScalingBench {
           KgPipeline.Config(broadcastLink = false)
         else KgPipeline.Config()
       val spark = Bench.session(cpus.toString)
-      // dictionary-side setup (alias collect + connected components) is
-      // O(dictionary) one-time work shared by every job over the same
-      // dictionary snapshot — prepared outside the timed region,
-      // identically at both levels
-      val ctx = Some(KgPipeline.prepareLinkContext(spark,
-        graft.gen.CorpusGen.aliases(spark)))
+      // broadcast mode: dictionary-side setup (alias collect + connected
+      // components) is O(dictionary) one-time work shared by every job
+      // over the same dictionary snapshot — prepared outside the timed
+      // region, identically at both levels. Salted mode: ctx = None — the
+      // de-drivered path does ALL dictionary prep distributed inside the
+      // timed region (nothing dictionary-sized on the driver), so the
+      // scaling number includes it.
+      val ctx =
+        if (cfg.broadcastLink)
+          Some(KgPipeline.prepareLinkContext(spark,
+            graft.gen.CorpusGen.aliases(spark)))
+        else None
       // fixed partition count (256) at BOTH levels: identical work units,
       // only the executor-thread count varies — the local analog of the
       // same job on N vs 4N executors. One full-size JIT warm-up run, then

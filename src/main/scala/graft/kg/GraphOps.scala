@@ -285,8 +285,13 @@ object GraphOps {
     val occ = pairs.select(col("subj").as("entity"), col("pair_n"))
       .unionByName(pairs.select(col("obj").as("entity"), col("pair_n")))
       .groupBy("entity").agg(sum("pair_n").as("ent_n"))
-    // O(1) driver scalar, like ntileFolds' count — not a data collect
-    val total = pairs.agg(sum("pair_n").cast("long")).head().getLong(0)
+    // O(1) driver scalar, like ntileFolds' count — not a data collect;
+    // NULL sum (no co-occurrence triples) → empty lift table
+    val totalRow = pairs.agg(sum("pair_n").cast("long")).head()
+    if (totalRow.isNullAt(0)) return pairs.limit(0)
+      .select(col("subj"), col("obj"), col("pair_n"),
+        lit(0L).as("lift_micro"))
+    val total = totalRow.getLong(0)
     pairs
       .join(occ.select(col("entity").as("subj"), col("ent_n").as("subj_n")),
         "subj")

@@ -144,6 +144,35 @@ object Linker {
                      bloomPrune: Boolean = true,
                      bloomBits: Option[Array[Long]] = None): Dataset[SlimLinked] = {
     import spark.implicits._
+    linkSaltedCarry(spark, m, aliases, saltBuckets, skewKeys, bloomPrune,
+        bloomBits, canon = None)
+      .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
+        col("entity_id"), col("conf"))
+      .as[SlimLinked]
+  }
+
+  /** Carry-through form of the salted link join: every column of `m`
+    * passes through unchanged and gains `entity_id` + `conf` — callers
+    * tag provenance columns (e.g. mention vs relation-endpoint role) and
+    * re-split after the join. With `canon` (the distributed
+    * (entity_id, canonical_id) map from
+    * [[ConnectedComponents.canonicalMap]]) the emitted ids are already
+    * canonical: the map is folded into the DICTIONARY side before the
+    * per-surface best aggregation — an O(dictionary) join, so
+    * canonicalization costs ZERO corpus-sized shuffles and the driver
+    * never materializes the dictionary or the canon map (the 100 TB
+    * contract of the no-broadcast regime). Candidate ordering (type
+    * match, max prior, min id) stays on the RAW alias id so tie-breaks
+    * are identical to the broadcast path, which also orders raw then
+    * canonicalizes the winner.
+    */
+  def linkSaltedCarry(spark: SparkSession, m: DataFrame,
+                      aliases: Dataset[Alias], saltBuckets: Int = 8,
+                      skewKeys: Option[Seq[String]] = None,
+                      bloomPrune: Boolean = true,
+                      bloomBits: Option[Array[Long]] = None,
+                      canon: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
     // Bloom pre-prune on the DICTIONARY's surface set: the link join is
     // INNER, so a mention whose surface is not in the dictionary cannot
     // survive it — the bloom passes a superset (false positives fall
@@ -165,13 +194,24 @@ object Linker {
     val skew = skewKeys.getOrElse(inferSkewKeysNorm(spark, mIn))
     val skewArr =
       if (skew.isEmpty) array(lit(" ")) else array(skew.map(lit): _*)
+    // dictionary-side canonicalization: map each alias's OUTPUT id to its
+    // canonical id before scoring (ordering stays on the raw id)
+    val aliasC = canon match {
+      case Some(c) =>
+        aliases.toDF().join(
+            c.select(col("entity_id"), col("canonical_id")), Seq("entity_id"),
+            "left")
+          .withColumn("out_id", coalesce(col("canonical_id"), col("entity_id")))
+      case None => aliases.toDF().withColumn("out_id", col("entity_id"))
+    }
     // dictionary-side scoring: best candidate per (surface, type) + the
     // any-type fallback, folded into ONE row per surface
-    val ord = struct(negate(col("best_t.prior")), col("best_t.entity_id"))
-    val best = aliases
+    val ord = struct(negate(col("best_t.prior")), col("best_t.raw_id"))
+    val best = aliasC
       .groupBy("surface_norm", "entity_type")
       .agg(min_by(
-        struct(col("entity_id"), col("prior")),
+        struct(col("out_id").as("entity_id"), col("prior"),
+          col("entity_id").as("raw_id")),
         struct(negate(col("prior")), col("entity_id"))).as("best_t"))
       .groupBy("surface_norm")
       .agg(
@@ -191,10 +231,9 @@ object Linker {
     val picked = coalesce(
       element_at(col("by_type"), col("entity_type")), col("any_best"))
     salted.join(bestSalted, Seq("surface_norm", "salt"), "inner")
-      .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
-        picked.getField("entity_id").as("entity_id"),
-        picked.getField("prior").as("conf"))
-      .as[SlimLinked]
+      .select(m.columns.map(col).toIndexedSeq :+
+        picked.getField("entity_id").as("entity_id") :+
+        picked.getField("prior").as("conf"): _*)
   }
 
   /** [[inferSkewKeys]] over a pre-normalized mention projection. */

@@ -28,23 +28,27 @@ object AsofJoin {
                 key: String, time: String): DataFrame = {
     val carryCols = right.columns.filterNot(c => c == key || c == time).toSeq
     val leftRest = left.columns.filterNot(c => c == key || c == time).toSeq
+    // the whole right row rides in ONE struct and is carried with a
+    // single last(ignoreNulls) — so the matched row's fields arrive
+    // atomically even when some of them are NULL (a per-column carry
+    // would back-fill NULL fields from OLDER right rows and mix fields
+    // of different rows, diverging from DuckDB ASOF semantics)
     val rTagged = right.select(
-      Seq(col(key), col(time), lit(0).as("_k")) ++
-        carryCols.map(col) ++
+      Seq(col(key), col(time), lit(0).as("_k"),
+        struct(carryCols.map(col) :+ col(time).as("_t"): _*).as("_rs")) ++
         leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val rsType = rTagged.schema("_rs").dataType
     val lTagged = left.select(
-      Seq(col(key), col(time), lit(1).as("_k")) ++
-        carryCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+      Seq(col(key), col(time), lit(1).as("_k"),
+        lit(null).cast(rsType).as("_rs")) ++
         leftRest.map(col): _*)
     val w = Window.partitionBy(key).orderBy(col(time), col("_k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carryCols.foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>
-        df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
-      }
-      .withColumn(s"asof_$time",
-        last(when(col("_k") === 0, col(time)), ignoreNulls = true).over(w))
+    val carried = rTagged.unionByName(lTagged)
+      .withColumn("_m", last(col("_rs"), ignoreNulls = true).over(w))
     carried.where(col("_k") === 1)
       .select(left.columns.map(col).toSeq ++
-        carryCols.map(c => col(s"asof_$c")) :+ col(s"asof_$time"): _*)
+        carryCols.map(c => col("_m").getField(c).as(s"asof_$c")) :+
+        col("_m").getField("_t").as(s"asof_$time"): _*)
   }
 }

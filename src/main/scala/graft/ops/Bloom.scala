@@ -71,6 +71,14 @@ object Bloom {
     }
   }
 
+  /** The bitset build as an aggregate FUNCTION (UserDefinedFunction over
+    * one string column) — the form [[graft.plans.Rules.InjectDeterministicBloom]]
+    * plants inside the scalar subquery it injects at optimization time.
+    */
+  def bitsAggUdaf(m: Int = 1 << 16, k: Int = 4)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new BitsetAgg(m, k), Encoders.STRING)
+
   /** Build the m-bit Bloom bitset from the small side's distinct keys
     * (string column `key`). m must be a multiple of 64.
     */

@@ -21,7 +21,11 @@ object Diagnostics {
     val counts = df.select(col(keyCol).cast("string").as("key"))
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // reused: total + top-N read the same counts
-    val total = counts.agg(sum("cnt").cast("long")).head().getLong(0)
+    // sum over zero rows is NULL — empty input yields an empty report
+    val totalRow = counts.agg(sum("cnt").cast("long")).head()
+    if (totalRow.isNullAt(0)) return counts.limit(0)
+      .select(col("key"), col("cnt"), lit(0L).as("share_ppm"))
+    val total = totalRow.getLong(0)
     counts
       .select(col("key"), col("cnt"),
         expr(s"(1000000L * cnt) div ${total}L").as("share_ppm"))

@@ -41,6 +41,9 @@ object Kmeans {
       .map { case (id, v) => (id, normalize(v)) }
       .persist()
     var cents = e.orderBy("_1").limit(k).collect().map(_._2)
+    // empty corpus → no centroids, zero objectives (not an NPE in the
+    // partial-aggregation kernel below, which indexes cents(0))
+    if (cents.isEmpty) { e.unpersist(); return (cents, new Array[Double](iters)) }
     val objs = new Array[Double](iters)
     for (it <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cents)

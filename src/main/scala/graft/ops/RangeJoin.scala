@@ -34,15 +34,19 @@ object RangeJoin {
                  leftTs: String, rightTs: String,
                  windowSec: Long): DataFrame = {
     val w = windowSec * 1000000L
+    // FLOOR division (div truncates toward zero): pre-1970 timestamps
+    // produce negative epoch micros, and the two-bucket containment
+    // proof requires buckets aligned on floor boundaries on both sides
+    def fdiv(c: String) =
+      expr(s"($c div ${w}L) - (case when $c % ${w}L < 0 then 1 else 0 end)")
     // NTZ columns cast through the session zone (pinned UTC by the
     // driver mains) — epoch micros then agree with DuckDB's epoch_us
     val l = left.select(col(key), col(leftId),
         unix_micros(col(leftTs).cast("timestamp")).as("_lus"))
-      .withColumn("_b", explode(array(
-        expr(s"_lus div ${w}L"), expr(s"_lus div ${w}L - 1"))))
+      .withColumn("_b", explode(array(fdiv("_lus"), fdiv("_lus") - 1)))
     val r = right.select(col(key), col(rightId),
         unix_micros(col(rightTs).cast("timestamp")).as("_rus"))
-      .withColumn("_b", expr(s"_rus div ${w}L"))
+      .withColumn("_b", fdiv("_rus"))
     l.join(r, Seq(key, "_b"))
       .where(col("_rus") >= col("_lus") - w && col("_rus") <= col("_lus"))
       .select(col(key), col(leftId), col(rightId),

@@ -23,15 +23,18 @@ object SnapshotDiff {
     * Returns (key, change, val_a, val_b) for changed keys only.
     */
   def diff(a: DataFrame, b: DataFrame, key: String, value: String): DataFrame = {
+    // explicit presence markers + null-safe value compare: a key present
+    // in both snapshots with a NULL value on one side is 'changed', not
+    // misclassified as added/removed, and NULL <=> NULL is unchanged
     val l = a.select(col(key).cast("string").as("k"),
-      col(value).cast("string").as("val_a"))
+      col(value).cast("string").as("val_a"), lit(true).as("_in_a"))
     val r = b.select(col(key).cast("string").as("k"),
-      col(value).cast("string").as("val_b"))
+      col(value).cast("string").as("val_b"), lit(true).as("_in_b"))
     l.join(r, Seq("k"), "full_outer")
       .withColumn("change",
-        when(col("val_a").isNull, lit("added"))
-          .when(col("val_b").isNull, lit("removed"))
-          .when(col("val_a") =!= col("val_b"), lit("changed")))
+        when(col("_in_a").isNull, lit("added"))
+          .when(col("_in_b").isNull, lit("removed"))
+          .when(!(col("val_a") <=> col("val_b")), lit("changed")))
       .where(col("change").isNotNull)
       .select(col("k").as(key), col("change"), col("val_a"), col("val_b"))
   }

@@ -163,15 +163,25 @@ object KgPipeline {
 
   /** Persisted row of the salted path's detect cache: EITHER a slim
     * mention projection (surface_norm + join key + type — the minimum
-    * the salted link join consumes) OR an already-linked, canonicalized
-    * relation unit (`r` non-null). Raw surfaces and word offsets never
-    * enter the cache.
+    * the salted link join consumes) OR an UNLINKED relation candidate
+    * (`rel` non-null) holding its normalized endpoint surfaces + types.
+    * Raw surfaces and word offsets never enter the cache; linking and
+    * canonicalization of BOTH families happen downstream in one
+    * distributed salted join — the salted path never touches a
+    * driver-resident dictionary.
     */
   case class SaltedRow(doc_id: String, span_offset: Int, sentence_idx: Int,
                        surface_norm: String, entity_type: String,
-                       r: graft.kg.Triples.SlimRelation)
+                       rel: String, subj_norm: String, subj_type: String,
+                       obj_norm: String, obj_type: String)
+
+  /** Incremented per [[prepareLinkContext]] call — lets tests assert the
+    * salted path never materializes the driver-side dictionary.
+    */
+  val linkContextCalls = new java.util.concurrent.atomic.AtomicLong(0)
 
   def prepareLinkContext(spark: SparkSession, aliases: Dataset[Alias]): LinkContext = {
+    linkContextCalls.incrementAndGet()
     val all = aliases.collect().toSeq
     val canonMap = ConnectedComponents.canonicalMap(spark, aliases.toDF())
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -190,19 +200,23 @@ object KgPipeline {
           cfg: Config = Config(),
           ctx: Option[LinkContext] = None): Dataset[Triple] = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, max, when}
     import graft.kg.Triples.{DocUnit, SlimMention, SlimRelation}
     val sents = sentences(spark, docs)
-    val context = ctx.getOrElse(prepareLinkContext(spark, aliases))
-    val bcDict = spark.sparkContext.broadcast(context.dict)
-    val bcCanon = spark.sparkContext.broadcast(context.canon)
-    def linkCanon(surface: String, typ: String): Option[(String, Double)] = {
-      val cands = bcDict.value.getOrElse(CorpusGen.normSurface(surface), Seq.empty)
-      Linker.bestCandidate(cands, typ).map { a =>
-        (bcCanon.value.getOrElse(a.entity_id, a.entity_id), a.prior)
-      }
-    }
     val units: Dataset[DocUnit] =
       if (cfg.broadcastLink) {
+        // broadcast regime: the dictionary fits in memory by premise, so
+        // the driver-resident LinkContext is legitimate — prepared lazily
+        // HERE so the salted branch never materializes it
+        val context = ctx.getOrElse(prepareLinkContext(spark, aliases))
+        val bcDict = spark.sparkContext.broadcast(context.dict)
+        val bcCanon = spark.sparkContext.broadcast(context.canon)
+        def linkCanon(surface: String, typ: String): Option[(String, Double)] = {
+          val cands = bcDict.value.getOrElse(CorpusGen.normSurface(surface), Seq.empty)
+          Linker.bestCandidate(cands, typ).map { a =>
+            (bcCanon.value.getOrElse(a.entity_id, a.entity_id), a.prior)
+          }
+        }
         // single pass: fused detect emits mentions + relations; linking +
         // canonicalization inline via broadcast dictionary
         detectRows(spark, sents, new GazetteerTagger(gazetteer), cfg).flatMap { row =>
@@ -222,12 +236,17 @@ object KgPipeline {
           }
         }
       } else {
-        // salted path: the fused detect stage runs ONCE and is persisted
-        // as a SLIM projection — original surfaces, word offsets and
-        // relation surface strings never enter the cache. Mentions keep
-        // only the join payload (surface_norm + key + type) for the
-        // skew-defused shuffle join; relations (dictionary-light) are
-        // linked inline via broadcast and cached already-canonicalized.
+        // salted path — the "dictionary does NOT fit in memory" regime:
+        // NOTHING dictionary-sized ever reaches the driver. The fused
+        // detect stage runs ONCE and is persisted as a SLIM projection
+        // (normalized surfaces + join keys only); mentions AND relation
+        // endpoints are linked by ONE skew-defused salted join whose
+        // dictionary side is pre-scored and pre-canonicalized (the
+        // canonical map from distributed connected components joins the
+        // alias table at O(dictionary) cost before the corpus ever
+        // shuffles). If a prepared LinkContext is passed its bloom bits
+        // are reused; otherwise the bits come from one O(dictionary)
+        // aggregation.
         // skew keys from a 1% SENTENCE sample detected separately — a
         // Zipf head survives heavy sampling, and the hint costs ~1% of
         // one detect pass instead of a full scan of the cached stage
@@ -236,35 +255,71 @@ object KgPipeline {
             new GazetteerTagger(gazetteer), cfg),
           sampleFraction = 1.0)
         val slim = detectRows(spark, sents, new GazetteerTagger(gazetteer), cfg)
-          .flatMap { row =>
+          .map { row =>
             if (row.mention != null) {
               val m = row.mention
-              Iterator.single(SaltedRow(m.doc_id, m.span_offset,
-                m.sentence_idx, CorpusGen.normSurface(m.surface),
-                m.entity_type, null))
+              SaltedRow(m.doc_id, m.span_offset, m.sentence_idx,
+                CorpusGen.normSurface(m.surface), m.entity_type,
+                null, null, null, null, null)
             } else {
               val r = row.relation
-              (for {
-                (s, _) <- linkCanon(r.subj_surface, r.subj_type)
-                (o, _) <- linkCanon(r.obj_surface, r.obj_type)
-              } yield SaltedRow(r.doc_id, -1, -1, null, null,
-                SlimRelation(r.span_offset, r.sentence_idx, s, r.rel, o))).iterator
+              SaltedRow(r.doc_id, r.span_offset, r.sentence_idx, null, null,
+                r.rel, CorpusGen.normSurface(r.subj_surface), r.subj_type,
+                CorpusGen.normSurface(r.obj_surface), r.obj_type)
             }
           }
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // materialize ONCE before the two consumers below — without this
+        // materialize ONCE before the consumers below — without this
         // the union's branches race and recompute detect partitions
         slim.count()
-        val mentions = slim.filter(_.r == null).toDF()
-          .select("doc_id", "span_offset", "sentence_idx", "surface_norm",
-            "entity_type")
-        val linked = Linker.linkSaltedSlim(spark, mentions, aliases,
-          cfg.saltBuckets, Some(skew), bloomBits = context.bloomBits)
-        val mUnits = linked.map { lm =>
-          DocUnit(lm.doc_id, SlimMention(lm.span_offset, lm.sentence_idx,
-            bcCanon.value.getOrElse(lm.entity_id, lm.entity_id), lm.conf), null)
-        }
-        val rUnits = slim.filter(_.r != null).map(s => DocUnit(s.doc_id, null, s.r))
+        val canonDF = graft.kg.ConnectedComponents
+          .canonicalMap(spark, aliases.toDF())
+        val cacheDF = slim.toDF()
+        val relCarry = Seq("rel", "subj_norm", "subj_type", "obj_norm",
+          "obj_type").map(col)
+        // one join input: mention rows + BOTH relation endpoints, each
+        // endpoint row carrying the full candidate tuple so the pair
+        // re-assembles by grouping on it (identical duplicate candidates
+        // merge harmlessly — triple assembly dedups anyway)
+        val mentionSide = cacheDF.where(col("rel").isNull)
+          .select(Seq(col("doc_id"), col("span_offset"), col("sentence_idx"),
+            col("surface_norm"), col("entity_type"), lit("m").as("role")) ++
+            relCarry: _*)
+        def endpoint(role: String, surf: String, typ: String) =
+          cacheDF.where(col("rel").isNotNull)
+            .select(Seq(col("doc_id"), col("span_offset"),
+              col("sentence_idx"), col(surf).as("surface_norm"),
+              col(typ).as("entity_type"), lit(role).as("role")) ++
+              relCarry: _*)
+        val joinIn = mentionSide
+          .unionByName(endpoint("s", "subj_norm", "subj_type"))
+          .unionByName(endpoint("o", "obj_norm", "obj_type"))
+        val linked = Linker.linkSaltedCarry(spark, joinIn, aliases,
+          cfg.saltBuckets, Some(skew), bloomBits = ctx.flatMap(_.bloomBits),
+          canon = Some(canonDF))
+        val mUnits = linked.where(col("role") === "m")
+          .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
+            col("entity_id"), col("conf"))
+          .as[Linker.SlimLinked]
+          .map(lm => DocUnit(lm.doc_id,
+            SlimMention(lm.span_offset, lm.sentence_idx, lm.entity_id,
+              lm.conf), null))
+        // re-pair the two linked endpoints of each relation candidate;
+        // an unlinked endpoint (dropped by the inner join) drops the
+        // candidate — same semantics as the broadcast for-comprehension
+        val rUnits = linked.where(col("role") =!= "m")
+          .groupBy(Seq("doc_id", "span_offset", "sentence_idx", "rel",
+            "subj_norm", "subj_type", "obj_norm", "obj_type").map(col): _*)
+          .agg(
+            max(when(col("role") === "s", col("entity_id"))).as("subj"),
+            max(when(col("role") === "o", col("entity_id"))).as("obj"))
+          .where(col("subj").isNotNull && col("obj").isNotNull)
+          .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
+            col("subj"), col("rel"), col("obj"))
+          .as[(String, Int, Int, String, String, String)]
+          .map { case (d, so, si, s, r, o) =>
+            DocUnit(d, null, SlimRelation(so, si, s, r, o))
+          }
         mUnits.unionByName(rUnits)
       }
     Triples.buildUnits(spark, units, mediaSpans(spark, docs), cfg.buckets)

@@ -93,28 +93,42 @@ object LineageStore {
 
   /** Iceberg-style small-file compaction (the `rewrite_data_files`
     * maintenance action): every bucket partition's accumulated part
-    * files are rewritten as ONE file per bucket via dynamic partition
-    * overwrite — readers see either the old or the new complete
-    * partition, with identical rows either way, and lineage (the resume
-    * source of truth) is untouched because no row changes. The read plan
-    * is cut from the file source with a localCheckpoint so the
-    * self-overwrite is legal; on a cluster the equivalent staging is a
-    * temp-location write or Iceberg's own snapshot swap. Returns
-    * (files before, files after).
+    * files are rewritten as ONE file per bucket, STAGED to a sibling
+    * temp location first — the old store is only replaced after the
+    * compacted copy is fully durable on storage and its row count
+    * verified, so a crash or lost executor mid-compaction never
+    * corrupts the store (the worst case is a leftover temp dir). The
+    * swap is two renames (mirroring Iceberg's snapshot-pointer flip);
+    * lineage (the resume source of truth) is untouched because no row
+    * changes. Returns (files before, files after).
     */
   def compactTriples(spark: SparkSession, root: String): (Long, Long) = {
     val path = triplesPath(root)
     def dataFiles(): Long = Fs.listFiles(spark, path)
       .count(_.endsWith(".parquet"))
     val before = dataFiles()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val expected = spark.read.parquet(path).count()
+    val tmp = path + "__compact_tmp"
+    val old = path + "__compact_old"
     // hash-repartition on bucket: each bucket's rows land in exactly one
     // task, so partitionBy(bucket) emits exactly one file per bucket
-    spark.read.parquet(path).localCheckpoint()
+    spark.read.parquet(path)
       .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
-      .parquet(path)
+      .parquet(tmp)
+    val staged = spark.read.parquet(tmp).count()
+    require(staged == expected,
+      s"compaction row-count mismatch: staged $staged, expected $expected — " +
+        s"store untouched, staging left at $tmp")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    require(fs.rename(hp, new org.apache.hadoop.fs.Path(old)),
+      s"could not move the live store aside ($path)")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hp),
+      s"could not install the compacted store ($tmp -> $path)")
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
     (before, dataFiles())
   }
 

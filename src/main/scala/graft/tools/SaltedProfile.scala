@@ -47,20 +47,11 @@ object SaltedProfile {
       KgPipeline.run(spark, docs, aliases,
         cfg = KgPipeline.Config(broadcastLink = false), ctx = ctx).count()
     }
-    // replicate the salted branch step-by-step
+    // step-by-step breakdown of the (de-drivered) salted branch
     spark.catalog.clearCache()
     locally {
-      import graft.kg.Triples.{DocUnit, SlimMention, SlimRelation}
+      import org.apache.spark.sql.functions._
       val cfg = KgPipeline.Config(broadcastLink = false)
-      val context = ctx.get
-      val bcDict = spark.sparkContext.broadcast(context.dict)
-      val bcCanon = spark.sparkContext.broadcast(context.canon)
-      def linkCanon(surface: String, typ: String): Option[(String, Double)] = {
-        val cands = bcDict.value.getOrElse(CorpusGen.normSurface(surface), Seq.empty)
-        Linker.bestCandidate(cands, typ).map { a =>
-          (bcCanon.value.getOrElse(a.entity_id, a.entity_id), a.prior)
-        }
-      }
       time("step detectRows count") {
         KgPipeline.detectRows(spark, sents, tagger, cfg).count()
       }
@@ -70,39 +61,43 @@ object SaltedProfile {
           sampleFraction = 1.0)
       }
       val slim = KgPipeline.detectRows(spark, sents, tagger, cfg)
-        .flatMap { row =>
+        .map { row =>
           if (row.mention != null) {
             val m = row.mention
-            Iterator.single(KgPipeline.SaltedRow(m.doc_id, m.span_offset,
-              m.sentence_idx, CorpusGen.normSurface(m.surface),
-              m.entity_type, null))
+            KgPipeline.SaltedRow(m.doc_id, m.span_offset, m.sentence_idx,
+              CorpusGen.normSurface(m.surface), m.entity_type,
+              null, null, null, null, null)
           } else {
             val r = row.relation
-            (for {
-              (s, _) <- linkCanon(r.subj_surface, r.subj_type)
-              (o, _) <- linkCanon(r.obj_surface, r.obj_type)
-            } yield KgPipeline.SaltedRow(r.doc_id, -1, -1, null, null,
-              SlimRelation(r.span_offset, r.sentence_idx, s, r.rel, o))).iterator
+            KgPipeline.SaltedRow(r.doc_id, r.span_offset, r.sentence_idx,
+              null, null, r.rel, CorpusGen.normSurface(r.subj_surface),
+              r.subj_type, CorpusGen.normSurface(r.obj_surface), r.obj_type)
           }
         }
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time("step slim materialize") { slim.count() }
-      val mentions = slim.filter(_.r == null).toDF()
-        .select("doc_id", "span_offset", "sentence_idx", "surface_norm",
-          "entity_type")
-      val linked = Linker.linkSaltedSlim(spark, mentions, aliases,
-        cfg.saltBuckets, Some(skew))
-      time("step slim link count") { linked.count() }
-      val mUnits = linked.map { lm =>
-        DocUnit(lm.doc_id, SlimMention(lm.span_offset, lm.sentence_idx,
-          bcCanon.value.getOrElse(lm.entity_id, lm.entity_id), lm.conf), null)
+      val canonDF = time("step canonical map (CC)") {
+        val c = graft.kg.ConnectedComponents.canonicalMap(spark, aliases.toDF())
+        c.count(); c
       }
-      val rUnits = slim.filter(_.r != null).map(s => DocUnit(s.doc_id, null, s.r))
-      val units = mUnits.unionByName(rUnits)
-      time("step cogroup+count") {
-        graft.kg.Triples.buildUnits(spark, units,
-          KgPipeline.mediaSpans(spark, docs), cfg.buckets).count()
-      }
+      val cacheDF = slim.toDF()
+      val relCarry = Seq("rel", "subj_norm", "subj_type", "obj_norm",
+        "obj_type").map(col)
+      val mentionSide = cacheDF.where(col("rel").isNull)
+        .select(Seq(col("doc_id"), col("span_offset"), col("sentence_idx"),
+          col("surface_norm"), col("entity_type"), lit("m").as("role")) ++
+          relCarry: _*)
+      def endpoint(role: String, surf: String, typ: String) =
+        cacheDF.where(col("rel").isNotNull)
+          .select(Seq(col("doc_id"), col("span_offset"), col("sentence_idx"),
+            col(surf).as("surface_norm"), col(typ).as("entity_type"),
+            lit(role).as("role")) ++ relCarry: _*)
+      val joinIn = mentionSide
+        .unionByName(endpoint("s", "subj_norm", "subj_type"))
+        .unionByName(endpoint("o", "obj_norm", "obj_type"))
+      val linked = Linker.linkSaltedCarry(spark, joinIn, aliases,
+        cfg.saltBuckets, Some(skew), canon = Some(canonDF))
+      time("step carry link count") { linked.count() }
     }
     spark.stop()
   }

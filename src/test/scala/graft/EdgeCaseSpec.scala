@@ -61,4 +61,51 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.ops.SaltedJoin
       .saltedEquiJoin(fact, dim, "uid", heavyThreshold = 1L).count() == 0)
   }
+
+  test("skew report, co-occurrence lift and k-means survive empty input") {
+    assert(graft.ops.Diagnostics.skewReport(emptyDocs, "source").count() == 0)
+    val none = spark.emptyDataset[graft.model.Triple]
+    assert(graft.kg.GraphOps.cooccurrenceLift(none).count() == 0)
+    val noVecs = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+      .where("false")
+    val (cents, objs) = graft.ops.Kmeans.train(noVecs, k = 3, iters = 2)
+    assert(cents.isEmpty && objs.forall(_ == 0.0))
+  }
+
+  test("snapshot diff classifies NULL values by presence, not nullness") {
+    val a = Seq(("k1", null: String), ("k2", "x"), ("k3", null: String))
+      .toDF("key", "v")
+    val b = Seq(("k1", "y"), ("k2", null: String), ("k3", null: String))
+      .toDF("key", "v")
+    val got = graft.ops.SnapshotDiff.diff(a, b, "key", "v")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // NULL→y and x→NULL are CHANGED (key present in both snapshots)
+    assert(got == Map("k1" -> "changed", "k2" -> "changed"), got)
+  }
+
+  test("range join pairs pre-1970 timestamps straddling epoch zero") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // left at +30s, right at -50s: within the 100s window but the rows
+    // straddle zero — truncating division would misalign their buckets
+    val left = Seq((1L, 10L, t(30))).toDF("k", "lid", "lts")
+    val right = Seq((1L, 20L, t(-50))).toDF("k", "rid", "rts")
+    val got = graft.ops.RangeJoin
+      .windowJoin(left, right, "k", "lid", "rid", "lts", "rts", 100L)
+      .collect()
+    assert(got.length == 1 && got(0).getLong(3) == 80L * 1000000L, got.toSeq)
+  }
+
+  test("as-of join carries the matched row atomically when a field is NULL") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, t(100))).toDF("key", "t")
+    // older right row has v=old; the MATCHED (latest prior) row has v=NULL:
+    // the output must be NULL, never back-filled from the older row
+    val right = Seq((1L, t(10), "old"), (1L, t(50), null: String))
+      .toDF("key", "t", "v")
+    val got = graft.ops.AsofJoin.lastPrior(left, right, "key", "t").collect()
+    assert(got.length == 1)
+    assert(got(0).isNullAt(got(0).fieldIndex("asof_v")), got.toSeq)
+    assert(got(0).getTimestamp(got(0).fieldIndex("asof_t")) == t(50))
+  }
+
 }

@@ -123,6 +123,23 @@ class PipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("salted path with no ctx never materializes the driver dictionary") {
+    val docs = CorpusGen.docs(spark, N, parts = 4)
+    val aliases = CorpusGen.aliases(spark)
+    def rows(cfg: KgPipeline.Config) =
+      KgPipeline.run(spark, docs, aliases, cfg = cfg, ctx = None)
+        .map(t => (t.subj, t.pred, t.obj, t.doc_id, t.conf,
+          t.span_offset, t.sentence_idx)).collect().toSet
+    val before = KgPipeline.linkContextCalls.get()
+    val viaSalted = rows(KgPipeline.Config(broadcastLink = false))
+    assert(KgPipeline.linkContextCalls.get() == before,
+      "salted path invoked prepareLinkContext (driver-resident dictionary)")
+    // identical output to the broadcast path (which legitimately uses it)
+    val viaBroadcast = rows(KgPipeline.Config())
+    assert(viaBroadcast == viaSalted && viaSalted.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("resume: kill-after-partial-commit yields identical final triples") {
     val root = java.nio.file.Files.createTempDirectory("graft_resume").toString
     val docs = CorpusGen.docs(spark, N, parts = 4)
