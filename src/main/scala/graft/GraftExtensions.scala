@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.Rules.CollapseNormalizeSurface)
+    ext.injectOptimizerRule(_ => graft.plans.Rules.InjectDeterministicBloom)
     ext.injectFunction((
       FunctionIdentifier(graft.kg.NormalizeSurface.fnName),
       new ExpressionInfo(classOf[graft.kg.NormalizeSurfaceExpr].getName,

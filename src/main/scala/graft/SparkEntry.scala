@@ -615,6 +615,14 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("split")),
+    // ---- integer-quantized BM25 over the inverted index ----
+    "q87_bm25" -> ((s, dir) =>
+      graft.ops.VocabOps.bm25(t(s, dir, "documents"))
+        .orderBy(desc("bm25_milli"), asc("doc_id"))),
+    // ---- per-source count-min sketch (grouped curation slice) ----
+    "q88_cms_grouped" -> ((s, dir) =>
+      graft.ops.Sketches.cmsWordCountsGrouped(t(s, dir, "documents"))
+        .orderBy("source", "word")),
     // ---- deterministic count-min word-frequency sketch ----
     "q54_cms_counts" -> ((s, dir) =>
       graft.ops.Sketches.cmsWordCounts(t(s, dir, "documents"))
@@ -1850,6 +1858,59 @@ object SparkEntry {
         |SELECT fold::BIGINT AS fold, count(*)::BIGINT AS n_docs,
         | min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM r GROUP BY fold ORDER BY fold""".stripMargin,
+    "q87_bm25" ->
+      """WITH toks AS (SELECT doc_id, w AS word FROM (
+        |   SELECT doc_id, unnest(str_split(text,' ')) AS w FROM documents)
+        |   WHERE w <> ''),
+        | dl AS (SELECT doc_id,
+        |   len(list_filter(str_split(text,' '), w -> w <> ''))::BIGINT AS dl
+        |   FROM documents),
+        | stats AS (SELECT count(*)::BIGINT AS n_docs,
+        |   (1000 * sum(dl)) // count(*) AS avgdl_milli FROM dl),
+        | idx AS (SELECT word, doc_id, count(*)::BIGINT AS tf
+        |   FROM toks GROUP BY word, doc_id),
+        | dfv AS (SELECT word, count(*)::BIGINT AS df FROM idx GROUP BY word),
+        | q AS (SELECT word, df FROM dfv ORDER BY df DESC, word LIMIT 5),
+        | sc AS (SELECT i.doc_id, i.word, i.tf, d.dl, s.avgdl_milli,
+        |   greatest(((2 * (s.n_docs - q.df) + 1) * 65536) // (2 * q.df + 1),
+        |     1) AS ratio
+        |   FROM idx i JOIN q USING (word) JOIN dl d USING (doc_id)
+        |   CROSS JOIN stats s),
+        | sc2 AS (SELECT doc_id, word, tf, dl, avgdl_milli, ratio,
+        |   length(bin(ratio)) - 1 AS ilog FROM sc),
+        | sc3 AS (SELECT doc_id, word,
+        |   ilog * 65536 + (ratio * 65536) // (1::BIGINT << ilog) - 65536
+        |     AS idf_fp16,
+        |   (1000 * tf * (1200 + 1000)) //
+        |     (1000 * tf + (1200 * (1000 - 750 +
+        |       (750 * dl * 1000) // avgdl_milli)) // 1000) AS tfsat_milli
+        |   FROM sc2)
+        |SELECT doc_id, sum((idf_fp16 * tfsat_milli) // 65536)::BIGINT
+        |   AS bm25_milli, count(*)::BIGINT AS n_terms_hit
+        |FROM sc3 GROUP BY doc_id
+        |ORDER BY bm25_milli DESC, doc_id LIMIT 50""".stripMargin,
+    "q88_cms_grouped" ->
+      """WITH wc AS (SELECT source, word, count(*)::BIGINT AS cnt FROM (
+        |   SELECT source, unnest(str_split(text,' ')) AS word FROM documents)
+        |   GROUP BY source, word),
+        | seeded AS (SELECT source, word, cnt, j,
+        |   ('0x'||substr(md5(j||'_'||word),1,15))::BIGINT % 64 AS h
+        |   FROM wc, range(0,4) t(j)),
+        | counters AS (SELECT source, j, h, sum(cnt)::BIGINT AS c
+        |   FROM seeded GROUP BY source, j, h),
+        | top AS (SELECT source, word, cnt FROM (SELECT source, word, cnt,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY cnt DESC, word ASC) AS rn FROM wc)
+        |   WHERE rn <= 5),
+        | probes AS (SELECT source, word, cnt, j,
+        |   ('0x'||substr(md5(j||'_'||word),1,15))::BIGINT % 64 AS h
+        |   FROM top, range(0,4) t(j))
+        |SELECT probes.source, probes.word, max(cnt)::BIGINT AS exact_count,
+        | min(c)::BIGINT AS cms_estimate
+        |FROM probes JOIN counters ON probes.source = counters.source
+        |  AND probes.j = counters.j AND probes.h = counters.h
+        |GROUP BY probes.source, probes.word
+        |ORDER BY probes.source, probes.word""".stripMargin,
     "q54_cms_counts" ->
       """WITH wc AS (SELECT word, count(*) AS cnt FROM (
         |   SELECT unnest(str_split(text,' ')) AS word FROM documents)

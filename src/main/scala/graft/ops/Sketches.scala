@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import TextOps.hexInt
 
@@ -87,6 +87,101 @@ object Sketches {
       .groupBy("word")
       .agg(max("cnt").as("exact_count"), min("c").as("cms_estimate"))
       .select(col("word"), col("exact_count"), col("cms_estimate"))
+  }
+
+  /** Mergeable KMV approximate-distinct AGGREGATE — [[kmvEstimate]]'s
+    * estimator packaged as a groupBy-able aggregate function with
+    * BOUNDED state (a ≤ k sorted distinct hash array), so partial
+    * aggregation combines map-side and the exchange carries k longs per
+    * group instead of the group's whole key set. This is the lineage
+    * commit path's distinct-doc counter: at 100 TB an exact
+    * COUNT(DISTINCT doc_id) per bucket per micro-batch is a corpus-keyed
+    * shuffle every commit; the sketch is one bounded merge. Same md5
+    * hash family as everything else → the estimate is deterministic
+    * under any partitioning, and EXACT whenever the true count < k
+    * (toy-scale batches — parity asserted in tests).
+    */
+  private class KmvDistinctAgg(k: Int)
+      extends Aggregator[String, Array[Long], Long] {
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("MD5")
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], v: String): Array[Long] = {
+      val h = TextOps.h60(md, v)
+      val pos = java.util.Arrays.binarySearch(b, h)
+      if (pos >= 0) b // already present
+      else {
+        val ins = -pos - 1
+        if (b.length >= k && ins >= k) b // worse than the kept k
+        else {
+          val n = math.min(b.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+          out
+        }
+      }
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // merge two sorted distinct arrays, keep the k smallest
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+        val v = if (takeA) a(i) else b(j)
+        if (takeA) i += 1 else j += 1
+        if (i < a.length && a(i) == v) i += 1 // cross-array duplicate
+        if (j < b.length && b(j) == v) j += 1
+        out(o) = v; o += 1
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+    def finish(b: Array[Long]): Long =
+      if (b.length < k) b.length.toLong
+      // double math like [[kmvEstimate]]: (k-1)·2^60 overflows a long
+      else math.floor((k - 1).toDouble * 1152921504606846976.0 /
+        b(b.length - 1)).toLong
+    def bufferEncoder: Encoder[Array[Long]] =
+      SparkSession.active.implicits.newLongArrayEncoder
+    def outputEncoder: Encoder[Long] = SparkSession.active.implicits.newLongEncoder
+  }
+
+  /** [[KmvDistinctAgg]] as a UserDefinedFunction over one string column. */
+  def approxDistinctUdaf(k: Int = 64)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new KmvDistinctAgg(k), org.apache.spark.sql.Encoders.STRING)
+
+  /** Per-source count-min sketch — the grouped face of [[cmsWordCounts]]:
+    * a 100 TB curation run always slices by source, so the sketch must
+    * exist per slice. One counter table keyed (source, j, h) — sketches
+    * of ALL sources build in a single aggregation pass (counters still
+    * merge associatively within each source), and the probe set is the
+    * per-source top-k over the source×vocab-sized word-count table (a
+    * window over vocab-sized data, never over the corpus). Same
+    * deterministic md5 bucketing, same one-sided error per source.
+    */
+  def cmsWordCountsGrouped(docs: DataFrame, depth: Int = 4, width: Int = 64,
+                           topK: Int = 5): DataFrame = {
+    def bucket = pmod(hexInt(concat(col("j"), lit("_"), col("word"))), lit(width))
+    val wc = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // counters AND the probe set read it
+    val seeded = wc
+      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("h", bucket)
+    val counters = seeded.groupBy("source", "j", "h").agg(sum("cnt").as("c"))
+    val w = Window.partitionBy("source").orderBy(desc("cnt"), asc("word"))
+    val probes = wc.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK).drop("rn")
+      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("h", bucket)
+    probes.join(counters, Seq("source", "j", "h"))
+      .groupBy("source", "word")
+      .agg(max("cnt").as("exact_count"), min("c").as("cms_estimate"))
+      .select(col("source"), col("word"), col("exact_count"),
+        col("cms_estimate"))
   }
 
   /** Evaluation query (q39): [[kmvEstimate]] joined with the exact

@@ -30,6 +30,25 @@ object TextOps {
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
   }
 
+  private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** [[h60]] over a UTF8String with a thread-local digest — the static
+    * target [[H60Expr]]'s generated code calls. Digesting the UTF-8
+    * bytes directly is byte-identical to `s.getBytes(UTF_8)` (UTF8String
+    * IS the UTF-8 encoding) and allocates neither a String nor a
+    * MessageDigest per row.
+    */
+  def h60Tl(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = tlMd.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
+
   /** Exact word-occurrence count via array filter (identical lambda
     * semantics in DuckDB's list_filter).
     */

@@ -71,6 +71,66 @@ object VocabOps {
       .agg(count(lit(1)).as("tf"),
         (min(col("p0")) + 1).cast("long").as("first_pos"))
 
+  /** Integer-quantized BM25 ranking over the inverted index — the
+    * retrieval scorer the posting lists of [[invertedIndex]] exist for
+    * (reference analog: the corpus/vocabulary plumbing of
+    * models/corpus.py + pregenerate_training_data.py feeding ranked
+    * selection). Every quantity is FIXED-POINT INTEGER so the score is
+    * engine- and partitioning-invariant (the PageRank micro-unit
+    * discipline): truncating division only, and the IDF's logarithm is
+    * the deterministic linear-mantissa base-2 approximation
+    *
+    *   log2_fp16(x) = ilog2(x)·2^16 + (x·2^16) div 2^ilog2(x) − 2^16,
+    *   ilog2(x) = length(bin(x)) − 1
+    *
+    * exact at powers of two, ≤ 0.086 bits absolute error between them,
+    * and replayable bit-for-bit in any SQL engine with `bin`/`<<`.
+    * Formula (Robertson/Spärck Jones BM25, k1 = 1.2, b = 0.75 as
+    * milli-rationals):
+    *
+    *   idf_fp16   = log2_fp16( ((2(N−df)+1)·2^16) div (2df+1), floor 1 )
+    *   tfsat_milli = (1000·tf·(k1m+1000)) div
+    *                 (1000·tf + (k1m·(1000−bm+(bm·dl·1000) div avgdl_milli)) div 1000)
+    *   score_milli = (idf_fp16 · tfsat_milli) div 2^16,  summed per doc
+    *
+    * The query is the `nTerms` most-frequent corpus terms (df desc, word
+    * asc — deterministic); scoring touches ONLY those terms' posting
+    * lists (a broadcast semi-join prunes the index scan), then one
+    * per-doc aggregation and a bounded top-k — never a corpus-wide sort.
+    */
+  def bm25(docs: DataFrame, nTerms: Int = 5, topDocs: Int = 50,
+           k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
+    val idx = invertedIndex(docs).localCheckpoint() // df stats + postings
+    val dl = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), w => w =!= ""))
+        .cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .selectExpr("n_docs", "(1000 * sum_dl) div n_docs AS avgdl_milli")
+    val dfTab = idx.groupBy("word").agg(count(lit(1)).as("df"))
+    val query = dfTab.orderBy(desc("df"), asc("word")).limit(nTerms)
+    idx.join(broadcast(query), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id", "word", "tf", "dl", "df", "n_docs", "avgdl_milli",
+        "greatest(((2 * (n_docs - df) + 1) * 65536) div (2 * df + 1), 1L) AS ratio")
+      .selectExpr("doc_id", "word", "tf", "dl", "avgdl_milli",
+        "length(bin(ratio)) - 1 AS ilog", "ratio")
+      .selectExpr("doc_id", "word", "tf", "dl", "avgdl_milli",
+        "ilog * 65536 + (ratio * 65536) div shiftleft(CAST(1 AS BIGINT), ilog) - 65536 AS idf_fp16")
+      .selectExpr("doc_id", "word", "idf_fp16",
+        s"""(1000 * tf * ($k1Milli + 1000)) div
+           | (1000 * tf + ($k1Milli * (1000 - $bMilli +
+           |   ($bMilli * dl * 1000) div avgdl_milli)) div 1000)
+           | AS tfsat_milli""".stripMargin)
+      .selectExpr("doc_id", "word",
+        "(idf_fp16 * tfsat_milli) div 65536 AS score_milli")
+      .groupBy("doc_id")
+      .agg(sum("score_milli").as("bm25_milli"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("bm25_milli"), asc("doc_id"))
+      .limit(topDocs)
+  }
+
   /** Out-of-vocabulary rate per source against the top-k vocabulary —
     * the coverage loop a tokenizer's vocab size is tuned with. The vocab
     * is dictionary-sized (broadcast); tokens stream through one

@@ -1,8 +1,13 @@
 package graft.plans
 
 import graft.kg.NormalizeSurfaceExpr
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 
 /** Engine-specific Catalyst optimizer rules, injected through
   * [[graft.GraftExtensions]] — the `injectOptimizerRule` rung of the
@@ -25,5 +30,121 @@ object Rules {
       plan.transformAllExpressions {
         case NormalizeSurfaceExpr(inner: NormalizeSurfaceExpr) => inner
       }
+  }
+
+  /** Runtime Bloom-filter injection for semi-joins — the engine's
+    * deterministic mirror of Spark's `InjectRuntimeFilter`: for
+    * `probe LEFT SEMI JOIN build ON pk = bk` where the build side's
+    * estimated size fits the Bloom regime, rewrite the probe side to
+    *
+    *   Filter(md5-bloom-test(pk, ScalarSubquery(bitset-agg over build)),
+    *          probe)
+    *
+    * so non-matching probe rows die at the scan, before shuffle/build
+    * machinery — at 100 TB the probe-side scan-to-shuffle volume IS the
+    * semi-join's cost. Differences from Spark's rule, on purpose:
+    * the hash family is the engine-wide md5-derived one
+    * ([[graft.ops.Bloom]], Kirsch-Mitzenmacher double hashing), so the
+    * pruned superset is bit-identical across engines, partitionings and
+    * reruns (Spark's `BloomFilterAggregate` hashing is
+    * implementation-defined), and the trigger is a plain logical-stats
+    * threshold rather than runtime-filter heuristics — deterministic
+    * plan in, deterministic plan out. The join above the filter is
+    * untouched, so output rows are EXACTLY those of the original join
+    * (false positives fall out in the join; a Bloom has no false
+    * negatives). Only semi/inner joins are eligible — an anti-join's
+    * kept rows are the ones a Bloom would drop.
+    *
+    * Session knobs: `spark.graft.bloomInject.enabled` (default true),
+    * `spark.graft.bloomInject.maxBuildBytes` (default 256 MB estimated).
+    * Runs inside a fixed-point batch, so injection is guarded by an
+    * already-injected check (the subquery's output alias is the marker).
+    */
+  object InjectDeterministicBloom extends Rule[LogicalPlan] {
+    import graft.ops.Bloom
+    val M = 1 << 16
+    val K = 4
+    private val marker = "__graft_bloom_bits"
+
+    private def enabled: Boolean =
+      SQLConf.get.getConfString("spark.graft.bloomInject.enabled", "true")
+        .toBoolean
+    private def maxBuildBytes: BigInt =
+      BigInt(SQLConf.get.getConfString(
+        "spark.graft.bloomInject.maxBuildBytes", (256L << 20).toString))
+
+    /** Deep check: other fixed-point rules (predicate pushdown, project
+      * collapse) move the injected filter around, so idempotency must
+      * scan the whole probe subtree for the marker subquery, not just a
+      * directly-adjacent Filter — a shallow check re-injects every
+      * optimizer iteration and never converges.
+      */
+    private def alreadyInjected(p: LogicalPlan): Boolean =
+      p.exists(_.expressions.exists(_.exists {
+        case s: ScalarSubquery => s.plan.output.exists(_.name == marker)
+        case _ => false
+      }))
+
+    /** Top 60 bits of md5 — the engine-wide hash primitive, as the
+      * native codegen'd expression (value-identical to
+      * [[graft.ops.TextOps.hexInt]]'s md5/conv chain, ~4× cheaper).
+      */
+    private def hexIntE(e: Expression): Expression = graft.ops.H60Expr(e)
+
+    private def bloomPredicate(probeKey: Expression,
+                               build: LogicalPlan,
+                               buildKey: Expression): Expression = {
+      // bitset build over the build side's keys, as a scalar subquery —
+      // one O(build) aggregation producing an m-bit array plan value.
+      // The udaf invocation is a lazily-converted column node, so the
+      // sub-plan goes through the ANALYZER (ofRows + agg) to become a
+      // fully-resolved Aggregate before it may enter the optimized plan.
+      val aggCol = Bloom.bitsAggUdaf(M, K)
+        .apply(GraftColumnBridge.column(Cast(buildKey, StringType)))
+      val aggPlan = GraftColumnBridge
+        .ofRows(org.apache.spark.sql.SparkSession.active, build)
+        .agg(aggCol.as(marker))
+        .queryExecution.analyzed
+      val bits = ScalarSubquery(aggPlan)
+      val keyS = Cast(probeKey, StringType)
+      val mL = Literal(M.toLong)
+      val h1 = Remainder(hexIntE(Concat(Seq(keyS, Literal("_h1")))), mL)
+      val h2 = Remainder(hexIntE(Concat(Seq(keyS, Literal("_h2")))), mL)
+      val probes = (0 until K).map { j =>
+        val pos = Remainder(Add(h1, Multiply(Literal(j.toLong), h2)), mL)
+        val word = ElementAt(bits,
+          Add(Cast(IntegralDivide(pos, Literal(64L)), IntegerType), Literal(1)))
+        val bit = Cast(Remainder(pos, Literal(64L)), IntegerType)
+        EqualTo(BitwiseAnd(ShiftRight(word, bit), Literal(1L)), Literal(1L))
+      }
+      // keys can't be NULL-matched by an equi-join anyway; guard so the
+      // md5 chain never sees NULL (it would yield NULL, filtering the
+      // row — same outcome, but keep the predicate three-valued-clean)
+      And(IsNotNull(probeKey), probes.reduce(And))
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      if (!enabled) return plan
+      plan.transformUp {
+        case j @ Join(probe, build, LeftSemi, Some(cond), hint)
+            if !alreadyInjected(probe) &&
+              build.stats.sizeInBytes <= maxBuildBytes =>
+          // first equi-pair between the two sides drives the filter
+          val equi = cond.collectFirst {
+            case EqualTo(a: AttributeReference, b: AttributeReference)
+                if probe.outputSet.contains(a) && build.outputSet.contains(b) =>
+              (a, b)
+            case EqualTo(b: AttributeReference, a: AttributeReference)
+                if probe.outputSet.contains(a) && build.outputSet.contains(b) =>
+              (a, b)
+          }
+          equi match {
+            case Some((pk, bk)) =>
+              val pred = bloomPredicate(pk, build, bk)
+              j.copy(left = Filter(pred, probe))
+            case None => j
+          }
+      }
+    }
   }
 }

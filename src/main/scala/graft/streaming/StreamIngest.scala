@@ -68,7 +68,10 @@ object StreamIngest {
       val rws = persisted.groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           min(col("span_offset")).as("omin"), max(col("span_offset")).as("omax"),
-          countDistinct(col("doc_id")).as("docs"))
+          // mergeable KMV sketch, not COUNT(DISTINCT): bounded k-long
+          // state per bucket instead of a doc-keyed shuffle per commit;
+          // exact below k=64 distinct docs, deterministic estimate above
+          graft.ops.Sketches.approxDistinctUdaf(64)(col("doc_id")).as("docs"))
         .collect().map { r =>
           LineageRow("stream_triples", r.getAs[Int]("bucket"),
             r.getAs[Int]("omin").toLong, r.getAs[Int]("omax").toLong,

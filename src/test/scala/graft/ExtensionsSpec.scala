@@ -59,4 +59,45 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("InjectDeterministicBloom fires on q04_semi's shape; rows unchanged") {
+    val base = SparkTest.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-ext-bloom-test")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import org.apache.spark.sql.functions.col
+      val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+      def q(s: SparkSession) = {
+        val c = s.read.parquet(s"$sf/customer.parquet")
+        val o = s.read.parquet(s"$sf/orders.parquet")
+          .where(col("o_totalprice") > 100000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      }
+      val df = q(s2)
+      // rule fired: the probe side gained a filter holding the bitset
+      // scalar subquery (marker alias) and the md5 probe chain
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__graft_bloom_bits"), opt)
+      // membership probes run through the native codegen'd h60 hash
+      assert(opt.toLowerCase.contains("h60expr"), opt)
+      // exactness: identical rows vs the same query with the rule off
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      s2.conf.set("spark.graft.bloomInject.enabled", "false")
+      val off = q(s2)
+      assert(!off.queryExecution.optimizedPlan.toString
+        .contains("__graft_bloom_bits"))
+      val want = off.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      s2.conf.set("spark.graft.bloomInject.enabled", "true")
+      assert(got == want && got.nonEmpty)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }

@@ -880,3 +880,73 @@ class DedupIdTypeSpec extends org.scalatest.funsuite.AnyFunSuite {
       ("doc_bbbbbbbbbb", "doc_aaaaaaaaaa")))
   }
 }
+
+/** Round-4 additions: integer BM25, grouped CMS, mergeable KMV agg. */
+class Round4OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import org.apache.spark.sql.functions._
+
+  private def corpus = {
+    import spark.implicits._
+    (0 until 40).map { i =>
+      val rep = "wort" + (i % 3)
+      (i.toLong, s"der $rep text nummer $i hat $rep inhalt", s"src${i % 2}")
+    }.toDF("doc_id", "text", "source")
+  }
+
+  test("bm25: scores are partitioning-invariant and rank tf-heavy docs higher") {
+    val a = graft.ops.VocabOps.bm25(corpus.repartition(2), nTerms = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = graft.ops.VocabOps.bm25(corpus.repartition(7), nTerms = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b && a.nonEmpty)
+    // every score is non-negative and some doc matched > 1 query term
+    assert(a.forall(_._2 >= 0) && a.exists(_._3 > 1))
+  }
+
+  test("bm25: fixed-point log2 matches exact values at powers of two") {
+    // ilog2*65536 + mantissa interpolation is exact when ratio = 2^n —
+    // checked through the public operator on a crafted corpus is
+    // overkill; assert the arithmetic identity the SQL encodes instead
+    def log2fp16(x: Long): Long = {
+      val ilog = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      ilog * 65536L + (x * 65536L) / (1L << ilog) - 65536L
+    }
+    assert(log2fp16(1) == 0)
+    assert(log2fp16(2) == 65536)
+    assert(log2fp16(1024) == 10 * 65536)
+    // between powers: within 0.086 bits of true log2 — spot check 3
+    val approx = log2fp16(3) / 65536.0
+    assert(math.abs(approx - math.log(3) / math.log(2)) < 0.086)
+  }
+
+  test("grouped CMS: per-source estimates are one-sided and cover top words") {
+    val got = graft.ops.Sketches.cmsWordCountsGrouped(corpus, topK = 3)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keys.map(_._1).toSet == Set("src0", "src1"))
+    // one-sided error: estimate >= exact, per source
+    assert(got.values.forall { case (exact, est) => est >= exact })
+    // the planted hot word is a top word in both sources
+    assert(got.keys.exists(_._2 == "der"))
+  }
+
+  test("KMV approx-distinct aggregate: exact below k, stable estimate above") {
+    import spark.implicits._
+    val small = (0 until 50).map(i => ("g", s"doc_$i")).toDF("g", "v")
+    val exact = small.groupBy("g")
+      .agg(graft.ops.Sketches.approxDistinctUdaf(64)(col("v")).as("d"))
+      .head().getLong(1)
+    assert(exact == 50L) // below k → exact
+    val big = (0 until 10000).flatMap(i => Seq(("g", s"doc_$i"), ("g", s"doc_$i")))
+      .toDF("g", "v")
+    def est(parts: Int): Long = big.repartition(parts).groupBy("g")
+      .agg(graft.ops.Sketches.approxDistinctUdaf(64)(col("v")).as("d"))
+      .head().getLong(1)
+    val e2 = est(2); val e8 = est(8)
+    assert(e2 == e8, s"partitioning-dependent estimate: $e2 vs $e8")
+    // KMV error ~ 1/sqrt(k) = 12.5%; allow 3 sigma
+    assert(math.abs(e2 - 10000L) < 3750, s"estimate $e2 too far from 10000")
+  }
+}
