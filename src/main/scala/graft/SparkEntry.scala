@@ -660,6 +660,16 @@ object SparkEntry {
           new graft.tag.GazetteerTagger(KgPipeline.defaultGazetteer)).toDF()
         .orderBy("doc_id", "span_offset", "start_word")
     }),
+    // ---- raw-text ingestion e2e (the reference's /ner path): raw
+    //      string → sentence splitter → fused detect, vs a sequential
+    //      single-threaded golden replay ----
+    "q89_raw_ner" -> ((s, dir) => {
+      graft.gen.Goldens.writeRawNer(s, 300)
+      val docs = CorpusGen.docs(s, 300, parts = 8)
+      KgPipeline.detectMentions(s, KgPipeline.rawSentences(s, docs),
+          new graft.tag.GazetteerTagger(KgPipeline.defaultGazetteer)).toDF()
+        .orderBy("doc_id", "sentence_idx", "start_word")
+    }),
     // ---- ETL parsers on deterministic fixture files (exact-verified in EtlSpec) ----
     "etl_gt_union" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_etl_q")
@@ -1219,6 +1229,11 @@ object SparkEntry {
         | entity_id, conf
         |FROM read_parquet('${graft.gen.Goldens.root}/kg_linked_salted/*.parquet')
         |ORDER BY doc_id, span_offset, surface""".stripMargin,
+    "q89_raw_ner" ->
+      s"""SELECT doc_id, span_offset, sentence_idx, start_word, end_word,
+        | surface, entity_type
+        |FROM read_parquet('${graft.gen.Goldens.root}/q89_raw_ner/*.parquet')
+        |ORDER BY doc_id, sentence_idx, start_word""".stripMargin,
     "kg_eval_metrics" ->
       s"""SELECT slot, precision, recall, f1, tp, fp, fn
         |FROM read_parquet('${graft.gen.Goldens.root}/kg_eval_metrics/*.parquet')

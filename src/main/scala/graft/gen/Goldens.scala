@@ -71,6 +71,41 @@ object Goldens {
     write(spark, "kg_mentions", spark.createDataset(rows).toDF())
   }
 
+  /** Raw-text ingestion golden (the reference's `/ner` entry point,
+    * webapp/app.py:215-317): each doc's text spans concatenated into ONE
+    * raw string, sentence-split and mention-detected SEQUENTIALLY on the
+    * driver — one sentence per encode/tag/re-glue/re-align round trip,
+    * single-threaded, no Spark. The distributed q89 plan must reproduce
+    * these rows exactly under any partitioning and any cross-sentence
+    * batch grouping (the fused detect stage batches 64 sentences per
+    * tagger call; this golden proves that batching is semantics-free).
+    */
+  def writeRawNer(spark: SparkSession, n: Int): Unit = {
+    import graft.text._
+    val enc = new WindowEncoder(Vocab.default, Vocab.tokenToId, Tags.labelMap)
+    val realigner = new Realigner(Vocab.default)
+    val tagger = new graft.tag.GazetteerTagger(
+      graft.pipeline.KgPipeline.defaultGazetteer)
+    val rows = docs(n).flatMap { gd =>
+      val raw = gd.doc.spans.filter(_.kind == "text").sortBy(_.offset)
+        .map(_.text).mkString(" ")
+      SentenceSplitter.sentences(raw).zipWithIndex.flatMap {
+        case (words, sidx) =>
+          val guid = s"${gd.doc.doc_id}/0/$sidx"
+          val (wins, counts) =
+            enc.encodeWithCounts(guid, words, Array.fill(words.length)("O"))
+          val tagged = tagger.tagBatch(wins)
+          val (_, preds) = realigner.reglue(tagged.map(w => (w.tokens, w.preds)))
+          val tags = realigner.realignWithCounts(words, counts, preds).map(_._2)
+          graft.decode.Decode.mentionsOf(guid, words, tags)
+      }
+    }
+    write(spark, "q89_raw_ner", {
+      import spark.implicits._
+      spark.createDataset(rows).toDF()
+    })
+  }
+
   /** The documented candidate-scoring rule (type match > max prior >
     * min entity id), re-derived INDEPENDENTLY of Linker.bestCandidate so
     * the golden does not share code with the operator under test (the

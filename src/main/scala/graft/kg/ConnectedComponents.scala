@@ -55,11 +55,23 @@ object ConnectedComponents {
   /** edges: DataFrame with string columns (src, dst).
     * Returns (node, component) with component = min node id reachable.
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25,
+          smallInputEdges: Long = 500000L): DataFrame = {
     // materialize the edge pipeline ONCE — nodes and the iteration both
     // read the checkpoint instead of recomputing the (possibly expensive,
     // e.g. LSH-candidate) upstream plan twice
     val base = edges.select(col("src"), col("dst")).localCheckpoint()
+    // adaptive physical choice (AQE-style): an edge set below the
+    // threshold provably fits one executor partition, so ONE task runs
+    // union-find to the fixpoint in O(E·α) instead of O(log n) shuffle
+    // rounds whose tiny jobs are pure scheduling overhead at this size —
+    // the dictionary-sized canonicalMap inside every salted pipeline run
+    // is the hot caller. Executor-side, never the driver; output
+    // identical to the iterative path (min-id components, string order —
+    // parity-asserted in CcScaleSpec). Pass smallInputEdges = 0 to force
+    // the iterative path.
+    if (base.count() <= smallInputEdges && smallInputEdges > 0)
+      return runSingleTask(spark, base)
     val nodes = base.select(col("src").as("node"))
       .union(base.select(col("dst").as("node"))).distinct()
     var e = base.where(col("src") =!= col("dst")).distinct()
@@ -94,6 +106,39 @@ object ConnectedComponents {
     val mapped = e.select(col("src").as("node"), col("dst").as("component"))
     nodes.join(mapped, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** Single-task union-find (path compression + union by min-root
+    * bookkeeping deferred to a final per-component min pass) — the
+    * small-input physical plan of [[run]].
+    */
+  private def runSingleTask(spark: SparkSession, base: DataFrame): DataFrame = {
+    import spark.implicits._
+    base.as[(String, String)].coalesce(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[String, String]()
+      def find(x: String): String = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        if (parent.putIfAbsent(a, a) == null) ()
+        if (parent.putIfAbsent(b, b) == null) ()
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(ra, rb)
+      }
+      // min node id per component = the deterministic representative
+      val minOf = new java.util.HashMap[String, String]()
+      parent.keySet().forEach { n =>
+        val r = find(n)
+        val cur = minOf.get(r)
+        if (cur == null || n < cur) minOf.put(r, n)
+      }
+      import scala.jdk.CollectionConverters._
+      parent.keySet().iterator().asScala.map(n => (n, minOf.get(find(n))))
+    }.toDF("node", "component")
   }
 
   /** Incremental update: fold NEW edges into an EXISTING

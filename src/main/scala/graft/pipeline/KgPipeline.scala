@@ -58,6 +58,24 @@ object KgPipeline {
     }
   }
 
+  /** Raw-text ingestion (the reference's `/ner` entry point,
+    * webapp/app.py:215-317): each doc's text spans concatenated into ONE
+    * raw untokenized string, then word-tokenized and sentence-split by
+    * the deterministic [[SentenceSplitter]] (SoMaJo subset) INSIDE the
+    * same flatMap — no shuffle; sentence guids are doc/0/idx because the
+    * raw path has a single logical span.
+    */
+  def rawSentences(spark: SparkSession, docs: Dataset[Doc]): Dataset[Sentence] = {
+    import spark.implicits._
+    docs.flatMap { d =>
+      val raw = d.spans.filter(_.kind == "text").sortBy(_.offset)
+        .map(_.text).mkString(" ")
+      SentenceSplitter.sentences(raw).zipWithIndex.map { case (words, sidx) =>
+        Sentence(s"${d.doc_id}/0/$sidx", words, Array.fill(words.length)("O"))
+      }
+    }
+  }
+
   /** The fused detect stage: encode → batched tag → decode in ONE
     * mapPartitions (no shuffle). Batches windows ACROSS sentences
     * (cfg.sentBatch at a time) so the tagger sees production-sized
@@ -247,13 +265,6 @@ object KgPipeline {
         // shuffles). If a prepared LinkContext is passed its bloom bits
         // are reused; otherwise the bits come from one O(dictionary)
         // aggregation.
-        // skew keys from a 1% SENTENCE sample detected separately — a
-        // Zipf head survives heavy sampling, and the hint costs ~1% of
-        // one detect pass instead of a full scan of the cached stage
-        val skew = Linker.inferSkewKeys(spark,
-          detectMentions(spark, sents.sample(0.01, 42),
-            new GazetteerTagger(gazetteer), cfg),
-          sampleFraction = 1.0)
         val slim = detectRows(spark, sents, new GazetteerTagger(gazetteer), cfg)
           .map { row =>
             if (row.mention != null) {
@@ -275,6 +286,12 @@ object KgPipeline {
         val canonDF = graft.kg.ConnectedComponents
           .canonicalMap(spark, aliases.toDF())
         val cacheDF = slim.toDF()
+        // skew keys from a 1% sample OF THE CACHE — a Zipf head survives
+        // heavy sampling, and reading the persisted slim projection costs
+        // one tiny cache scan instead of a separate sampled detect pass
+        // (which was a serial pre-job ahead of the main detect)
+        val skew = Linker.inferSkewKeysNorm(spark,
+          cacheDF.where(col("rel").isNull).select("surface_norm"))
         val relCarry = Seq("rel", "subj_norm", "subj_type", "obj_norm",
           "obj_type").map(col)
         // one join input: mention rows + BOTH relation endpoints, each

@@ -55,11 +55,6 @@ object SaltedProfile {
       time("step detectRows count") {
         KgPipeline.detectRows(spark, sents, tagger, cfg).count()
       }
-      val skew = time("step skew sample") {
-        Linker.inferSkewKeys(spark,
-          KgPipeline.detectMentions(spark, sents.sample(0.01, 42), tagger, cfg),
-          sampleFraction = 1.0)
-      }
       val slim = KgPipeline.detectRows(spark, sents, tagger, cfg)
         .map { row =>
           if (row.mention != null) {
@@ -76,6 +71,11 @@ object SaltedProfile {
         }
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       time("step slim materialize") { slim.count() }
+      val skew = time("step skew from cache") {
+        Linker.inferSkewKeysNorm(spark,
+          slim.toDF().where(org.apache.spark.sql.functions.col("rel").isNull)
+            .select("surface_norm"))
+      }
       val canonDF = time("step canonical map (CC)") {
         val c = graft.kg.ConnectedComponents.canonicalMap(spark, aliases.toDF())
         c.count(); c

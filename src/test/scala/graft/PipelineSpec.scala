@@ -123,6 +123,22 @@ class PipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("raw-text ingestion: splitter sentences feed the same detect stage") {
+    import spark.implicits._
+    val docs = CorpusGen.docs(spark, 50, parts = 4)
+    val sents = KgPipeline.rawSentences(spark, docs).collect()
+    assert(sents.nonEmpty)
+    // every guid is doc/0/idx and words are non-empty
+    assert(sents.forall(s => s.guid.split('/')(1) == "0" && s.words.nonEmpty))
+    // detection over raw sentences is partitioning-invariant
+    def det(parts: Int) = KgPipeline.detectMentions(spark,
+      KgPipeline.rawSentences(spark, CorpusGen.docs(spark, 50, parts = parts)),
+      new GazetteerTagger(KgPipeline.defaultGazetteer))
+      .collect().map(m => (m.doc_id, m.sentence_idx, m.start_word, m.surface))
+      .toSet
+    assert(det(2) == det(7) && det(2).nonEmpty)
+  }
+
   test("salted path with no ctx never materializes the driver dictionary") {
     val docs = CorpusGen.docs(spark, N, parts = 4)
     val aliases = CorpusGen.aliases(spark)
@@ -271,6 +287,21 @@ class CcScaleSpec extends AnyFunSuite {
       }.toDF("surface_norm", "entity_id", "entity_type", "prior"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert((0 until 100).forall(i => canon(s"X$i#1") == s"X$i#0"))
+  }
+
+  test("single-task union-find path equals the iterative path exactly") {
+    // random graph with chains, cliques and isolated self-loops
+    val rnd = new scala.util.Random(11)
+    val edges = ((0 until 3000).map { _ =>
+      (s"n${rnd.nextInt(800)}", s"n${rnd.nextInt(800)}")
+    } ++ (0 until 50).map(i => (s"iso$i", s"iso$i"))).toDF("src", "dst")
+    val fast = graft.kg.ConnectedComponents.run(spark, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val iterative = graft.kg.ConnectedComponents
+      .run(spark, edges, smallInputEdges = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fast == iterative)
+    assert(fast.nonEmpty && (0 until 50).forall(i => fast(s"iso$i") == s"iso$i"))
   }
 }
 
