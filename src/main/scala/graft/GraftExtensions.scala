@@ -18,7 +18,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.Rules.CollapseNormalizeSurface)
-    ext.injectOptimizerRule(_ => graft.plans.Rules.InjectDeterministicBloom)
+    // pre-CBO, not the operator batch: runs ONCE after the
+    // infer-filters batches, so the injected probe-side filter is never
+    // constraint-propagated onto the build side (a bloom test of the
+    // build keys against their own bitset — semantically a no-op that
+    // would cost two hashes per build row) and fixed-point re-entry
+    // cannot occur by construction (the deep marker check in the rule
+    // stays as a second line of defense)
+    ext.injectPreCBORule(_ => graft.plans.Rules.InjectDeterministicBloom)
     ext.injectFunction((
       FunctionIdentifier(graft.kg.NormalizeSurface.fnName),
       new ExpressionInfo(classOf[graft.kg.NormalizeSurfaceExpr].getName,

@@ -63,6 +63,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("salt"), plan)
   }
 
+  test("bm25: query-term and stats sides broadcast, never shuffled") {
+    val p = planOf("q87_bm25")
+    // the corpus-sized posting list joins dictionary-sized sides only
+    // via broadcast; the lone exchanges are the aggregations
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("grouped CMS: no cartesian, counters map-side combined") {
+    val p = planOf("q88_cms_grouped")
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("minhash signatures/bands and simhash plans are shuffle-free") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sig = graft.ops.Dedup.minhashSignatures(docs)
