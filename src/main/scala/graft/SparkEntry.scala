@@ -615,6 +615,18 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("split")),
+    // ---- RAG/pretraining sliding-window chunking ----
+    "q90_chunking" -> ((s, dir) =>
+      graft.ops.TextOps.chunkDocs(t(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_idx")),
+    // ---- Zipf count-of-counts spectrum ----
+    "q91_freq_spectrum" -> ((s, dir) =>
+      graft.ops.VocabOps.freqSpectrum(t(s, dir, "documents"))
+        .orderBy("freq")),
+    // ---- per-doc 8-gram novelty vs all earlier docs ----
+    "q92_novelty" -> ((s, dir) =>
+      graft.ops.TextOps.ngramNovelty(t(s, dir, "documents"))
+        .orderBy("doc_id")),
     // ---- integer-quantized BM25 over the inverted index ----
     "q87_bm25" -> ((s, dir) =>
       graft.ops.VocabOps.bm25(t(s, dir, "documents"))
@@ -1873,6 +1885,47 @@ object SparkEntry {
         |SELECT fold::BIGINT AS fold, count(*)::BIGINT AS n_docs,
         | min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM r GROUP BY fold ORDER BY fold""".stripMargin,
+    "q90_chunking" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(str_split(text,' '), w -> w <> '') AS toks
+        |   FROM documents),
+        | s AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t
+        |   WHERE len(toks) > 0),
+        | c AS (SELECT doc_id, toks, n,
+        |   CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END
+        |     AS n_chunks FROM s),
+        | e AS (SELECT doc_id, toks, n, n_chunks,
+        |   unnest(range(0, n_chunks)) AS chunk_idx FROM c),
+        | f AS (SELECT doc_id, chunk_idx, n, toks,
+        |   CASE WHEN chunk_idx = n_chunks - 1 THEN greatest(n - 64, 0)
+        |        ELSE chunk_idx * 48 END AS start0 FROM e)
+        |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+        | (start0 + 1)::BIGINT AS start_tok,
+        | least(64, n - start0)::BIGINT AS n_tokens,
+        | toks[(start0 + 1)::INT] AS first_token,
+        | toks[(start0 + least(64, n - start0))::INT] AS last_token
+        |FROM f ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q91_freq_spectrum" ->
+      """WITH wc AS (SELECT word, count(*)::BIGINT AS freq FROM (
+        |   SELECT unnest(str_split(text,' ')) AS word FROM documents)
+        |   WHERE word <> '' GROUP BY word)
+        |SELECT freq, count(*)::BIGINT AS n_words FROM wc
+        |GROUP BY freq ORDER BY freq""".stripMargin,
+    "q92_novelty" ->
+      """WITH w AS (SELECT doc_id::BIGINT AS doc_id, str_split(text,' ') AS ws
+        |   FROM documents),
+        | g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(ws)-7,0)+1),
+        |   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+        |     ||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]))) AS gram FROM w),
+        | fh AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+        | r AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+        |   sum(CASE WHEN fh.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+        |     AS n_novel
+        |   FROM g JOIN fh USING (gram) GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams, n_novel,
+        | (1000000 * n_novel) // n_grams AS novelty_ppm
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q87_bm25" ->
       """WITH toks AS (SELECT doc_id, w AS word FROM (
         |   SELECT doc_id, unnest(str_split(text,' ')) AS w FROM documents)

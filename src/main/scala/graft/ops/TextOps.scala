@@ -143,4 +143,70 @@ object TextOps {
         max(hexInt(col("shingle"))).as("max_hash"),
         count(lit(1)).as("n_shingles"))
   }
+
+  /** Sliding-window document chunking — the context-window packer of a
+    * RAG / pretraining pipeline: each doc's token stream becomes
+    * fixed-size chunks of `chunkTokens` with `overlap` tokens shared
+    * between neighbours (stride = chunkTokens − overlap); the final
+    * chunk is the window ENDING at the last token, so coverage is total
+    * and no chunk underruns except on short docs. Pure column algebra
+    * (one explode, zero shuffles, zero UDFs); chunk count per doc is
+    * `1 + ceil((n − chunk)/stride)` in exact integer math, so the layout
+    * replays in any SQL engine.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64,
+                overlap: Int = 16): DataFrame = {
+    val stride = chunkTokens - overlap
+    require(stride > 0, s"overlap $overlap must be < chunkTokens $chunkTokens")
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n"))
+      .where(col("n") > 0)
+      .withColumn("n_chunks",
+        when(col("n") <= chunkTokens, lit(1L)).otherwise(
+          expr(s"1L + (n - $chunkTokens + ${stride - 1}) div $stride")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      // the last chunk is right-aligned to the doc end; earlier chunks
+      // start on stride boundaries
+      .withColumn("start_tok",
+        when(col("chunk_idx") === col("n_chunks") - 1,
+          greatest(col("n") - chunkTokens, lit(0L)))
+          .otherwise(col("chunk_idx") * stride))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("start_tok") + 1).as("start_tok"),
+        least(lit(chunkTokens.toLong), col("n") - col("start_tok"))
+          .as("n_tokens"),
+        element_at(col("toks"), (col("start_tok") + 1).cast("int"))
+          .as("first_token"),
+        element_at(col("toks"),
+          (col("start_tok") +
+            least(lit(chunkTokens.toLong), col("n") - col("start_tok")))
+            .cast("int")).as("last_token"))
+  }
+
+  /** Per-document n-gram NOVELTY — the dedup-adjacent curation metric
+    * "how much of this doc's content appears in any earlier doc"
+    * (earlier = smaller doc_id, a total deterministic order): novelty_ppm
+    * = distinct 8-grams whose FIRST holder (min doc_id over the corpus)
+    * is this doc, over the doc's distinct 8-grams. Shape: distinct
+    * (gram, doc) pairs → min-doc per gram (one map-side-combined
+    * aggregation over the gram key) → per-doc ratio — two keyed
+    * shuffles, no self-join, no all-pairs anything.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(array_distinct(shinglesN(col("text"), n))).as("gram"))
+    val firstHolder = grams.groupBy("gram")
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstHolder, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(1000000L * n_novel) div n_grams").as("novelty_ppm"))
+  }
 }

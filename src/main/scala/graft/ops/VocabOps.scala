@@ -131,6 +131,20 @@ object VocabOps {
       .limit(topDocs)
   }
 
+  /** Token frequency spectrum (count-of-counts): for each occurrence
+    * count f, how many distinct words occur exactly f times — the
+    * Zipf/heap diagnostic a corpus-growth or vocab-sizing decision reads
+    * (the long tail of f = 1 hapaxes is what BPE vocab budgets trade
+    * against). Two map-side-combined aggregations, the second over the
+    * vocab-sized table.
+    */
+  def freqSpectrum(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("n_words"))
+      .select(col("freq"), col("n_words"))
+
   /** Out-of-vocabulary rate per source against the top-k vocabulary —
     * the coverage loop a tokenizer's vocab size is tuned with. The vocab
     * is dictionary-sized (broadcast); tokens stream through one

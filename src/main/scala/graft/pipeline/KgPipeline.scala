@@ -218,7 +218,7 @@ object KgPipeline {
           cfg: Config = Config(),
           ctx: Option[LinkContext] = None): Dataset[Triple] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, lit, max, when}
+    import org.apache.spark.sql.functions.{col, concat_ws, element_at, lit, max, split, when}
     import graft.kg.Triples.{DocUnit, SlimMention, SlimRelation}
     val sents = sentences(spark, docs)
     val units: Dataset[DocUnit] =
@@ -292,22 +292,27 @@ object KgPipeline {
         // (which was a serial pre-job ahead of the main detect)
         val skew = Linker.inferSkewKeysNorm(spark,
           cacheDF.where(col("rel").isNull).select("surface_norm"))
-        val relCarry = Seq("rel", "subj_norm", "subj_type", "obj_norm",
-          "obj_type").map(col)
+        // the full candidate tuple packed into ONE carry column: the
+        // shuffle row of every MENTION (the overwhelming majority) pays
+        // one null slot instead of five. \u0001 cannot occur in a
+        // normalized surface (control chars never survive cleaning), so
+        // the packing is collision-free.
+        val relKey = concat_ws("\u0001", col("rel"), col("subj_norm"),
+          col("subj_type"), col("obj_norm"), col("obj_type"))
         // one join input: mention rows + BOTH relation endpoints, each
-        // endpoint row carrying the full candidate tuple so the pair
+        // endpoint row carrying the packed candidate tuple so the pair
         // re-assembles by grouping on it (identical duplicate candidates
         // merge harmlessly — triple assembly dedups anyway)
         val mentionSide = cacheDF.where(col("rel").isNull)
-          .select(Seq(col("doc_id"), col("span_offset"), col("sentence_idx"),
-            col("surface_norm"), col("entity_type"), lit("m").as("role")) ++
-            relCarry: _*)
+          .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
+            col("surface_norm"), col("entity_type"), lit("m").as("role"),
+            lit(null).cast("string").as("rel_key"))
         def endpoint(role: String, surf: String, typ: String) =
           cacheDF.where(col("rel").isNotNull)
-            .select(Seq(col("doc_id"), col("span_offset"),
+            .select(col("doc_id"), col("span_offset"),
               col("sentence_idx"), col(surf).as("surface_norm"),
-              col(typ).as("entity_type"), lit(role).as("role")) ++
-              relCarry: _*)
+              col(typ).as("entity_type"), lit(role).as("role"),
+              relKey.as("rel_key"))
         val joinIn = mentionSide
           .unionByName(endpoint("s", "subj_norm", "subj_type"))
           .unionByName(endpoint("o", "obj_norm", "obj_type"))
@@ -325,14 +330,15 @@ object KgPipeline {
         // an unlinked endpoint (dropped by the inner join) drops the
         // candidate — same semantics as the broadcast for-comprehension
         val rUnits = linked.where(col("role") =!= "m")
-          .groupBy(Seq("doc_id", "span_offset", "sentence_idx", "rel",
-            "subj_norm", "subj_type", "obj_norm", "obj_type").map(col): _*)
+          .groupBy("doc_id", "span_offset", "sentence_idx", "rel_key")
           .agg(
             max(when(col("role") === "s", col("entity_id"))).as("subj"),
             max(when(col("role") === "o", col("entity_id"))).as("obj"))
           .where(col("subj").isNotNull && col("obj").isNotNull)
           .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
-            col("subj"), col("rel"), col("obj"))
+            col("subj"),
+            element_at(split(col("rel_key"), "\u0001"), 1).as("rel"),
+            col("obj"))
           .as[(String, Int, Int, String, String, String)]
           .map { case (d, so, si, s, r, o) =>
             DocUnit(d, null, SlimRelation(so, si, s, r, o))

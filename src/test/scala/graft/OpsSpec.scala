@@ -949,4 +949,44 @@ class Round4OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     // KMV error ~ 1/sqrt(k) = 12.5%; allow 3 sigma
     assert(math.abs(e2 - 10000L) < 3750, s"estimate $e2 too far from 10000")
   }
+
+  test("chunking: total coverage, right-aligned tail, overlap contract") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 200).map(i => s"t$i").mkString(" "), "s"),
+      (2L, (1 to 64).map(i => s"t$i").mkString(" "), "s"),
+      (3L, (1 to 10).map(i => s"t$i").mkString(" "), "s"),
+      (4L, (1 to 65).map(i => s"t$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = graft.ops.TextOps.chunkDocs(docs, 64, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    val byDoc = rows.groupBy(_._1)
+    // short docs: one full-doc chunk
+    assert(byDoc(3L).toSeq == Seq((3L, 0L, 1L, 10L, "t1", "t10")))
+    assert(byDoc(2L).toSeq == Seq((2L, 0L, 1L, 64L, "t1", "t64")))
+    // 65 tokens: two chunks, the tail right-aligned to the last token
+    assert(byDoc(4L).map(_._6).toSet == Set("t64", "t65"))
+    // 200 tokens: every chunk is exactly 64 tokens, last ends at t200,
+    // coverage is gapless (next start ≤ prev end + 1)
+    val d1 = byDoc(1L).sortBy(_._2)
+    assert(d1.forall(_._4 == 64L) && d1.last._6 == "t200" && d1.head._3 == 1L)
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 + 64, s"gap between $a and $b")
+    }
+  }
+
+  test("novelty: duplicate docs score 0, unique first doc scores 1000000") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base, "s"), (2L, base, "s"),
+      (3L, (1 to 20).map(i => s"x$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.TextOps.ngramNovelty(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) == 1000000L) // first holder of all its grams
+    assert(got(2L) == 0L)       // exact duplicate of an earlier doc
+    assert(got(3L) == 1000000L) // disjoint content
+  }
+
 }
