@@ -106,6 +106,19 @@ object Main {
       println(s"compacted ${LineageStore.triplesPath(args(1))}: $before -> $after data files")
       spark.stop()
 
+    case Some("serve") =>
+      // serve [port] — the reference's webapp surface (/models, /ner)
+      // over the built-in gazetteer registry; blocks until killed
+      val spark = session("graft-ner-serve")
+      val registry = new graft.api.ModelRegistry(
+        Seq(graft.api.ModelSpec("gazetteer", 1, "builtin", 7, default = true)),
+        _ => new graft.tag.GazetteerTagger(KgPipeline.defaultGazetteer))
+      val srv = new graft.api.NerServer(spark, registry,
+        if (args.length > 1) args(1).toInt else 8080)
+      val port = srv.start()
+      println(s"graft NER serving on :$port (GET /models, POST /ner)")
+      Thread.currentThread.join()
+
     case Some("status") =>
       val spark = session("graft-status")
       val root = args(1)

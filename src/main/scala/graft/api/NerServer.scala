@@ -1,0 +1,113 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** Minimal HTTP serving loop over the engine's NER surface — the
+  * reference's Flask app (webapp/app.py:166-207, 215-317) re-expressed
+  * on the JDK's built-in HttpServer (zero new dependencies; an analytics
+  * engine's demo/debug face, NOT its scale path — batch and streaming
+  * ingestion are):
+  *
+  *   GET  /models        → the registry listing (app.py:166-168)
+  *   POST /ner           → default model
+  *   POST /ner/{id}      → raw text body → sentence-split → fused detect
+  *                         → the /ner JSON shape (app.py:317)
+  *
+  * Request-hash memoization (ST2): identical (model, text) requests
+  * return the cached response without touching Spark — the same
+  * request-hash semantics the lineage store uses for batch skip.
+  * The warm-model contract is [[ModelRegistry]]'s: one warm tagger,
+  * rebuilt only on id change.
+  */
+class NerServer(spark: SparkSession, registry: ModelRegistry, port: Int = 0) {
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var memoHits = 0L
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.createContext("/models", (ex: HttpExchange) => safely(ex) {
+    val body = registry.list.map { m =>
+      s"""{"name":"${NerOutput.htmlEscape(m.name)}","id":${m.id},""" +
+        s""""model_dir":"${NerOutput.htmlEscape(m.model_dir)}",""" +
+        s""""epoch":${m.epoch},"default":${m.default}}"""
+    }.mkString("[", ",", "]")
+    respond(ex, 200, body)
+  })
+  server.createContext("/ner", (ex: HttpExchange) => safely(ex) {
+    if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST"}""")
+    else {
+      val path = ex.getRequestURI.getPath.stripPrefix("/ner")
+        .stripPrefix("/")
+      val modelId = if (path.isEmpty) None else Some(path.toInt)
+      val text = new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      val key = graft.store.Snapshots.configHash(spark,
+        registry.resolve(modelId).id.toString, text)
+      val cached = memo.get(key)
+      val body = if (cached != null) { memoHits += 1; cached } else {
+        val out = classify(modelId, text)
+        memo.put(key, out); out
+      }
+      respond(ex, 200, body)
+    }
+  })
+
+  /** One request runs the IDENTICAL per-sentence kernel the fused
+    * detect stage broadcasts (splitter → window encode → warm tagger →
+    * re-glue → re-align), sequentially — exactly like the reference's
+    * per-request path. q89's oracle proves this kernel and the
+    * distributed plan produce the same predictions, so the served
+    * response cannot drift from the batch pipeline's.
+    */
+  private def classify(modelId: Option[Int], text: String): String = {
+    import graft.text._
+    val tagger = registry.get(modelId)
+    val enc = new WindowEncoder(Vocab.default, Vocab.tokenToId, Tags.labelMap)
+    val realigner = new Realigner(Vocab.default)
+    val sents = SentenceSplitter.sentences(text)
+    sents.map { words =>
+      val (wins, counts) =
+        enc.encodeWithCounts("req/0/0", words, Array.fill(words.length)("O"))
+      val tagged = tagger.tagBatch(wins)
+      val (_, preds) = realigner.reglue(tagged.map(w => (w.tokens, w.preds)))
+      val tags = realigner.realignWithCounts(words, counts, preds).map(_._2)
+      words.zip(tags).map { case (w, t) =>
+        s"""{"word":${jsonStr(w)},"prediction":${jsonStr(t)}}"""
+      }.mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+  }
+
+  private def jsonStr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
+  private def safely(ex: HttpExchange)(f: => Unit): Unit =
+    try f catch {
+      case e: Exception =>
+        respond(ex, 500,
+          s"""{"error":"${NerOutput.htmlEscape(String.valueOf(e.getMessage))}"}""")
+    }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+  def memoHitCount: Long = memoHits
+}

@@ -12,6 +12,23 @@ object SentenceSplitter {
     "dr", "prof", "nr", "st", "bzw", "z.b", "u.a", "ca", "vgl", "usw",
     "etc", "hr", "fr", "geb", "gest")
 
+  // PROTECTED token classes (SoMaJo's URL/email/emoticon/XML-tag token
+  // classes, the documented behavior of its tokenizer): these survive
+  // tokenization as single tokens — no punctuation detachment, no
+  // camel-case split — and never terminate a sentence.
+  private val urlRe =
+    "(?i)^(?:https?://|ftp://|www\\.)\\S+$".r.pattern
+  private val emailRe =
+    "^[\\w.+-]+@[\\w-]+(?:\\.[\\w-]+)+$".r.pattern
+  private val emoticonRe =
+    "^(?:[:;=8][-o^*']?[()\\[\\]dDpPoO/\\\\|]+|<3|\\^\\^|[xX][dD])$".r.pattern
+
+  def isProtected(tok: String): Boolean =
+    urlRe.matcher(tok).matches() || emailRe.matcher(tok).matches() ||
+    emoticonRe.matcher(tok).matches() ||
+    (tok.length > 2 && tok.charAt(0) == '<' && tok.last == '>' &&
+      !tok.substring(1, tok.length - 1).exists(c => c == '<' || c == '>'))
+
   /** Camel-case split ("EisenbahnGesellschaft" → two tokens), mirroring
     * SoMaJo's split_camel_case=True option.
     */
@@ -38,6 +55,7 @@ object SentenceSplitter {
     */
   def tokenizeWords(text: String): Array[String] = {
     TextCore.whitespaceTokenize(TextCore.cleanText(text)).flatMap { raw =>
+      if (isProtected(raw)) Seq(raw) else {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var s = raw
       // leading punct
@@ -61,6 +79,7 @@ object SentenceSplitter {
       if (s.nonEmpty) out ++= splitCamelCase(s)
       out ++= trail.reverse
       out.toSeq
+      }
     }.filter(_.nonEmpty)
   }
 
@@ -77,7 +96,7 @@ object SentenceSplitter {
       val t = tokens(i)
       cur += t
       val isEnd = (t == "." || t == "!" || t == "?") ||
-        (t.length > 1 && ".!?".contains(t.last) &&
+        (t.length > 1 && ".!?".contains(t.last) && !isProtected(t) &&
           !t.dropRight(1).forall(_.isDigit) &&
           !abbrevs.contains(t.dropRight(1).toLowerCase))
       if (isEnd && cur.nonEmpty) {

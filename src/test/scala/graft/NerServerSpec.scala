@@ -1,0 +1,71 @@
+package graft
+
+import graft.api.{ModelRegistry, ModelSpec, NerServer}
+import graft.pipeline.KgPipeline
+import graft.tag.GazetteerTagger
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The HTTP serving loop: /models listing, /ner classification on raw
+  * text, request-hash memoization, warm-model reuse — the reference's
+  * webapp surface (app.py:166-207, 215-317) end-to-end over a real
+  * socket.
+  */
+class NerServerSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+
+  private def withServer(f: (NerServer, Int, HttpClient) => Unit): Unit = {
+    val registry = new ModelRegistry(
+      Seq(ModelSpec("gazetteer", 1, "builtin", 7, default = true),
+          ModelSpec("gazetteer-alt", 2, "builtin", 9, default = false)),
+      _ => new GazetteerTagger(KgPipeline.defaultGazetteer))
+    val srv = new NerServer(spark, registry)
+    val port = srv.start()
+    try f(srv, port, HttpClient.newHttpClient()) finally srv.stop()
+  }
+
+  private def post(client: HttpClient, url: String, body: String) =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("GET /models lists the registry; POST /ner tags raw text") {
+    withServer { (srv, port, client) =>
+      val models = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/models"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(models.statusCode() == 200)
+      assert(models.body().contains("\"gazetteer\"") &&
+        models.body().contains("\"default\":true"), models.body())
+
+      val r = post(client, s"http://localhost:$port/ner",
+        "Anna Müller war in Berlin . Karl sprach mit Anna Müller .")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains("\"word\":\"Anna\"") &&
+        r.body().contains("\"prediction\":\"B-PER\"") &&
+        r.body().contains("\"prediction\":\"I-PER\""), r.body())
+      // two sentences → two inner arrays
+      assert(r.body().startsWith("[[") && r.body().count(_ == '[') == 3)
+    }
+  }
+
+  test("request-hash memoization and warm-model swap semantics") {
+    withServer { (srv, port, client) =>
+      val url = s"http://localhost:$port/ner"
+      val a = post(client, url, "Berlin ist gross .")
+      val b = post(client, url, "Berlin ist gross .")
+      assert(a.body() == b.body())
+      assert(srv.memoHitCount == 1, srv.memoHitCount)
+      // explicit model id on a fresh text: same tagger family, new build
+      val c = post(client, s"$url/2", "Wien ist schoen .")
+      assert(c.statusCode() == 200 && c.body().contains("B-LOC"), c.body())
+      // malformed: GET on /ner and unknown model id
+      val g = client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(g.statusCode() == 405)
+      val bad = post(client, s"$url/99", "x")
+      assert(bad.statusCode() == 500)
+    }
+  }
+}

@@ -68,4 +68,22 @@ class SomajoFixtureSpec extends AnyFunSuite {
     assert(s.length == 1)
     assert(s(0).toSeq == Seq("Wien", "ist", "gross", "und", "Berlin", "ist", "alt"))
   }
+
+  test("protected token classes: URLs, emails, emoticons, XML tags") {
+    import graft.text.SentenceSplitter._
+    // survive tokenization whole — no punct detachment, no camel split
+    assert(tokenizeWords("siehe https://Example.de/Pfad.html?q=1 dort").toSeq ==
+      Seq("siehe", "https://Example.de/Pfad.html?q=1", "dort"))
+    assert(tokenizeWords("mail an Hans.Meier@post.de bitte").toSeq ==
+      Seq("mail", "an", "Hans.Meier@post.de", "bitte"))
+    assert(tokenizeWords("super :-) oder ;-( naja").toSeq ==
+      Seq("super", ":-)", "oder", ";-(", "naja"))
+    assert(tokenizeWords("ein <br/> Umbruch <NAME> hier").toSeq ==
+      Seq("ein", "<br/>", "Umbruch", "<NAME>", "hier"))
+    // a URL ending in a sentence-final char never terminates a sentence
+    val sents = sentences("Siehe www.beispiel.de/seite. Danach kam mehr .")
+    assert(sents.length == 1, sents.map(_.mkString("|")).mkString(" // "))
+    // but ordinary sentences still split
+    assert(sentences("Das ist gut . Das auch .").length == 2)
+  }
 }
