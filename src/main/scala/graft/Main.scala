@@ -102,6 +102,8 @@ object Main {
 
     case Some("compact") =>
       val spark = session("graft-compact")
+      // heal a previous compaction killed between its two renames
+      LineageStore.recoverCompaction(spark, args(1))
       val (before, after) = LineageStore.compactTriples(spark, args(1))
       println(s"compacted ${LineageStore.triplesPath(args(1))}: $before -> $after data files")
       spark.stop()

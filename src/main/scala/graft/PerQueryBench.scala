@@ -35,7 +35,8 @@ object PerQueryBench {
         one() // JIT warm-up (C2 needs a full pass)
         val runs = (1 to 3).map(_ => one())
         spark.stop()
-        val json = f"""{"query":"$q","best":${runs.min}%.3f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}]}"""
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+        val json = f"""{"query":"$q","best":${runs.min}%.3f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"cpus":"$cpus","sf":"$sfDir"}"""
         Files.writeString(Paths.get(out), json)
         println(json)
 
@@ -51,8 +52,12 @@ object PerQueryBench {
           .map(e => "\"best\":([0-9.]+)".r.findFirstMatchIn(e).get.group(1).toDouble)
           .sum
         val detail = entries.mkString("[", ",", "]")
+        // provenance from the per-query files themselves, not hardcoded
+        def meta(k: String, dflt: String): String = entries.headOption
+          .flatMap(e => ("\"" + k + "\":\"([^\"]+)\"").r
+            .findFirstMatchIn(e).map(_.group(1))).getOrElse(dflt)
         val json =
-          f"""{"protocol":"fresh JVM per query, 1 warm-up + best-of-3, local[32], sf0.1","total_best":$total%.3f,"queries":{${qs.mkString(",")}},"detail":$detail}"""
+          f"""{"protocol":"fresh JVM per query, 1 warm-up + best-of-3, local[${meta("cpus", "?")}], ${meta("sf", "?")}","total_best":$total%.3f,"queries":{${qs.mkString(",")}},"detail":$detail}"""
         val outP = Paths.get(out)
         if (outP.getParent != null) Files.createDirectories(outP.getParent)
         Files.writeString(outP, json)

@@ -24,9 +24,17 @@ import java.nio.charset.StandardCharsets
   */
 class NerServer(spark: SparkSession, registry: ModelRegistry, port: Int = 0) {
 
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  @volatile private var memoHits = 0L
+  // BOUNDED response memo (the reference process also caches in-process
+  // per warm model): an access-ordered LRU capped at maxMemo entries so
+  // a long-running serve process cannot grow without limit under varied
+  // traffic; all access under the map's own lock
+  private val maxMemo = 4096
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, String](128, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, String]): Boolean = size() > maxMemo
+    })
+  private val memoHits = new java.util.concurrent.atomic.AtomicLong(0)
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/models", (ex: HttpExchange) => safely(ex) {
@@ -48,7 +56,8 @@ class NerServer(spark: SparkSession, registry: ModelRegistry, port: Int = 0) {
       val key = graft.store.Snapshots.configHash(spark,
         registry.resolve(modelId).id.toString, text)
       val cached = memo.get(key)
-      val body = if (cached != null) { memoHits += 1; cached } else {
+      val body = if (cached != null) { memoHits.incrementAndGet(); cached }
+      else {
         val out = classify(modelId, text)
         memo.put(key, out); out
       }
@@ -109,5 +118,5 @@ class NerServer(spark: SparkSession, registry: ModelRegistry, port: Int = 0) {
 
   def start(): Int = { server.start(); server.getAddress.getPort }
   def stop(): Unit = server.stop(0)
-  def memoHitCount: Long = memoHits
+  def memoHitCount: Long = memoHits.get()
 }

@@ -28,8 +28,17 @@ object Goldens {
   @volatile var root: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_goldens_${System.getProperty("user.name", "u")}_${ProcessHandle.current().pid()}"
 
+  /** Golden writes are memoized per (root, name): Verify writes each
+    * golden exactly once per outDir, and a BENCHED query whose lambda
+    * plants a golden (q89) must not re-pay the sequential replay on
+    * every timed iteration — without this the bench measures golden
+    * generation, not the distributed query.
+    */
+  private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def write(spark: SparkSession, name: String, df: DataFrame): Unit =
-    df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
+    if (written.add(s"$root/$name"))
+      df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
 
   private def docs(n: Int): Seq[CorpusGen.GenDoc] =
     (0 until n).map(i => CorpusGen.genDoc(i.toLong))

@@ -218,13 +218,19 @@ object Linker {
         map_from_entries(collect_list(struct(col("entity_type"), col("best_t"))))
           .as("by_type"),
         min_by(col("best_t"), ord).as("any_best"))
-    // skew-aware salting: heads replicated saltBuckets×, rest on salt 0
+    // skew-aware salting: heads replicated saltBuckets×, rest on salt 0.
+    // The scored dictionary table is MATERIALIZED once (dictionary-sized,
+    // cheap): the pipeline consumes the link output twice (mention units
+    // and relation re-pairing), and without the cut each consumer would
+    // re-run the whole dict-side chain — canon join, two aggregations,
+    // salt explode (verified: zero ReusedExchange across the branches).
     val bestSalted = best
       .withColumn("salts",
         when(array_contains(skewArr, col("surface_norm")),
           sequence(lit(0), lit(saltBuckets - 1)))
           .otherwise(array(lit(0))))
       .withColumn("salt", explode(col("salts"))).drop("salts")
+      .localCheckpoint()
     val salted = mIn.withColumn("salt",
       when(array_contains(skewArr, col("surface_norm")),
         pmod(hash(col("doc_id")), lit(saltBuckets))).otherwise(lit(0)))

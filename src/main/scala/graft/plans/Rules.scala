@@ -52,8 +52,11 @@ object Rules {
     * plan in, deterministic plan out. The join above the filter is
     * untouched, so output rows are EXACTLY those of the original join
     * (false positives fall out in the join; a Bloom has no false
-    * negatives). Only semi/inner joins are eligible — an anti-join's
-    * kept rows are the ones a Bloom would drop.
+    * negatives). Scope: LEFT SEMI joins (the shape whose entire output
+    * is the filtered probe). The inner-join variant is the same rewrite
+    * but needs probe-vs-build size heuristics to pick a side; it stays
+    * out of scope until a plan needs it. NEVER anti-joins — their kept
+    * rows are the ones a Bloom would drop.
     *
     * Session knobs: `spark.graft.bloomInject.enabled` (default true),
     * `spark.graft.bloomInject.maxBuildBytes` (default 256 MB estimated).
@@ -73,17 +76,23 @@ object Rules {
       BigInt(SQLConf.get.getConfString(
         "spark.graft.bloomInject.maxBuildBytes", (256L << 20).toString))
 
-    /** Deep check: other fixed-point rules (predicate pushdown, project
-      * collapse) move the injected filter around, so idempotency must
-      * scan the whole probe subtree for the marker subquery, not just a
-      * directly-adjacent Filter — a shallow check re-injects every
-      * optimizer iteration and never converges.
+    /** Idempotency check over the probe's FILTER/PROJECT CHAIN only —
+      * deep enough that a re-run of the rule on an already-rewritten
+      * plan (cached views, re-optimization) sees its own marker through
+      * any filter/project shuffling, but stopping at the first other
+      * operator so a SECOND, independent semi-join stacked above an
+      * injected one still gets its own filter (a whole-subtree scan
+      * suppressed every join but the innermost per branch).
       */
-    private def alreadyInjected(p: LogicalPlan): Boolean =
-      p.exists(_.expressions.exists(_.exists {
-        case s: ScalarSubquery => s.plan.output.exists(_.name == marker)
-        case _ => false
-      }))
+    private def alreadyInjected(p: LogicalPlan): Boolean = p match {
+      case Filter(cond, child) =>
+        cond.exists {
+          case s: ScalarSubquery => s.plan.output.exists(_.name == marker)
+          case _ => false
+        } || alreadyInjected(child)
+      case Project(_, child) => alreadyInjected(child)
+      case _ => false
+    }
 
     /** Top 60 bits of md5 — the engine-wide hash primitive, as the
       * native codegen'd expression (value-identical to

@@ -96,8 +96,11 @@ object LineageStore {
     * files are rewritten as ONE file per bucket, STAGED to a sibling
     * temp location first — the old store is only replaced after the
     * compacted copy is fully durable on storage and its row count
-    * verified, so a crash or lost executor mid-compaction never
-    * corrupts the store (the worst case is a leftover temp dir). The
+    * verified, so a crash or lost executor mid-compaction never loses
+    * data: at every instant a complete copy exists on storage (the only
+    * window without a LIVE path is between the two renames, healed by
+    * [[recoverCompaction]] which rolls forward/back from the surviving
+    * copy). The
     * swap is two renames (mirroring Iceberg's snapshot-pointer flip);
     * lineage (the resume source of truth) is untouched because no row
     * changes. Returns (files before, files after).
@@ -130,6 +133,31 @@ object LineageStore {
       s"could not install the compacted store ($tmp -> $path)")
     fs.delete(new org.apache.hadoop.fs.Path(old), true)
     (before, dataFiles())
+  }
+
+  /** Roll an interrupted [[compactTriples]] forward/back: the only
+    * non-durable instant is between the two renames (live moved to
+    * `__compact_old`, compacted copy not yet installed). If the live
+    * path is missing, reinstall whichever complete copy exists —
+    * the verified staging (`__compact_tmp`, roll forward) or the
+    * original (`__compact_old`, roll back); leftover side dirs are
+    * cleaned either way. Call before reads on a root that may have
+    * died mid-compaction (the `Main compact` verb does on entry).
+    */
+  def recoverCompaction(spark: SparkSession, root: String): Unit = {
+    val path = triplesPath(root)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpP = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val oldP = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    if (!fs.exists(hp)) {
+      if (fs.exists(tmpP)) require(fs.rename(tmpP, hp),
+        s"recovery: could not roll the compacted staging forward ($tmpP)")
+      else if (fs.exists(oldP)) require(fs.rename(oldP, hp),
+        s"recovery: could not roll the original store back ($oldP)")
+    }
+    fs.delete(tmpP, true)
+    fs.delete(oldP, true)
   }
 
   def readTriples(spark: SparkSession, root: String): Dataset[Triple] = {

@@ -16,12 +16,15 @@ object SentenceSplitter {
   // classes, the documented behavior of its tokenizer): these survive
   // tokenization as single tokens — no punctuation detachment, no
   // camel-case split — and never terminate a sentence.
+  // must END on a word/URL-structural char: a glued sentence-final
+  // period is NOT part of the URL (SoMaJo detaches it), so the
+  // trailing-punct strip below can fire
   private val urlRe =
-    "(?i)^(?:https?://|ftp://|www\\.)\\S+$".r.pattern
+    "(?i)^(?:https?://|ftp://|www\\.)\\S*[\\w/=&%#~-]$".r.pattern
   private val emailRe =
     "^[\\w.+-]+@[\\w-]+(?:\\.[\\w-]+)+$".r.pattern
   private val emoticonRe =
-    "^(?:[:;=8][-o^*']?[()\\[\\]dDpPoO/\\\\|]+|<3|\\^\\^|[xX][dD])$".r.pattern
+    "^(?:[:;=][-o^*']?[()\\[\\]dDpPoO/\\\\|]+|<3|\\^\\^|[xX][dD])$".r.pattern
 
   def isProtected(tok: String): Boolean =
     urlRe.matcher(tok).matches() || emailRe.matcher(tok).matches() ||
@@ -55,7 +58,17 @@ object SentenceSplitter {
     */
   def tokenizeWords(text: String): Array[String] = {
     TextCore.whitespaceTokenize(TextCore.cleanText(text)).flatMap { raw =>
-      if (isProtected(raw)) Seq(raw) else {
+      // protected classes keep the token whole, but SENTENCE punctuation
+      // glued to a protected token still detaches (SoMaJo: the final
+      // period after a sentence-ending URL is its own token), so strip
+      // trailing punct while the STEM itself stays protected
+      var stem = raw
+      val trailP = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (stem.length > 1 && TextCore.isPunctuation(stem.last) &&
+             !isProtected(stem) && isProtected(stem.dropRight(1))) {
+        trailP += stem.substring(stem.length - 1); stem = stem.dropRight(1)
+      }
+      if (isProtected(stem)) Seq(stem) ++ trailP.reverse else {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var s = raw
       // leading punct

@@ -95,6 +95,20 @@ class ExtensionsSpec extends AnyFunSuite {
       val want = off.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       s2.conf.set("spark.graft.bloomInject.enabled", "true")
       assert(got == want && got.nonEmpty)
+      // STACKED independent semi-joins: each gets its OWN bloom filter
+      // (the idempotency check must not let the inner join's marker
+      // suppress the outer injection)
+      val o2 = s2.read.parquet(s"$sf/orders.parquet")
+        .where(col("o_totalprice") > 50000)
+      val c2 = s2.read.parquet(s"$sf/customer.parquet")
+      val o1 = s2.read.parquet(s"$sf/orders.parquet")
+        .where(col("o_totalprice") > 100000)
+      val stacked = c2.join(o1, c2("c_custkey") === o1("o_custkey"), "left_semi")
+        .join(o2, c2("c_custkey") === o2("o_custkey"), "left_semi")
+      val sp = stacked.queryExecution.optimizedPlan.toString
+      val subqIds = "scalar-subquery#(\\d+)".r.findAllMatchIn(sp)
+        .map(_.group(1)).toSet
+      assert(subqIds.size == 2, s"expected 2 injected bitsets, plan:\n$sp")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -80,9 +80,16 @@ class SomajoFixtureSpec extends AnyFunSuite {
       Seq("super", ":-)", "oder", ";-(", "naja"))
     assert(tokenizeWords("ein <br/> Umbruch <NAME> hier").toSeq ==
       Seq("ein", "<br/>", "Umbruch", "<NAME>", "hier"))
-    // a URL ending in a sentence-final char never terminates a sentence
+    // a sentence-final period glued to a URL detaches (SoMaJo) and ends
+    // the sentence; the URL itself stays whole and is never a boundary
     val sents = sentences("Siehe www.beispiel.de/seite. Danach kam mehr .")
-    assert(sents.length == 1, sents.map(_.mkString("|")).mkString(" // "))
+    assert(sents.length == 2, sents.map(_.mkString("|")).mkString(" // "))
+    assert(sents(0).toSeq == Seq("Siehe", "www.beispiel.de/seite", "."))
+    // mid-sentence URL: no boundary, token whole
+    assert(sentences("Siehe www.beispiel.de dort .").length == 1)
+    // digit-paren is NOT an emoticon — the paren detaches normally
+    assert(tokenizeWords("( siehe Abb. 8) hier").count(_ == ")") == 1)
+    assert(tokenizeWords("Abb 8) hier").toSeq == Seq("Abb", "8", ")", "hier"))
     // but ordinary sentences still split
     assert(sentences("Das ist gut . Das auch .").length == 2)
   }
