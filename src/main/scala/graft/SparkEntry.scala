@@ -615,6 +615,10 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("split")),
+    // ---- PII detection + redaction (planted deterministic signal) ----
+    "q93_pii_redact" -> ((s, dir) =>
+      graft.ops.Filters.piiRedact(t(s, dir, "documents"))
+        .orderBy("doc_id")),
     // ---- RAG/pretraining sliding-window chunking ----
     "q90_chunking" -> ((s, dir) =>
       graft.ops.TextOps.chunkDocs(t(s, dir, "documents"))
@@ -1885,6 +1889,24 @@ object SparkEntry {
         |SELECT fold::BIGINT AS fold, count(*)::BIGINT AS n_docs,
         | min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM r GROUP BY fold ORDER BY fold""".stripMargin,
+    "q93_pii_redact" ->
+      """WITH seeded AS (SELECT doc_id,
+        |   CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR||'_pii'),1,15))::BIGINT
+        |       % 100 < 30
+        |     THEN text || ' kontakt nutzer' || (doc_id % 97)::VARCHAR
+        |       || '@beispiel.de tel +4930'
+        |       || (doc_id % 100000 + 1000000)::VARCHAR
+        |     ELSE text END AS text
+        |   FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+        |   AS n_emails,
+        | len(regexp_extract_all(text, '\+[0-9]{7,14}'))::BIGINT AS n_phones,
+        | md5(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+[0-9]{7,14}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM seeded ORDER BY doc_id""".stripMargin,
     "q90_chunking" ->
       """WITH t AS (SELECT doc_id,
         |   list_filter(str_split(text,' '), w -> w <> '') AS toks

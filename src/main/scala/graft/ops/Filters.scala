@@ -129,4 +129,32 @@ object Filters {
     }
     df.withColumn("split", assign)
   }
+
+  /** PII detection + redaction — the scrubbing pass every published
+    * training corpus runs (emails, international phone numbers): plant a
+    * deterministic contact line on an md5-selected ~30% of docs (both
+    * engines synthesize the identical corpus — the q71 planted-signal
+    * recipe), then count and redact with ONE regexp pass per class.
+    * Patterns are RE2-safe (no lookaround/backrefs) so Java and DuckDB
+    * evaluate them identically; the redacted text is emitted as its md5
+    * (compact, and a hash match proves byte-identical redaction).
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+[0-9]{7,14}"
+    val seeded = docs.select(col("doc_id"),
+      when(pmod(hexInt(concat(col("doc_id").cast("string"), lit("_pii"))),
+        lit(100)) < 30,
+        concat(col("text"), lit(" kontakt nutzer"),
+          pmod(col("doc_id"), lit(97)), lit("@beispiel.de tel +4930"),
+          pmod(col("doc_id"), lit(100000)) + 1000000))
+        .otherwise(col("text")).as("text"))
+    seeded.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("redacted_md5"))
+  }
 }

