@@ -615,6 +615,10 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("split")),
+    // ---- windowed KMV distinct-user sketch over event time ----
+    "q94_kmv_windowed" -> ((s, dir) =>
+      graft.ops.Sketches.kmvWindowed(t(s, dir, "events"))
+        .orderBy("window_us", "event_type")),
     // ---- PII detection + redaction (planted deterministic signal) ----
     "q93_pii_redact" -> ((s, dir) =>
       graft.ops.Filters.piiRedact(t(s, dir, "documents"))
@@ -1889,6 +1893,26 @@ object SparkEntry {
         |SELECT fold::BIGINT AS fold, count(*)::BIGINT AS n_docs,
         | min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM r GROUP BY fold ORDER BY fold""".stripMargin,
+    "q94_kmv_windowed" ->
+      """WITH e AS (SELECT event_type,
+        |   epoch_us(ts) // 3600000000 * 3600000000 AS window_us,
+        |   user_id::VARCHAR AS uid FROM events),
+        | h AS (SELECT DISTINCT window_us, event_type,
+        |   ('0x'||substr(md5(uid),1,15))::BIGINT AS h FROM e),
+        | kmin AS (SELECT window_us, event_type, max(h) AS hk,
+        |   count(*) AS n_kept FROM (
+        |   SELECT window_us, event_type, h, row_number() OVER (
+        |     PARTITION BY window_us, event_type ORDER BY h) AS rn FROM h)
+        |   WHERE rn <= 16 GROUP BY window_us, event_type),
+        | cnt AS (SELECT window_us, event_type, count(*)::BIGINT AS n_events
+        |   FROM e GROUP BY window_us, event_type)
+        |SELECT c.window_us, c.event_type, c.n_events,
+        | CASE WHEN k.n_kept < 16 THEN k.n_kept
+        |      ELSE CAST(floor(15.0 * 1152921504606846976.0 / k.hk) AS BIGINT)
+        | END AS approx_users
+        |FROM cnt c JOIN kmin k
+        |  ON c.window_us = k.window_us AND c.event_type = k.event_type
+        |ORDER BY c.window_us, c.event_type""".stripMargin,
     "q93_pii_redact" ->
       """WITH seeded AS (SELECT doc_id,
         |   CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR||'_pii'),1,15))::BIGINT

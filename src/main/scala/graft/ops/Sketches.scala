@@ -184,6 +184,26 @@ object Sketches {
         col("cms_estimate"))
   }
 
+  /** WINDOWED KMV: approximate distinct users per (1-hour event-time
+    * window, event_type) via the mergeable [[approxDistinctUdaf]] — the
+    * time-sliced face of the sketch family (a streaming quality monitor
+    * asks exactly this, with bounded ≤k-long state per window instead
+    * of a distinct-user shuffle per slice). Window starts are exact
+    * integer epoch arithmetic (the q81 discipline) so the layout and —
+    * because the sketch is md5-deterministic — the ESTIMATES replay
+    * bit-for-bit in the DuckDB oracle.
+    */
+  def kmvWindowed(events: DataFrame, k: Int = 16): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000 * 3600000000").as("window_us"),
+        col("user_id").cast("string").as("uid"))
+      .groupBy("window_us", "event_type")
+      .agg(approxDistinctUdaf(k)(col("uid")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window_us"), col("event_type"), col("n_events"),
+        col("approx_users"))
+
   /** Evaluation query (q39): [[kmvEstimate]] joined with the exact
     * COUNT(DISTINCT) it approximates — the accuracy report, NOT the
     * production operator (the exact side deliberately pays the cost the
