@@ -60,7 +60,8 @@ object Bench {
       "q76_snapshot_diff", "q77_salted_join", "q78_range_join",
       "q79_inverted_index", "q80_rollup", "q81_sliding_window",
       "q82_pivot", "q84_exists_subquery", "q85_set_ops",
-      "q86_split_assign", "q87_bm25", "q88_cms_grouped", "q89_raw_ner")
+      "q86_split_assign", "q87_bm25", "q88_cms_grouped", "q89_raw_ner",
+      "q90_chunking", "q92_novelty", "q93_pii_redact", "q94_kmv_windowed")
     headline.foreach { q => SparkEntry.queries(q)(spark, sfDir).count() }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { q =>
