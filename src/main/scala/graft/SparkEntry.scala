@@ -1964,14 +1964,15 @@ object SparkEntry {
         |   range(1, greatest(len(ws)-7,0)+1),
         |   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
         |     ||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]))) AS gram FROM w),
-        | fh AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
-        | r AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
-        |   sum(CASE WHEN fh.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
-        |     AS n_novel
-        |   FROM g JOIN fh USING (gram) GROUP BY g.doc_id)
-        |SELECT doc_id, n_grams, n_novel,
-        | (1000000 * n_novel) // n_grams AS novelty_ppm
-        |FROM r ORDER BY doc_id""".stripMargin,
+        | pd AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g
+        |   GROUP BY doc_id),
+        | np AS (SELECT doc_id, count(*)::BIGINT AS n_novel FROM (
+        |   SELECT gram, min(doc_id) AS doc_id FROM g GROUP BY gram)
+        |   GROUP BY doc_id)
+        |SELECT pd.doc_id, pd.n_grams, coalesce(np.n_novel, 0) AS n_novel,
+        | (1000000 * coalesce(np.n_novel, 0)) // pd.n_grams AS novelty_ppm
+        |FROM pd LEFT JOIN np ON pd.doc_id = np.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
     "q87_bm25" ->
       """WITH toks AS (SELECT doc_id, w AS word FROM (
         |   SELECT doc_id, unnest(str_split(text,' ')) AS w FROM documents)

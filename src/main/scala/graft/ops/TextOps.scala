@@ -190,22 +190,25 @@ object TextOps {
     * "how much of this doc's content appears in any earlier doc"
     * (earlier = smaller doc_id, a total deterministic order): novelty_ppm
     * = distinct 8-grams whose FIRST holder (min doc_id over the corpus)
-    * is this doc, over the doc's distinct 8-grams. Shape: distinct
-    * (gram, doc) pairs → min-doc per gram (one map-side-combined
-    * aggregation over the gram key) → per-doc ratio — two keyed
-    * shuffles, no self-join, no all-pairs anything.
+    * is this doc, over the doc's distinct 8-grams. Shape: a gram is
+    * novel for EXACTLY its min doc, so the novel count per doc is an
+    * aggregation of the gram→min-doc table — the corpus-sized
+    * grams⋈first-holder join a naive formulation would pay never
+    * exists. Three keyed aggregations (gram-keyed, doc-keyed ×2) plus a
+    * doc-keyed join of two doc-sized tables.
     */
   def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
     val grams = docs
       .select(col("doc_id").cast("long").as("doc_id"),
         explode(array_distinct(shinglesN(col("text"), n))).as("gram"))
-    val firstHolder = grams.groupBy("gram")
-      .agg(min(col("doc_id")).as("first_doc"))
-    grams.join(firstHolder, "gram")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+      .localCheckpoint() // both aggregations below read it
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novelPerDoc = grams.groupBy("gram")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novelPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_grams"), col("n_novel"),
         expr("(1000000L * n_novel) div n_grams").as("novelty_ppm"))
   }
