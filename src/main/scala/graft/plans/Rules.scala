@@ -53,10 +53,11 @@ object Rules {
     * untouched, so output rows are EXACTLY those of the original join
     * (false positives fall out in the join; a Bloom has no false
     * negatives). Scope: LEFT SEMI joins (the shape whose entire output
-    * is the filtered probe). The inner-join variant is the same rewrite
-    * but needs probe-vs-build size heuristics to pick a side; it stays
-    * out of scope until a plan needs it. NEVER anti-joins — their kept
-    * rows are the ones a Bloom would drop.
+    * is the filtered probe) and INNER joins whose left side is
+    * estimated ≥ 4× the build side (same rewrite; the asymmetry guard
+    * keeps the two-hashes-per-row cost strictly on the side where it
+    * buys scan-to-shuffle volume). NEVER anti-joins — their kept rows
+    * are the ones a Bloom would drop.
     *
     * Session knobs: `spark.graft.bloomInject.enabled` (default true),
     * `spark.graft.bloomInject.maxBuildBytes` (default 256 MB estimated).
@@ -132,27 +133,45 @@ object Rules {
       And(IsNotNull(probeKey), probes.reduce(And))
     }
 
+    /** Rewrite one eligible join: find an equi-pair between the sides
+      * and gate the probe behind the bloom predicate.
+      */
+    private def inject(j: Join, probe: LogicalPlan,
+                       build: LogicalPlan): Join = {
+      val equi = j.condition.get.collectFirst {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if probe.outputSet.contains(a) && build.outputSet.contains(b) =>
+          (a, b)
+        case EqualTo(b: AttributeReference, a: AttributeReference)
+            if probe.outputSet.contains(a) && build.outputSet.contains(b) =>
+          (a, b)
+      }
+      equi match {
+        case Some((pk, bk)) =>
+          j.copy(left = Filter(bloomPredicate(pk, build, bk), probe))
+        case None => j
+      }
+    }
+
     override def apply(plan: LogicalPlan): LogicalPlan = {
       if (!enabled) return plan
       plan.transformUp {
-        case j @ Join(probe, build, LeftSemi, Some(cond), hint)
+        // semi join: the output IS the filtered probe — always eligible
+        // when the build side fits the Bloom regime
+        case j @ Join(probe, build, LeftSemi, Some(_), _)
             if !alreadyInjected(probe) &&
               build.stats.sizeInBytes <= maxBuildBytes =>
-          // first equi-pair between the two sides drives the filter
-          val equi = cond.collectFirst {
-            case EqualTo(a: AttributeReference, b: AttributeReference)
-                if probe.outputSet.contains(a) && build.outputSet.contains(b) =>
-              (a, b)
-            case EqualTo(b: AttributeReference, a: AttributeReference)
-                if probe.outputSet.contains(a) && build.outputSet.contains(b) =>
-              (a, b)
-          }
-          equi match {
-            case Some((pk, bk)) =>
-              val pred = bloomPredicate(pk, build, bk)
-              j.copy(left = Filter(pred, probe))
-            case None => j
-          }
+          inject(j, probe, build)
+        // inner join: filtering probe rows that cannot match preserves
+        // the output exactly; additionally require the probe side to be
+        // estimated ≥ 4× the build so the two hashes per probed row buy
+        // scan-to-shuffle volume (blooming a small probe is pure cost)
+        case j @ Join(probe, build, org.apache.spark.sql.catalyst.plans.Inner,
+            Some(_), _)
+            if !alreadyInjected(probe) &&
+              build.stats.sizeInBytes <= maxBuildBytes &&
+              probe.stats.sizeInBytes > build.stats.sizeInBytes * 4 =>
+          inject(j, probe, build)
       }
     }
   }

@@ -109,6 +109,20 @@ class ExtensionsSpec extends AnyFunSuite {
       val subqIds = "scalar-subquery#(\\d+)".r.findAllMatchIn(sp)
         .map(_.group(1)).toSet
       assert(subqIds.size == 2, s"expected 2 injected bitsets, plan:\n$sp")
+      // INNER join with a big probe side: same rewrite, rows unchanged
+      val big = s2.read.parquet(s"$sf/lineitem.parquet")
+      val pk = s2.read.parquet(s"$sf/part.parquet")
+        .where(col("p_size") < 10).select("p_partkey", "p_name")
+      val inner = big.join(pk, big("l_partkey") === pk("p_partkey"))
+        .select("l_orderkey", "p_name")
+      val ip = inner.queryExecution.optimizedPlan.toString
+      assert(ip.contains("__graft_bloom_bits"), ip)
+      val innerRows = inner.count()
+      s2.conf.set("spark.graft.bloomInject.enabled", "false")
+      val offRows = big.join(pk, big("l_partkey") === pk("p_partkey"))
+        .select("l_orderkey", "p_name").count()
+      s2.conf.set("spark.graft.bloomInject.enabled", "true")
+      assert(innerRows == offRows && innerRows > 0)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
