@@ -52,10 +52,19 @@ object PerQueryBench {
           .map(e => "\"best\":([0-9.]+)".r.findFirstMatchIn(e).get.group(1).toDouble)
           .sum
         val detail = entries.mkString("[", ",", "]")
-        // provenance from the per-query files themselves, not hardcoded
-        def meta(k: String, dflt: String): String = entries.headOption
-          .flatMap(e => ("\"" + k + "\":\"([^\"]+)\"").r
-            .findFirstMatchIn(e).map(_.group(1))).getOrElse(dflt)
+        // provenance from the per-query files themselves, not
+        // hardcoded; a heterogeneous merge (e.g. one query re-measured
+        // at different cpus) is labeled "mixed", never silently stamped
+        // with the first file's settings
+        def meta(k: String, dflt: String): String = {
+          val vs = entries.flatMap(e => ("\"" + k + "\":\"([^\"]+)\"").r
+            .findFirstMatchIn(e).map(_.group(1))).distinct
+          vs match {
+            case Seq(one) => one
+            case Seq() => dflt
+            case _ => "mixed:" + vs.mkString("|")
+          }
+        }
         val json =
           f"""{"protocol":"fresh JVM per query, 1 warm-up + best-of-3, local[${meta("cpus", "?")}], ${meta("sf", "?")}","total_best":$total%.3f,"queries":{${qs.mkString(",")}},"detail":$detail}"""
         val outP = Paths.get(out)

@@ -36,9 +36,15 @@ object Goldens {
     */
   private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def write(spark: SparkSession, name: String, df: DataFrame): Unit =
-    if (written.add(s"$root/$name"))
-      df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
+  private def write(spark: SparkSession, name: String, df: DataFrame): Unit = {
+    val key = s"$root/$name"
+    if (!written.contains(key)) {
+      // mark AFTER the write succeeds — a failed/interrupted write must
+      // not poison the memo and silently skip the retry
+      df.coalesce(1).write.mode("overwrite").parquet(key)
+      written.add(key)
+    }
+  }
 
   private def docs(n: Int): Seq[CorpusGen.GenDoc] =
     (0 until n).map(i => CorpusGen.genDoc(i.toLong))

@@ -77,13 +77,15 @@ object Rules {
       BigInt(SQLConf.get.getConfString(
         "spark.graft.bloomInject.maxBuildBytes", (256L << 20).toString))
 
-    /** Idempotency check over the probe's FILTER/PROJECT CHAIN only —
-      * deep enough that a re-run of the rule on an already-rewritten
-      * plan (cached views, re-optimization) sees its own marker through
-      * any filter/project shuffling, but stopping at the first other
-      * operator so a SECOND, independent semi-join stacked above an
-      * injected one still gets its own filter (a whole-subtree scan
-      * suppressed every join but the innermost per branch).
+    /** Idempotency check over the probe's UNARY chain (filters,
+      * projects, aggregates, sorts, repartitions...) — deep enough that
+      * a re-run of the rule on an already-rewritten plan sees its own
+      * marker even after later batches move the filter below a unary
+      * operator, but stopping at binary/leaf nodes so a SECOND,
+      * independent semi-join stacked above an injected one (probe = the
+      * inner JOIN node) still gets its own filter. NB: the loop hazard a
+      * subtree-wide scan was guarding against no longer exists — the
+      * rule runs in the once-per-plan pre-CBO batch, not a fixed point.
       */
     private def alreadyInjected(p: LogicalPlan): Boolean = p match {
       case Filter(cond, child) =>
@@ -91,7 +93,7 @@ object Rules {
           case s: ScalarSubquery => s.plan.output.exists(_.name == marker)
           case _ => false
         } || alreadyInjected(child)
-      case Project(_, child) => alreadyInjected(child)
+      case u: UnaryNode => alreadyInjected(u.child)
       case _ => false
     }
 
@@ -136,9 +138,18 @@ object Rules {
     /** Rewrite one eligible join: find an equi-pair between the sides
       * and gate the probe behind the bloom predicate.
       */
+    /** TOP-LEVEL conjuncts only: an EqualTo nested under Or/Not is NOT a
+      * conjunctive equi-key — gating the probe on it would drop rows the
+      * disjunction's other branch matches.
+      */
+    private def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+
     private def inject(j: Join, probe: LogicalPlan,
                        build: LogicalPlan): Join = {
-      val equi = j.condition.get.collectFirst {
+      val equi = conjuncts(j.condition.get).collectFirst {
         case EqualTo(a: AttributeReference, b: AttributeReference)
             if probe.outputSet.contains(a) && build.outputSet.contains(b) =>
           (a, b)

@@ -155,8 +155,13 @@ object LineageStore {
         s"recovery: could not roll the compacted staging forward ($tmpP)")
       else if (fs.exists(oldP)) require(fs.rename(oldP, hp),
         s"recovery: could not roll the original store back ($oldP)")
+      fs.delete(tmpP, true)
     }
-    fs.delete(tmpP, true)
+    // NB: when the live store exists, a leftover __compact_tmp is the
+    // DIAGNOSTIC artifact a failed row-count verification deliberately
+    // preserves — leave it for inspection (compactTriples' own
+    // Overwrite replaces it on retry). The old-copy dir is always
+    // redundant once a live store exists.
     fs.delete(oldP, true)
   }
 

@@ -60,13 +60,17 @@ object SentenceSplitter {
     TextCore.whitespaceTokenize(TextCore.cleanText(text)).flatMap { raw =>
       // protected classes keep the token whole, but SENTENCE punctuation
       // glued to a protected token still detaches (SoMaJo: the final
-      // period after a sentence-ending URL is its own token), so strip
-      // trailing punct while the STEM itself stays protected
+      // period after a sentence-ending URL is its own token): strip ALL
+      // trailing punctuation, and if the remaining stem is protected
+      // emit stem + punct; otherwise fall back to the generic path on
+      // the ORIGINAL token (a single-step strip would miss "url)." —
+      // the intermediate "url)" prefix is not itself protected)
       var stem = raw
       val trailP = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (stem.length > 1 && TextCore.isPunctuation(stem.last) &&
-             !isProtected(stem) && isProtected(stem.dropRight(1))) {
-        trailP += stem.substring(stem.length - 1); stem = stem.dropRight(1)
+      if (!isProtected(raw)) {
+        while (stem.length > 1 && TextCore.isPunctuation(stem.last)) {
+          trailP += stem.substring(stem.length - 1); stem = stem.dropRight(1)
+        }
       }
       if (isProtected(stem)) Seq(stem) ++ trailP.reverse else {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -123,6 +123,13 @@ class ExtensionsSpec extends AnyFunSuite {
         .select("l_orderkey", "p_name").count()
       s2.conf.set("spark.graft.bloomInject.enabled", "true")
       assert(innerRows == offRows && innerRows > 0)
+      // DISJUNCTIVE condition: the equi-pair under the OR is not a
+      // conjunct — injecting on it would drop rows; the rule must skip
+      val disj = c2.join(o1,
+        c2("c_custkey") === o1("o_custkey") ||
+          c2("c_nationkey") === o1("o_custkey"), "left_semi")
+      assert(!disj.queryExecution.optimizedPlan.toString
+        .contains("__graft_bloom_bits"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -87,6 +87,9 @@ class SomajoFixtureSpec extends AnyFunSuite {
     assert(sents(0).toSeq == Seq("Siehe", "www.beispiel.de/seite", "."))
     // mid-sentence URL: no boundary, token whole
     assert(sentences("Siehe www.beispiel.de dort .").length == 1)
+    // URL buried under MULTIPLE trailing punct chars still protects whole
+    assert(tokenizeWords("( www.MeinShop.de). dann").toSeq ==
+      Seq("(", "www.MeinShop.de", ")", ".", "dann"))
     // digit-paren is NOT an emoticon — the paren detaches normally
     assert(tokenizeWords("( siehe Abb. 8) hier").count(_ == ")") == 1)
     assert(tokenizeWords("Abb 8) hier").toSeq == Seq("Abb", "8", ")", "hier"))
