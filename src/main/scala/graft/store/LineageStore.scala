@@ -58,7 +58,10 @@ object LineageStore {
       .agg(count(lit(1)).as("n"),
         min(col("span_offset")).as("omin"),
         max(col("span_offset")).as("omax"),
-        countDistinct(col("doc_id")).as("docs"))
+        // mergeable KMV sketch, not COUNT(DISTINCT): k longs of state
+        // per bucket instead of a doc-keyed shuffle per commit (exact
+        // below k=64 distinct docs; same sketch as the streaming path)
+        graft.ops.Sketches.approxDistinctUdaf(64)(col("doc_id")).as("docs"))
       .collect()
       .map { r =>
         LineageRow(stage, r.getAs[Int]("bucket"),

@@ -81,17 +81,18 @@ object SaltedProfile {
         c.count(); c
       }
       val cacheDF = slim.toDF()
-      val relCarry = Seq("rel", "subj_norm", "subj_type", "obj_norm",
-        "obj_type").map(col)
+      // mirror run()'s packed single-column carry
+      val relKey = concat_ws("\u0001", col("rel"), col("subj_norm"),
+        col("subj_type"), col("obj_norm"), col("obj_type"))
       val mentionSide = cacheDF.where(col("rel").isNull)
-        .select(Seq(col("doc_id"), col("span_offset"), col("sentence_idx"),
-          col("surface_norm"), col("entity_type"), lit("m").as("role")) ++
-          relCarry: _*)
+        .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
+          col("surface_norm"), col("entity_type"), lit("m").as("role"),
+          lit(null).cast("string").as("rel_key"))
       def endpoint(role: String, surf: String, typ: String) =
         cacheDF.where(col("rel").isNotNull)
-          .select(Seq(col("doc_id"), col("span_offset"), col("sentence_idx"),
+          .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
             col(surf).as("surface_norm"), col(typ).as("entity_type"),
-            lit(role).as("role")) ++ relCarry: _*)
+            lit(role).as("role"), relKey.as("rel_key"))
       val joinIn = mentionSide
         .unionByName(endpoint("s", "subj_norm", "subj_type"))
         .unionByName(endpoint("o", "obj_norm", "obj_type"))
