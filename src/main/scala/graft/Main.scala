@@ -22,6 +22,9 @@ import org.apache.spark.sql.SparkSession
   *     triple-store maintenance: rewrite each bucket partition's
   *     accumulated small files as one file per bucket (rows + lineage
   *     unchanged).
+  *   serve [port]
+  *     HTTP NER surface (GET /models, POST /ner[/id]) over the built-in
+  *     registry; blocks until killed.
   *   verify <sfDir> <outDir>   — driver correctness dump (graft.Verify)
   *   bench                      — graft.Bench (env-configured)
   *   status <outRoot>
@@ -145,7 +148,7 @@ object Main {
     case Some("verify") => Verify.main(args.drop(1))
     case Some("bench") => Bench.main(Array.empty)
     case _ =>
-      System.err.println("usage: graft.Main run|stream|mlm|compact|verify|bench|status ...")
+      System.err.println("usage: graft.Main run|stream|mlm|compact|serve|verify|bench|status ...")
       sys.exit(2)
   }
 }

@@ -130,6 +130,11 @@ class ExtensionsSpec extends AnyFunSuite {
           c2("c_nationkey") === o1("o_custkey"), "left_semi")
       assert(!disj.queryExecution.optimizedPlan.toString
         .contains("__graft_bloom_bits"))
+      // ANTI join: never eligible — its kept rows are the ones a bloom
+      // would drop
+      val anti = c2.join(o1, c2("c_custkey") === o1("o_custkey"), "left_anti")
+      assert(!anti.queryExecution.optimizedPlan.toString
+        .contains("__graft_bloom_bits"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
