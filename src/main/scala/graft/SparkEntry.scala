@@ -1898,7 +1898,8 @@ object SparkEntry {
         |   epoch_us(ts) // 3600000000 * 3600000000 AS window_us,
         |   user_id::VARCHAR AS uid FROM events),
         | h AS (SELECT DISTINCT window_us, event_type,
-        |   ('0x'||substr(md5(uid),1,15))::BIGINT AS h FROM e),
+        |   ('0x'||substr(md5(uid),1,15))::BIGINT AS h FROM e
+        |   WHERE uid IS NOT NULL),
         | kmin AS (SELECT window_us, event_type, max(h) AS hk,
         |   count(*) AS n_kept FROM (
         |   SELECT window_us, event_type, h, row_number() OVER (

@@ -72,11 +72,17 @@ class NerServer(spark: SparkSession, registry: ModelRegistry, port: Int = 0) {
     * distributed plan produce the same predictions, so the served
     * response cannot drift from the batch pipeline's.
     */
+  // warm per-process singletons (the reference's PredictorStore contract,
+  // app.py:126-149): the encoder and realigner are built ONCE with the
+  // server — only the tagger warm-swaps on model-id change (ModelRegistry)
+  private val enc = new graft.text.WindowEncoder(
+    graft.text.Vocab.default, graft.text.Vocab.tokenToId,
+    graft.text.Tags.labelMap)
+  private val realigner = new graft.text.Realigner(graft.text.Vocab.default)
+
   private def classify(modelId: Option[Int], text: String): String = {
     import graft.text._
     val tagger = registry.get(modelId)
-    val enc = new WindowEncoder(Vocab.default, Vocab.tokenToId, Tags.labelMap)
-    val realigner = new Realigner(Vocab.default)
     val sents = SentenceSplitter.sentences(text)
     sents.map { words =>
       val (wins, counts) =

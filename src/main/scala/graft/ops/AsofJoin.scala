@@ -26,6 +26,14 @@ object AsofJoin {
     */
   def lastPrior(left: DataFrame, right: DataFrame,
                 key: String, time: String): DataFrame = {
+    // the union/window plumbing reserves these names; an input column
+    // with the same name would silently shadow the internal field and
+    // corrupt the carry — fail loudly instead
+    val reserved = Set("_t", "_rs", "_m", "_k")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asof join: input columns ${clash.mkString(", ")} collide with " +
+        "internal carry names (_t/_rs/_m/_k) — rename them first")
     val carryCols = right.columns.filterNot(c => c == key || c == time).toSeq
     val leftRest = left.columns.filterNot(c => c == key || c == time).toSeq
     // the whole right row rides in ONE struct and is carried with a

@@ -107,6 +107,10 @@ object Sketches {
       java.security.MessageDigest.getInstance("MD5")
     def zero: Array[Long] = Array.emptyLongArray
     def reduce(b: Array[Long], v: String): Array[Long] = {
+      // COUNT(DISTINCT) null semantics: a NULL input contributes nothing
+      // (the exact aggregate this sketch replaces silently ignored NULLs;
+      // mirrored in the q94 DuckDB oracle's `uid IS NOT NULL` guard)
+      if (v == null) return b
       val h = TextOps.h60(md, v)
       val pos = java.util.Arrays.binarySearch(b, h)
       if (pos >= 0) b // already present

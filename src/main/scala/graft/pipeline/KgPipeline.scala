@@ -218,7 +218,7 @@ object KgPipeline {
           cfg: Config = Config(),
           ctx: Option[LinkContext] = None): Dataset[Triple] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, concat_ws, element_at, lit, max, split, when}
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, element_at, lit, max, split, when}
     import graft.kg.Triples.{DocUnit, SlimMention, SlimRelation}
     val sents = sentences(spark, docs)
     val units: Dataset[DocUnit] =
@@ -297,8 +297,14 @@ object KgPipeline {
         // one null slot instead of five. \u0001 cannot occur in a
         // normalized surface (control chars never survive cleaning), so
         // the packing is collision-free.
-        val relKey = concat_ws("\u0001", col("rel"), col("subj_norm"),
-          col("subj_type"), col("obj_norm"), col("obj_type"))
+        // Each field is coalesced to a \\u0002 sentinel first: concat_ws
+        // silently DROPS null args (shifting positions), so a future
+        // null in any field would otherwise mis-extract `rel` and could
+        // collide two distinct candidates — detect guarantees non-null
+        // today; the sentinel makes the invariant structural.
+        def packed(c: String) = coalesce(col(c), lit("\u0002"))
+        val relKey = concat_ws("\u0001", packed("rel"), packed("subj_norm"),
+          packed("subj_type"), packed("obj_norm"), packed("obj_type"))
         // one join input: mention rows + BOTH relation endpoints, each
         // endpoint row carrying the packed candidate tuple so the pair
         // re-assembles by grouping on it (identical duplicate candidates

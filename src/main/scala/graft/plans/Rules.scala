@@ -52,17 +52,21 @@ object Rules {
     * plan in, deterministic plan out. The join above the filter is
     * untouched, so output rows are EXACTLY those of the original join
     * (false positives fall out in the join; a Bloom has no false
-    * negatives). Scope: LEFT SEMI joins (the shape whose entire output
-    * is the filtered probe) and INNER joins whose left side is
-    * estimated ≥ 4× the build side (same rewrite; the asymmetry guard
-    * keeps the two-hashes-per-row cost strictly on the side where it
-    * buys scan-to-shuffle volume). NEVER anti-joins — their kept rows
-    * are the ones a Bloom would drop.
+    * negatives). Scope: LEFT SEMI and INNER equi-joins whose probe
+    * (left) side is estimated ≥ 4× the build side — the asymmetry guard
+    * keeps the two-hashes-per-row cost strictly where it buys
+    * scan-to-shuffle volume (blooming a probe comparable to its build —
+    * semi or inner — is pure per-row cost plus a second build pass).
+    * NEVER anti-joins — their kept rows are the ones a Bloom would drop.
     *
     * Session knobs: `spark.graft.bloomInject.enabled` (default true),
-    * `spark.graft.bloomInject.maxBuildBytes` (default 256 MB estimated).
-    * Runs inside a fixed-point batch, so injection is guarded by an
-    * already-injected check (the subquery's output alias is the marker).
+    * `spark.graft.bloomInject.maxBuildBytes` (default 256 MB estimated),
+    * `spark.graft.bloomInject.minProbeRatio` (default 4 — the probe/build
+    * size asymmetry below which injection is pure overhead).
+    * Runs ONCE in the pre-CBO batch (after filter inference, before
+    * join reorder — NOT a fixed point); the already-injected marker
+    * check (the subquery's output alias) keeps a replanned query from
+    * stacking a second filter on the same probe chain.
     */
   object InjectDeterministicBloom extends Rule[LogicalPlan] {
     import graft.ops.Bloom
@@ -76,6 +80,10 @@ object Rules {
     private def maxBuildBytes: BigInt =
       BigInt(SQLConf.get.getConfString(
         "spark.graft.bloomInject.maxBuildBytes", (256L << 20).toString))
+    /** Probe must be estimated ≥ this × build before a bloom pays. */
+    private def minProbeRatio: Int =
+      SQLConf.get.getConfString("spark.graft.bloomInject.minProbeRatio", "4")
+        .toInt
 
     /** Idempotency check over the probe's UNARY chain (filters,
       * projects, aggregates, sorts, repartitions...) — deep enough that
@@ -105,16 +113,22 @@ object Rules {
 
     private def bloomPredicate(probeKey: Expression,
                                build: LogicalPlan,
-                               buildKey: Expression): Expression = {
+                               buildKey: NamedExpression): Expression = {
       // bitset build over the build side's keys, as a scalar subquery —
       // one O(build) aggregation producing an m-bit array plan value.
       // The udaf invocation is a lazily-converted column node, so the
       // sub-plan goes through the ANALYZER (ofRows + agg) to become a
       // fully-resolved Aggregate before it may enter the optimized plan.
+      // The build side is projected to THE KEY COLUMN ONLY first: this
+      // rule runs after the main pruning batches, so without the
+      // explicit Project the subquery (re-optimized at physical
+      // planning) would still anchor column pruning on the full build
+      // output and the extra bitset pass would scan every build column.
+      val keyOnly = Project(Seq(buildKey), build)
       val aggCol = Bloom.bitsAggUdaf(M, K)
-        .apply(GraftColumnBridge.column(Cast(buildKey, StringType)))
+        .apply(GraftColumnBridge.column(Cast(buildKey.toAttribute, StringType)))
       val aggPlan = GraftColumnBridge
-        .ofRows(org.apache.spark.sql.SparkSession.active, build)
+        .ofRows(org.apache.spark.sql.SparkSession.active, keyOnly)
         .agg(aggCol.as(marker))
         .queryExecution.analyzed
       val bits = ScalarSubquery(aggPlan)
@@ -167,11 +181,15 @@ object Rules {
     override def apply(plan: LogicalPlan): LogicalPlan = {
       if (!enabled) return plan
       plan.transformUp {
-        // semi join: the output IS the filtered probe — always eligible
-        // when the build side fits the Bloom regime
+        // semi join: the output IS the filtered probe — eligible when
+        // the build fits the Bloom regime AND the probe is big enough
+        // that pruning it pays for the second build pass + 2 hashes per
+        // probe row (same ≥ 4× asymmetry guard as the inner case)
         case j @ Join(probe, build, LeftSemi, Some(_), _)
             if !alreadyInjected(probe) &&
-              build.stats.sizeInBytes <= maxBuildBytes =>
+              build.stats.sizeInBytes <= maxBuildBytes &&
+              probe.stats.sizeInBytes >
+                build.stats.sizeInBytes * minProbeRatio =>
           inject(j, probe, build)
         // inner join: filtering probe rows that cannot match preserves
         // the output exactly; additionally require the probe side to be
@@ -181,7 +199,8 @@ object Rules {
             Some(_), _)
             if !alreadyInjected(probe) &&
               build.stats.sizeInBytes <= maxBuildBytes &&
-              probe.stats.sizeInBytes > build.stats.sizeInBytes * 4 =>
+              probe.stats.sizeInBytes >
+                build.stats.sizeInBytes * minProbeRatio =>
           inject(j, probe, build)
       }
     }

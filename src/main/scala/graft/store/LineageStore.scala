@@ -82,6 +82,7 @@ object LineageStore {
                    pipeline: Dataset[Doc] => Dataset[Triple],
                    buckets: Int, snapshotId: String): Int = {
     import spark.implicits._
+    recoverCompaction(spark, root) // heal an interrupted compaction first
     val done = committedBuckets(spark, root, stage)
     val bcDone = spark.sparkContext.broadcast(done)
     // left-anti-join semantics against the lineage table (SURVEY §2.9 ST3);
@@ -144,8 +145,9 @@ object LineageStore {
     * path is missing, reinstall whichever complete copy exists —
     * the verified staging (`__compact_tmp`, roll forward) or the
     * original (`__compact_old`, roll back); leftover side dirs are
-    * cleaned either way. Call before reads on a root that may have
-    * died mid-compaction (the `Main compact` verb does on entry).
+    * cleaned either way. Invoked automatically at store-open time
+    * ([[readTriples]], [[runResumable]]) and by `Main compact` on entry,
+    * so ANY verb heals a root that died mid-compaction.
     */
   def recoverCompaction(spark: SparkSession, root: String): Unit = {
     val path = triplesPath(root)
@@ -170,6 +172,11 @@ object LineageStore {
 
   def readTriples(spark: SparkSession, root: String): Dataset[Triple] = {
     import spark.implicits._
+    // store-open healing: a crash between compactTriples' two renames
+    // leaves the live path missing while lineage still says committed —
+    // roll the interrupted compaction forward/back before reading so
+    // EVERY verb heals the store, not just an explicit `compact`
+    recoverCompaction(spark, root)
     spark.read.parquet(triplesPath(root))
       .select("subj", "pred", "obj", "doc_id", "bucket", "conf",
         "span_offset", "sentence_idx")

@@ -72,6 +72,11 @@ class ExtensionsSpec extends AnyFunSuite {
         .getOrCreate()
       import org.apache.spark.sql.functions.col
       val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+      // the toy fixture's probe (customer) is SMALLER than its build
+      // (orders) — at production scale the probe is the corpus. Relax
+      // the asymmetry guard so the rewrite itself is exercised here; the
+      // default-ratio guard gets its own negative assertion below.
+      s2.conf.set("spark.graft.bloomInject.minProbeRatio", "0")
       def q(s: SparkSession) = {
         val c = s.read.parquet(s"$sf/customer.parquet")
         val o = s.read.parquet(s"$sf/orders.parquet")
@@ -135,6 +140,36 @@ class ExtensionsSpec extends AnyFunSuite {
       val anti = c2.join(o1, c2("c_custkey") === o1("o_custkey"), "left_anti")
       assert(!anti.queryExecution.optimizedPlan.toString
         .contains("__graft_bloom_bits"))
+      // PROBE-SIZE guard (default ratio): a probe comparable to its
+      // build must NOT be bloomed — the two md5 probes per row plus the
+      // second build-side pass would cost more than they prune
+      s2.conf.set("spark.graft.bloomInject.minProbeRatio", "4")
+      val small = q(s2)
+      assert(!small.queryExecution.optimizedPlan.toString
+        .contains("__graft_bloom_bits"),
+        "semi-join with a small probe side should skip bloom injection")
+      // and the build sub-plan of an injected bloom aggregates over the
+      // KEY COLUMN ONLY (explicit Project so the re-optimized subquery
+      // prunes every other build column from its scan)
+      s2.conf.set("spark.graft.bloomInject.minProbeRatio", "0")
+      val again = q(s2).queryExecution.optimizedPlan
+      val subAggs = again.collect { case p => p.expressions }
+        .flatten.flatMap(_.collect {
+        case sq: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+            if sq.plan.output.exists(_.name == "__graft_bloom_bits") => sq.plan
+      })
+      assert(subAggs.nonEmpty)
+      subAggs.foreach { p =>
+        val scans = p.collectLeaves()
+        assert(scans.nonEmpty)
+        // after the Project, only the join key feeds the aggregate
+        val projected = p.collect {
+          case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            pr.projectList.map(_.name)
+        }
+        assert(projected.exists(_ == Seq("o_custkey")),
+          s"expected a key-only Project in the bloom build sub-plan:\n$p")
+      }
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
