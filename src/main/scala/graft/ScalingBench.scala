@@ -32,11 +32,20 @@ object ScalingBench {
       val cpus = args(2).toInt
       val out = args(3)
       // optional 5th arg: "salted" measures the skew-defused shuffle-join
-      // linking path instead of the broadcast default
-      val cfg =
-        if (args.length > 4 && args(4) == "salted")
-          KgPipeline.Config(broadcastLink = false)
-        else KgPipeline.Config()
+      // linking path with ALL dictionary prep inside the timed region;
+      // "salted-store" measures the amortized steady state — the scored
+      // dictionary is READ from the snapshot-keyed DictStore (built once
+      // by the warm-up run, exactly as the first job over a dictionary
+      // snapshot would), which is what every repeated job / streaming
+      // micro-batch over the same dictionary actually pays
+      val mode = if (args.length > 4) args(4) else "broadcast"
+      val cfg = mode match {
+        case "salted" => KgPipeline.Config(broadcastLink = false)
+        case "salted-store" => KgPipeline.Config(broadcastLink = false,
+          dictStore = Some(java.nio.file.Files
+            .createTempDirectory("graft_scale_dict").toString))
+        case _ => KgPipeline.Config()
+      }
       val spark = Bench.session(cpus.toString)
       // broadcast mode: dictionary-side setup (alias collect + connected
       // components) is O(dictionary) one-time work shared by every job
@@ -55,11 +64,13 @@ object ScalingBench {
       // same job on N vs 4N executors. One full-size JIT warm-up run, then
       // best-of-3 steady state (C2 needs a full pass to compile the hot
       // tokenizer/encoder loops).
-      Bench.kgRun(spark, nDocs, 256, ctx, cfg) // JIT warm-up
-      val runs = (1 to 3).map(_ => Bench.kgRun(spark, nDocs, 256, ctx, cfg))
+      Bench.kgRun(spark, nDocs, 256, ctx, cfg) // JIT warm-up (+ dict-store build)
+      val runs = (1 to 3).map { _ =>
+        spark.catalog.clearCache() // each salted run persists its detect stage
+        Bench.kgRun(spark, nDocs, 256, ctx, cfg)
+      }
       val (sec, n) = runs.minBy(_._1)
       spark.stop()
-      val mode = if (cfg.broadcastLink) "broadcast" else "salted"
       val json = f"""{"cpus":$cpus,"nDocs":$nDocs,"mode":"$mode","sec":$sec%.3f,"triples":$n,"tps":${n / sec}%.1f}"""
       Files.writeString(Paths.get(out), json)
       println(json)

@@ -720,6 +720,30 @@ object SparkEntry {
       graft.kg.Linker.linkSaltedJoin(s, mentions, CorpusGen.aliases(s)).toDF()
         .orderBy("doc_id", "span_offset", "surface")
     }),
+    // ---- salted pipeline over the snapshot-keyed DictStore: the
+    //      SECOND run (scored dictionary READ from the store, zero
+    //      rebuild — asserted via the build counter) must produce the
+    //      same triples as the broadcast golden ----
+    "kg_store_salted" -> ((s, dir) => {
+      graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_dict_store_q").toString
+      val docs = CorpusGen.docs(s, 500, parts = 8)
+      val aliases = CorpusGen.aliases(s)
+      val cfg = KgPipeline.Config(broadcastLink = false,
+        dictStore = Some(root))
+      KgPipeline.run(s, docs, aliases, cfg = cfg).count() // builds store
+      s.catalog.clearCache()
+      val before = graft.kg.Linker.scoredDictBuilds.get()
+      val out = KgPipeline.run(s, docs, aliases, cfg = cfg).toDF()
+        .select("subj", "pred", "obj", "doc_id", "bucket", "conf")
+        .orderBy("doc_id", "pred", "subj", "obj")
+        .localCheckpoint() // materialize BEFORE the counter check
+      require(graft.kg.Linker.scoredDictBuilds.get() == before,
+        "scored dictionary was rebuilt on a warm store")
+      s.catalog.clearCache()
+      out
+    }),
     // ---- GT eval path: gold-label tagger roundtrip metrics (F1 = 1.0) ----
     "kg_gt_eval" -> ((s, dir) => {
       import s.implicits._
@@ -1249,6 +1273,10 @@ object SparkEntry {
         | entity_id, conf
         |FROM read_parquet('${graft.gen.Goldens.root}/kg_linked_salted/*.parquet')
         |ORDER BY doc_id, span_offset, surface""".stripMargin,
+    "kg_store_salted" ->
+      s"""SELECT subj, pred, obj, doc_id, bucket, conf
+        |FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')
+        |ORDER BY doc_id, pred, subj, obj""".stripMargin,
     "q89_raw_ner" ->
       s"""SELECT doc_id, span_offset, sentence_idx, start_word, end_word,
         | surface, entity_type

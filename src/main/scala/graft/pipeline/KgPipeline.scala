@@ -31,7 +31,14 @@ object KgPipeline {
       sentBatch: Int = 64,  // sentences buffered per encode batch
       maxSeqLen: Int = 128, // Makefile:38
       saltBuckets: Int = 8,
-      broadcastLink: Boolean = true)
+      broadcastLink: Boolean = true,
+      // store root for the snapshot-keyed scored-dictionary table
+      // (graft.store.DictStore): when set, the salted path READS the
+      // pre-materialized scored dictionary instead of rebuilding its
+      // O(dictionary) canon+scoring slice per run — the amortization
+      // every micro-batch / repeated job over the same dictionary
+      // snapshot relies on at scale
+      dictStore: Option[String] = None)
 
   /** Build the standard tagger/encoder pair over the built-in vocab and
     * the generator's gazetteer (normalized surface → type).
@@ -177,7 +184,8 @@ object KgPipeline {
     */
   case class LinkContext(dict: Map[String, Seq[Alias]],
                          canon: Map[String, String],
-                         bloomBits: Option[Array[Long]] = None)
+                         bloomBits: Option[Array[Long]] = None,
+                         dictSnapshotId: Option[String] = None)
 
   /** Persisted row of the salted path's detect cache: EITHER a slim
     * mention projection (surface_norm + join key + type — the minimum
@@ -204,10 +212,13 @@ object KgPipeline {
     val canonMap = ConnectedComponents.canonicalMap(spark, aliases.toDF())
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val dict = all.groupBy(_.surface_norm)
-    // bloom bits for the salted path's dictionary prune, built here
-    // driver-side once per context — no per-run Spark job
+    // bloom bits + dictionary fingerprint for the salted path, built
+    // here driver-side once per context — no per-run Spark job (the
+    // rows are already collected; the fingerprint is bit-identical to
+    // DictStore.fingerprint's distributed form)
     LinkContext(dict, canonMap,
-      Some(graft.ops.Bloom.buildBitsLocal(dict.keysIterator)))
+      Some(graft.ops.Bloom.buildBitsLocal(dict.keysIterator)),
+      Some(graft.store.DictStore.fingerprintLocal(all)))
   }
 
   /** Full run: docs + alias dict → triples. Pass a prepared [[LinkContext]]
@@ -283,8 +294,23 @@ object KgPipeline {
         // materialize ONCE before the consumers below — without this
         // the union's branches race and recompute detect partitions
         slim.count()
-        val canonDF = graft.kg.ConnectedComponents
-          .canonicalMap(spark, aliases.toDF())
+        // dictionary side: with a DictStore root the scored+canonicalized
+        // dictionary is READ from the snapshot-keyed table (built at most
+        // once per dictionary snapshot — the canon CC job and both
+        // scoring aggregations only run on a store miss); without one it
+        // is built inline per run (tests / one-shot jobs)
+        val (scoredOpt, canonOpt) = cfg.dictStore match {
+          case Some(storeRoot) =>
+            val snapId = ctx.flatMap(_.dictSnapshotId)
+              .getOrElse(graft.store.DictStore.fingerprint(spark, aliases))
+            val scored = graft.store.DictStore.ensureScored(spark, storeRoot,
+              snapId, aliases,
+              Some(graft.kg.ConnectedComponents.canonicalMap(spark, aliases.toDF())))
+            (Some(scored), None)
+          case None =>
+            (None, Some(graft.kg.ConnectedComponents
+              .canonicalMap(spark, aliases.toDF())))
+        }
         val cacheDF = slim.toDF()
         // skew keys from a 1% sample OF THE CACHE — a Zipf head survives
         // heavy sampling, and reading the persisted slim projection costs
@@ -324,7 +350,7 @@ object KgPipeline {
           .unionByName(endpoint("o", "obj_norm", "obj_type"))
         val linked = Linker.linkSaltedCarry(spark, joinIn, aliases,
           cfg.saltBuckets, Some(skew), bloomBits = ctx.flatMap(_.bloomBits),
-          canon = Some(canonDF))
+          canon = canonOpt, scored = scoredOpt)
         val mUnits = linked.where(col("role") === "m")
           .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
             col("entity_id"), col("conf"))

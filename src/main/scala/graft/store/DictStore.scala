@@ -1,0 +1,127 @@
+package graft.store
+
+import graft.model.Alias
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-keyed store for the SCORED LINK DICTIONARY — the expensive
+  * O(dictionary) slice of the no-broadcast linking regime (connected-
+  * components canon map folded into the alias table + two per-surface
+  * scoring aggregations, [[graft.kg.Linker.scoredDict]]).
+  *
+  * That slice depends ONLY on the dictionary snapshot, never on the
+  * corpus, so it is materialized ONCE per snapshot under
+  * `<root>/_dict/snap=<id>/` and every subsequent run / streaming
+  * micro-batch over the same dictionary READS the table instead of
+  * rebuilding — the amortization the 100 TB contract assumes (the
+  * reference's warm-singleton-model pattern, webapp/app.py:126-149,
+  * applied to the dictionary side of the join). Without it the fixed
+  * ~10 s dictionary prep dominates small jobs and every micro-batch
+  * (the round-4 0.62/0.76/0.914 size-sweep Amdahl curve).
+  *
+  * Layout per snapshot (all immutable once `_SUCCESS` exists):
+  *   snap=<id>/scored/   one row per surface: (surface_norm, by_type,
+  *                       any_best) — the dictionary side of the salted
+  *                       link join, pre-canonicalized
+  *   snap=<id>/canon/    (entity_id, canonical_id) — the CC canon map
+  *   snap=<id>/aliases/  the raw alias rows (CDC base for
+  *                       [[applyDiff]]-style incremental refresh)
+  *
+  * The snapshot id is a CONTENT fingerprint (order-independent
+  * count + xor of per-row md5-h60 over all alias fields) so "is the
+  * store fresh?" is a pure equality check — no timestamps, no manual
+  * versioning, identical whether computed distributed
+  * ([[fingerprint]]) or driver-side over already-collected rows
+  * ([[fingerprintLocal]], used by the broadcast regime's LinkContext
+  * which holds the rows anyway).
+  *
+  * Writes are idempotent and crash-safe the same way the triple store
+  * is: parquet Overwrite into the final path, gated on the `_SUCCESS`
+  * marker — a torn write leaves no marker and the next caller rebuilds
+  * over the partial output (deterministic content, so replay converges).
+  */
+object DictStore {
+
+  def dictRoot(root: String) = s"$root/_dict"
+  def snapPath(root: String, snapId: String) = s"${dictRoot(root)}/snap=$snapId"
+  def scoredPath(root: String, snapId: String) = s"${snapPath(root, snapId)}/scored"
+  def canonPath(root: String, snapId: String) = s"${snapPath(root, snapId)}/canon"
+  def aliasPath(root: String, snapId: String) = s"${snapPath(root, snapId)}/aliases"
+
+  private def rowKey(a: Alias): String =
+    s"${a.surface_norm}${a.entity_id}${a.entity_type}${a.prior}"
+
+  /** Content fingerprint of a dictionary snapshot: count + xor of
+    * per-row h60 — order-independent, so any partitioning/ordering of
+    * the same alias set produces the same id. One narrow O(dictionary)
+    * scan; at 100 TB corpus scale this is dictionary-sized, i.e. free
+    * relative to a single micro-batch.
+    */
+  def fingerprint(spark: SparkSession, aliases: Dataset[Alias]): String = {
+    import spark.implicits._
+    val parts = aliases.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var n = 0L; var x = 0L
+      it.foreach { a => n += 1L; x ^= graft.ops.TextOps.h60(md, rowKey(a)) }
+      Iterator.single((n, x))
+    }.collect()
+    render(parts.map(_._1).sum, parts.map(_._2).foldLeft(0L)(_ ^ _))
+  }
+
+  /** Driver-side twin of [[fingerprint]] for rows already in memory
+    * (the broadcast regime's LinkContext collects the dictionary by
+    * premise — fingerprinting it locally costs zero Spark jobs).
+    * Bit-identical to the distributed form.
+    */
+  def fingerprintLocal(aliases: IterableOnce[Alias]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var n = 0L; var x = 0L
+    aliases.iterator.foreach { a => n += 1L; x ^= graft.ops.TextOps.h60(md, rowKey(a)) }
+    render(n, x)
+  }
+
+  private def render(n: Long, x: Long): String = f"$n%d-$x%015x"
+
+  private def isCommitted(spark: SparkSession, path: String): Boolean =
+    Fs.exists(spark, s"$path/_SUCCESS")
+
+  /** The scored dictionary for snapshot `snapId`: read when
+    * materialized, else build (canon map included — `canon` is by-name
+    * so the CC job only runs on a build miss), persist, and read back.
+    * Returns the PARQUET-BACKED frame in both cases so every consumer
+    * downstream shares one physical source.
+    */
+  def ensureScored(spark: SparkSession, root: String, snapId: String,
+                   aliases: Dataset[Alias],
+                   canon: => Option[DataFrame]): DataFrame = {
+    val path = scoredPath(root, snapId)
+    if (!isCommitted(spark, path)) {
+      graft.kg.Linker.scoredDict(spark, aliases, canon)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+      aliases.toDF().write.mode(SaveMode.Overwrite)
+        .parquet(aliasPath(root, snapId))
+      canon.foreach(_.write.mode(SaveMode.Overwrite)
+        .parquet(canonPath(root, snapId)))
+    }
+    spark.read.parquet(path)
+  }
+
+  /** The canon map persisted with snapshot `snapId` (present iff the
+    * snapshot was built with canonicalization — the salted pipeline
+    * always does).
+    */
+  def readCanon(spark: SparkSession, root: String, snapId: String): Option[DataFrame] = {
+    val p = canonPath(root, snapId)
+    if (isCommitted(spark, p)) Some(spark.read.parquet(p)) else None
+  }
+
+  /** The raw alias rows persisted with snapshot `snapId`. */
+  def readAliases(spark: SparkSession, root: String, snapId: String): Option[Dataset[Alias]] = {
+    val p = aliasPath(root, snapId)
+    if (!isCommitted(spark, p)) None
+    else {
+      import spark.implicits._
+      Some(spark.read.parquet(p).as[Alias])
+    }
+  }
+}

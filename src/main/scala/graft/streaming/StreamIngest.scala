@@ -56,8 +56,15 @@ object StreamIngest {
     // the whole batch commit runs under stage-metrics capture (north
     // rule: lineage rows carry stage metrics) — totals land as a
     // `_metrics` sidecar keyed by the same snapshot id
+    // the stream owns a DictStore under its root: in the no-broadcast
+    // regime every micro-batch reads the snapshot-keyed scored
+    // dictionary (built once by the first batch over a given dictionary
+    // snapshot) instead of re-running the O(dictionary) canon+scoring
+    // slice per batch — with ctx.dictSnapshotId present the freshness
+    // check is a pure path probe, zero extra jobs
+    val cfgS = cfg.copy(dictStore = cfg.dictStore.orElse(Some(root)))
     val (rows, metrics) = graft.store.StageMetrics.capture(spark) {
-      val triples = KgPipeline.run(spark, batch, aliases, cfg = cfg, ctx = Some(ctx))
+      val triples = KgPipeline.run(spark, batch, aliases, cfg = cfgS, ctx = Some(ctx))
         .withColumn("batch", lit(batchId))
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       val persisted = triples.persist()

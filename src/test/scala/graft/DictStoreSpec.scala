@@ -1,0 +1,128 @@
+package graft
+
+import graft.gen.CorpusGen
+import graft.kg.Linker
+import graft.model.Alias
+import graft.pipeline.KgPipeline
+import graft.store.DictStore
+import graft.streaming.StreamIngest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot-keyed scored-dictionary store: content fingerprinting,
+  * build-once/read-many amortization (the round-4 weak item), parity of
+  * the store-backed salted path with the inline and broadcast paths, and
+  * torn-write healing.
+  */
+class DictStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("fingerprint: distributed == driver-side, order-independent, content-sensitive") {
+    val rows = Seq(
+      Alias("acme corp", "e1", "ORG", 0.9),
+      Alias("acme", "e1", "ORG", 0.7),
+      Alias("berlin", "e2", "LOC", 0.95))
+    val ds = spark.createDataset(rows)
+    val fp = DictStore.fingerprint(spark, ds)
+    assert(fp == DictStore.fingerprintLocal(rows))
+    // order/partitioning independence
+    assert(fp == DictStore.fingerprint(spark,
+      spark.createDataset(rows.reverse).repartition(3)))
+    assert(fp == DictStore.fingerprintLocal(rows.permutations.drop(2).next()))
+    // any content change moves the id
+    assert(fp != DictStore.fingerprintLocal(rows.take(2)))
+    assert(fp != DictStore.fingerprintLocal(
+      rows.updated(0, rows(0).copy(prior = 0.91))))
+    // matches the LinkContext-carried id (zero-extra-job path)
+    val ctx = KgPipeline.prepareLinkContext(spark, ds)
+    assert(ctx.dictSnapshotId.contains(fp))
+  }
+
+  test("store-backed salted pipeline: parity with inline + broadcast, built once") {
+    val root = tmp("graft_dict_store")
+    val docs = CorpusGen.docs(spark, 120, parts = 4)
+    val aliases = CorpusGen.aliases(spark)
+    def rows(cfg: KgPipeline.Config) =
+      KgPipeline.run(spark, docs, aliases, cfg = cfg, ctx = None)
+        .map(t => (t.subj, t.pred, t.obj, t.doc_id, t.conf,
+          t.span_offset, t.sentence_idx)).collect().toSet
+    val viaInline = rows(KgPipeline.Config(broadcastLink = false))
+    spark.catalog.clearCache()
+    val storeCfg = KgPipeline.Config(broadcastLink = false,
+      dictStore = Some(root))
+    val b0 = Linker.scoredDictBuilds.get()
+    val first = rows(storeCfg)       // store miss → build + write
+    spark.catalog.clearCache()
+    val second = rows(storeCfg)      // store hit → read, NO rebuild
+    spark.catalog.clearCache()
+    assert(Linker.scoredDictBuilds.get() == b0 + 1,
+      "scored dictionary was rebuilt on a warm store")
+    assert(first == viaInline && second == viaInline && viaInline.nonEmpty)
+    assert(rows(KgPipeline.Config()) == viaInline) // broadcast parity
+    spark.catalog.clearCache()
+  }
+
+  test("streaming: second micro-batch reuses the scored dictionary") {
+    val root = tmp("graft_stream_dict")
+    val aliases = CorpusGen.aliases(spark)
+    val ctx = KgPipeline.prepareLinkContext(spark, aliases)
+    val cfg = KgPipeline.Config(buckets = 8, broadcastLink = false)
+    val all = CorpusGen.docs(spark, 60, parts = 4)
+    val b0 = all.filter(_.doc_id < CorpusGen.docId(30))
+    val b1 = all.filter(_.doc_id >= CorpusGen.docId(30))
+    val builds0 = Linker.scoredDictBuilds.get()
+    StreamIngest.commitBatch(spark, b0, 0L, root, ctx, aliases, cfg)
+    val afterFirst = Linker.scoredDictBuilds.get()
+    assert(afterFirst == builds0 + 1, "first batch must materialize the dict")
+    StreamIngest.commitBatch(spark, b1, 1L, root, ctx, aliases, cfg)
+    assert(Linker.scoredDictBuilds.get() == afterFirst,
+      "second micro-batch recomputed the scored dictionary")
+    // both batches actually produced triples through the store-backed path
+    val triples = StreamIngest.readStreamTriples(spark, root)
+    assert(triples.count() > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("torn write (no _SUCCESS) heals: next ensureScored rebuilds") {
+    val root = tmp("graft_dict_torn")
+    val aliases = CorpusGen.aliases(spark)
+    val snap = DictStore.fingerprint(spark, aliases)
+    val b0 = Linker.scoredDictBuilds.get()
+    DictStore.ensureScored(spark, root, snap, aliases, None)
+    assert(Linker.scoredDictBuilds.get() == b0 + 1)
+    // simulate a crash between write and commit: remove the marker
+    val marker = java.nio.file.Paths.get(
+      DictStore.scoredPath(root, snap), "_SUCCESS")
+    java.nio.file.Files.delete(marker)
+    DictStore.ensureScored(spark, root, snap, aliases, None)
+    assert(Linker.scoredDictBuilds.get() == b0 + 2, "uncommitted store not rebuilt")
+    // and a committed store is not touched again
+    DictStore.ensureScored(spark, root, snap, aliases, None)
+    assert(Linker.scoredDictBuilds.get() == b0 + 2)
+  }
+
+  test("scored table round-trips through parquet bit-identically") {
+    val aliases = CorpusGen.aliases(spark)
+    val root = tmp("graft_dict_rt")
+    val canon = Some(graft.kg.ConnectedComponents.canonicalMap(spark, aliases.toDF()))
+    val direct = Linker.scoredDict(spark, aliases, canon)
+    val snap = DictStore.fingerprint(spark, aliases)
+    val stored = DictStore.ensureScored(spark, root, snap, aliases, canon)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("surface_norm",
+          // map_entries order reflects aggregation order (nondeterministic);
+          // sort before comparing — lookup semantics are order-independent
+          "to_json(array_sort(map_entries(by_type))) AS bt",
+          "to_json(any_best) AS ab")
+        .as[(String, String, String)].collect().toSet
+    assert(norm(direct) == norm(stored) && norm(direct).nonEmpty)
+    // the persisted canon + alias sidecars read back complete
+    assert(DictStore.readCanon(spark, root, snap).get.count() ==
+      canon.get.count())
+    assert(DictStore.readAliases(spark, root, snap).get.count() ==
+      aliases.count())
+  }
+}
