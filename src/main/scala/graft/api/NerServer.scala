@@ -11,10 +11,15 @@ import java.nio.charset.StandardCharsets
   * engine's demo/debug face, NOT its scale path — batch and streaming
   * ingestion are):
   *
-  *   GET  /models        → the registry listing (app.py:166-168)
-  *   POST /ner           → default model
-  *   POST /ner/{id}      → raw text body → sentence-split → fused detect
-  *                         → the /ner JSON shape (app.py:317)
+  *   GET  /models              → the registry listing (app.py:166-168)
+  *   POST /ner                 → default model
+  *   POST /ner/{id}            → raw text body → sentence-split → fused
+  *                               detect → the /ner JSON shape (app.py:317)
+  *   POST /tokenized           → sentence × word arrays with sentence
+  *                               index, no model (app.py:171-182)
+  *   POST /ner-bert-tokens     → html-escaped wordpiece tokens + RAW
+  *   POST /ner-bert-tokens/{id}  per-token predictions, pre-realignment
+  *                               (app.py:184-207)
   *
   * Request-hash memoization (ST2): identical (model, text) requests
   * return the cached response without touching Spark — the same
@@ -45,25 +50,38 @@ class NerServer(spark: SparkSession, registry: ModelRegistry, port: Int = 0) {
     }.mkString("[", ",", "]")
     respond(ex, 200, body)
   })
-  server.createContext("/ner", (ex: HttpExchange) => safely(ex) {
-    if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST"}""")
-    else {
-      val path = ex.getRequestURI.getPath.stripPrefix("/ner")
-        .stripPrefix("/")
-      val modelId = if (path.isEmpty) None else Some(path.toInt)
-      val text = new String(ex.getRequestBody.readAllBytes(),
-        StandardCharsets.UTF_8)
-      val key = graft.store.Snapshots.configHash(spark,
-        registry.resolve(modelId).id.toString, text)
-      val cached = memo.get(key)
-      val body = if (cached != null) { memoHits.incrementAndGet(); cached }
+  /** Shared POST plumbing: parse optional /{model_id} suffix, memoize on
+    * (endpoint, resolved model, text) — the reference's key_prefix is
+    * request.path + body hash (app.py:157-158), so distinct endpoints
+    * over the same text never collide in the cache.
+    */
+  private def postEndpoint(prefix: String,
+                           handler: (Option[Int], String) => String)
+      : com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) => safely(ex) {
+      if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST"}""")
       else {
-        val out = classify(modelId, text)
-        memo.put(key, out); out
+        val path = ex.getRequestURI.getPath.stripPrefix(prefix)
+          .stripPrefix("/")
+        val modelId = if (path.isEmpty) None else Some(path.toInt)
+        val text = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        val key = graft.store.Snapshots.configHash(spark, prefix,
+          registry.resolve(modelId).id.toString, text)
+        val cached = memo.get(key)
+        val body = if (cached != null) { memoHits.incrementAndGet(); cached }
+        else {
+          val out = handler(modelId, text)
+          memo.put(key, out); out
+        }
+        respond(ex, 200, body)
       }
-      respond(ex, 200, body)
     }
-  })
+
+  server.createContext("/ner-bert-tokens", postEndpoint("/ner-bert-tokens", bertTokens))
+  server.createContext("/tokenized", postEndpoint("/tokenized",
+    (_, text) => tokenized(text)))
+  server.createContext("/ner", postEndpoint("/ner", classify))
 
   /** One request runs the IDENTICAL per-sentence kernel the fused
     * detect stage broadcasts (splitter → window encode → warm tagger →
@@ -92,6 +110,35 @@ class NerServer(spark: SparkSession, registry: ModelRegistry, port: Int = 0) {
       val tags = realigner.realignWithCounts(words, counts, preds).map(_._2)
       words.zip(tags).map { case (w, t) =>
         s"""{"word":${jsonStr(w)},"prediction":${jsonStr(t)}}"""
+      }.mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+  }
+
+  /** `/tokenized` (app.py:171-182): sentence-split only, no model —
+    * `[[ [word, ...], sentence_idx ], ...]` (the reference jsonifies
+    * `[(sen, i)]` tuples as 2-element arrays).
+    */
+  private def tokenized(text: String): String =
+    graft.text.SentenceSplitter.sentences(text).zipWithIndex.map {
+      case (words, i) =>
+        s"[${words.map(jsonStr).mkString("[", ",", "]")},$i]"
+    }.mkString("[", ",", "]")
+
+  /** `/ner-bert-tokens/{id}` (app.py:184-207): per sentence, the GLUED
+    * wordpiece tokens (specials stripped — classify_text's
+    * `fe.tokens[1:-1]` concatenation, app.py:78-84) zipped with the RAW
+    * per-token predictions, html-escaped like the reference.
+    */
+  private def bertTokens(modelId: Option[Int], text: String): String = {
+    import graft.text._
+    val tagger = registry.get(modelId)
+    SentenceSplitter.sentences(text).map { words =>
+      val (wins, _) =
+        enc.encodeWithCounts("req/0/0", words, Array.fill(words.length)("O"))
+      val tagged = tagger.tagBatch(wins)
+      val (toks, preds) = realigner.reglue(tagged.map(w => (w.tokens, w.preds)))
+      toks.zip(preds).map { case (t, p) =>
+        s"""{"token":${jsonStr(NerOutput.htmlEscape(t))},"prediction":${jsonStr(p)}}"""
       }.mkString("[", ",", "]")
     }.mkString("[", ",", "]")
   }

@@ -25,10 +25,26 @@ object SentenceSplitter {
     "^[\\w.+-]+@[\\w-]+(?:\\.[\\w-]+)+$".r.pattern
   private val emoticonRe =
     "^(?:[:;=][-o^*']?[()\\[\\]dDpPoO/\\\\|]+|<3|\\^\\^|[xX][dD])$".r.pattern
+  // SoMaJo's social-media token classes: hashtags and @-mentions stay
+  // single tokens (no leading-punct detach)
+  private val tagMentionRe =
+    "^[#@][\\p{L}\\p{N}_][\\p{L}\\p{N}_-]*$".r.pattern
+  // XML/HTML character entities (&amp; &#228; &#xE4;) — SoMaJo's
+  // XML-entity class keeps them whole
+  private val xmlEntityRe =
+    "^&(?:[A-Za-z]\\w*|#\\d+|#x[0-9A-Fa-f]+);$".r.pattern
+  // truncated compound parts in German coordination ("Vor- und
+  // Nachteile", "Ein- und Ausgang"): SoMaJo's Wortteil class keeps the
+  // trailing/leading hyphen attached to the word part
+  private val truncatedRe =
+    "^(?:\\p{L}[\\p{L}\\p{N}]*-|-\\p{L}[\\p{L}\\p{N}]*)$".r.pattern
 
   def isProtected(tok: String): Boolean =
     urlRe.matcher(tok).matches() || emailRe.matcher(tok).matches() ||
     emoticonRe.matcher(tok).matches() ||
+    tagMentionRe.matcher(tok).matches() ||
+    xmlEntityRe.matcher(tok).matches() ||
+    truncatedRe.matcher(tok).matches() ||
     (tok.length > 2 && tok.charAt(0) == '<' && tok.last == '>' &&
       !tok.substring(1, tok.length - 1).exists(c => c == '<' || c == '>'))
 
@@ -60,15 +76,17 @@ object SentenceSplitter {
     TextCore.whitespaceTokenize(TextCore.cleanText(text)).flatMap { raw =>
       // protected classes keep the token whole, but SENTENCE punctuation
       // glued to a protected token still detaches (SoMaJo: the final
-      // period after a sentence-ending URL is its own token): strip ALL
-      // trailing punctuation, and if the remaining stem is protected
-      // emit stem + punct; otherwise fall back to the generic path on
-      // the ORIGINAL token (a single-step strip would miss "url)." —
-      // the intermediate "url)" prefix is not itself protected)
+      // period after a sentence-ending URL is its own token): strip
+      // trailing punctuation UNTIL the remaining stem is protected (so
+      // "url)." sheds '.' then ')', while "Ein-," stops at the protected
+      // truncated-compound stem "Ein-"); if a protected stem emerges,
+      // emit stem + detached punct, else fall back to the generic path
+      // on the ORIGINAL token
       var stem = raw
       val trailP = scala.collection.mutable.ArrayBuffer.empty[String]
       if (!isProtected(raw)) {
-        while (stem.length > 1 && TextCore.isPunctuation(stem.last)) {
+        while (stem.length > 1 && TextCore.isPunctuation(stem.last) &&
+               !isProtected(stem)) {
           trailP += stem.substring(stem.length - 1); stem = stem.dropRight(1)
         }
       }

@@ -50,6 +50,52 @@ class NerServerSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /tokenized returns sentence×word arrays with index (app.py:171-182)") {
+    withServer { (srv, port, client) =>
+      val r = post(client, s"http://localhost:$port/tokenized",
+        "Anna Müller war in Berlin . Karl sprach mit Anna Müller .")
+      assert(r.statusCode() == 200, r.body())
+      // the reference jsonifies [(sen, i)] tuples → [[words...], i] pairs
+      assert(r.body() ==
+        """[[["Anna","Müller","war","in","Berlin","."],0],""" +
+        """[["Karl","sprach","mit","Anna","Müller","."],1]]""", r.body())
+      // memoized independently of /ner over the same text
+      val hits0 = srv.memoHitCount
+      post(client, s"http://localhost:$port/tokenized",
+        "Anna Müller war in Berlin . Karl sprach mit Anna Müller .")
+      assert(srv.memoHitCount == hits0 + 1)
+      val ner = post(client, s"http://localhost:$port/ner",
+        "Anna Müller war in Berlin . Karl sprach mit Anna Müller .")
+      assert(srv.memoHitCount == hits0 + 1, "cross-endpoint cache collision")
+      assert(ner.body() != r.body())
+    }
+  }
+
+  test("POST /ner-bert-tokens returns escaped wordpiece tokens + raw predictions") {
+    withServer { (srv, port, client) =>
+      val r = post(client, s"http://localhost:$port/ner-bert-tokens",
+        "Anna Müller war in Berlin . Karl sprach mit Anna Müller .")
+      assert(r.statusCode() == 200, r.body())
+      // two sentences → two inner arrays of {token, prediction} objects
+      assert(r.body().startsWith("[[{") || r.body().startsWith("[[]"), r.body())
+      assert(r.body().count(_ == '[') == 3, r.body())
+      assert(r.body().contains("\"token\":") &&
+        r.body().contains("\"prediction\":\"B-PER\""), r.body())
+      // explicit model id variant + memoization
+      val a = post(client, s"http://localhost:$port/ner-bert-tokens/2",
+        "Berlin ist gross .")
+      val hits0 = srv.memoHitCount
+      val b = post(client, s"http://localhost:$port/ner-bert-tokens/2",
+        "Berlin ist gross .")
+      assert(a.body() == b.body() && srv.memoHitCount == hits0 + 1)
+      // html escaping of the reference (html.escape): & → &amp; in tokens
+      val esc = post(client, s"http://localhost:$port/ner-bert-tokens",
+        "a & b .")
+      assert(esc.statusCode() == 200 &&
+        esc.body().contains("\"token\":\"&amp;\""), esc.body())
+    }
+  }
+
   test("request-hash memoization and warm-model swap semantics") {
     withServer { (srv, port, client) =>
       val url = s"http://localhost:$port/ner"

@@ -96,4 +96,61 @@ class SomajoFixtureSpec extends AnyFunSuite {
     // but ordinary sentences still split
     assert(sentences("Das ist gut . Das auch .").length == 2)
   }
+
+  test("hashtags and @-mentions stay whole (SoMaJo social-media classes)") {
+    import graft.text.SentenceSplitter._
+    assert(tokenizeWords("folgt @Anna_M und #Berlin2020 heute").toSeq ==
+      Seq("folgt", "@Anna_M", "und", "#Berlin2020", "heute"))
+    // glued sentence punctuation still detaches; no boundary mid-tag
+    val s = sentences("Lest #AltBerlin. Dann mehr .")
+    assert(s.length == 2 && s(0).toSeq == Seq("Lest", "#AltBerlin", "."))
+    // bare # / @ are ordinary punctuation, not protected
+    assert(tokenizeWords("a # b @ c").toSeq == Seq("a", "#", "b", "@", "c"))
+  }
+
+  test("XML entities stay whole (SoMaJo XML-entity class)") {
+    import graft.text.SentenceSplitter._
+    assert(tokenizeWords("Meier &amp; Sohn &#228; und &#xE4; hier").toSeq ==
+      Seq("Meier", "&amp;", "Sohn", "&#228;", "und", "&#xE4;", "hier"))
+    // entity + glued period: entity survives, period detaches and ends
+    val s = sentences("Firma Meier &amp;. Neuer Satz .")
+    assert(s(0).toSeq == Seq("Firma", "Meier", "&amp;", "."), s(0).toSeq)
+    // non-entities fall through to the generic path
+    assert(tokenizeWords("&nope x").head == "&")
+  }
+
+  test("truncated compounds keep their hyphen (SoMaJo Wortteil class)") {
+    import graft.text.SentenceSplitter._
+    // "Vor- und Nachteile": the coordinated part keeps its hyphen
+    assert(tokenizeWords("Die Vor- und Nachteile der Bahn").toSeq ==
+      Seq("Die", "Vor-", "und", "Nachteile", "der", "Bahn"))
+    assert(tokenizeWords("Ein- und Ausgang").toSeq ==
+      Seq("Ein-", "und", "Ausgang"))
+    // leading-hyphen part ("-bau") also protected
+    assert(tokenizeWords("Neu- oder -umbau").toSeq ==
+      Seq("Neu-", "oder", "-umbau"))
+    // trailing-hyphen part with glued comma: strip stops at the
+    // protected stem (the isProtected-aware strip loop)
+    assert(tokenizeWords("Vor-, Nachteile").toSeq ==
+      Seq("Vor-", ",", "Nachteile"))
+    // a bare dash between words is NOT a word part
+    assert(tokenizeWords("Berlin - Potsdam").toSeq ==
+      Seq("Berlin", "-", "Potsdam"))
+    // internal hyphens unaffected
+    assert(tokenizeWords("Nord-Süd-Achse bleibt").toSeq ==
+      Seq("Nord-Süd-Achse", "bleibt"))
+  }
+
+  test("dates, times and grouped numbers survive as single tokens") {
+    import graft.text.SentenceSplitter._
+    assert(tokenizeWords("Am 01.01.1871 um 12:30 Uhr").toSeq ==
+      Seq("Am", "01.01.1871", "um", "12:30", "Uhr"))
+    assert(tokenizeWords("Preis 1.000,50 Mark").toSeq ==
+      Seq("Preis", "1.000,50", "Mark"))
+    // a date at sentence end: the FINAL dot is sentence punctuation
+    // (stem contains non-digits, so the ordinal guard does not hold it)
+    val s = sentences("Es geschah am 01.01.1871. Danach kam mehr .")
+    assert(s.length == 2, s.map(_.mkString("|")).mkString(" // "))
+    assert(s(0).toSeq == Seq("Es", "geschah", "am", "01.01.1871", "."))
+  }
 }
