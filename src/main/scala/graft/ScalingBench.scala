@@ -53,12 +53,20 @@ object ScalingBench {
       // region, identically at both levels. Salted mode: ctx = None — the
       // de-drivered path does ALL dictionary prep distributed inside the
       // timed region (nothing dictionary-sized on the driver), so the
-      // scaling number includes it.
-      val ctx =
-        if (cfg.broadcastLink)
+      // scaling number includes it. Salted-store mode: the steady-state
+      // context (scored-dict store + fixed-size bloom bits + snapshot
+      // fingerprint — still nothing dictionary-sized on the driver) is
+      // prepared ONCE outside the timed region, exactly what every
+      // micro-batch / repeated job over the same snapshot pays.
+      val ctx = mode match {
+        case "broadcast" =>
           Some(KgPipeline.prepareLinkContext(spark,
             graft.gen.CorpusGen.aliases(spark)))
-        else None
+        case "salted-store" =>
+          Some(KgPipeline.prepareSaltedContext(spark,
+            graft.gen.CorpusGen.aliases(spark), cfg.dictStore.get))
+        case _ => None
+      }
       // fixed partition count (256) at BOTH levels: identical work units,
       // only the executor-thread count varies — the local analog of the
       // same job on N vs 4N executors. One full-size JIT warm-up run, then

@@ -619,6 +619,17 @@ object SparkEntry {
     "q94_kmv_windowed" -> ((s, dir) =>
       graft.ops.Sketches.kmvWindowed(t(s, dir, "events"))
         .orderBy("window_us", "event_type")),
+    // ---- real WAV audio decode (javax.sound.sampled): per-clip stats
+    //      from actually reading every PCM frame; the oracle replays the
+    //      closed-form seed rule from md5(text) ----
+    "q95_audio_stats" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.wavMediaTable(t(s, dir, "documents"))
+      graft.ops.Multimodal.audioStats(s, media).toDF()
+        .select(col("doc_id"), col("media_ref"), col("sample_rate"),
+          col("n_samples"), col("duration_ms"), col("peak"),
+          col("sum_samples"))
+        .orderBy("doc_id")
+    }),
     // ---- PII detection + redaction (planted deterministic signal) ----
     "q93_pii_redact" -> ((s, dir) =>
       graft.ops.Filters.piiRedact(t(s, dir, "documents"))
@@ -1921,6 +1932,22 @@ object SparkEntry {
         |SELECT fold::BIGINT AS fold, count(*)::BIGINT AS n_docs,
         | min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM r GROUP BY fold ORDER BY fold""".stripMargin,
+    "q95_audio_stats" ->
+      """WITH s AS (SELECT doc_id,
+        |  ('0x'||substr(md5(text),1,2))::BIGINT AS s0,
+        |  ('0x'||substr(md5(text),3,2))::BIGINT AS s1,
+        |  ('0x'||substr(md5(text),5,2))::BIGINT AS s2 FROM documents),
+        | p AS (SELECT doc_id,
+        |  CASE (s0 & 3) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |    WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |  256 + s1 * 8 AS n, 1 + (s2 & 31) AS amp FROM s)
+        |SELECT doc_id::BIGINT AS doc_id, 'aud://'||doc_id AS media_ref,
+        | rate::BIGINT AS sample_rate, n::BIGINT AS n_samples,
+        | (n * 1000) // rate AS duration_ms,
+        | (100 * amp)::BIGINT AS peak,
+        | (amp * ((n % 201) * ((n % 201) - 1) // 2 - 100 * (n % 201)))::BIGINT
+        |   AS sum_samples
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q94_kmv_windowed" ->
       """WITH e AS (SELECT event_type,
         |   epoch_us(ts) // 3600000000 * 3600000000 AS window_us,

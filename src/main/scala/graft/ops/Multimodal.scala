@@ -124,6 +124,117 @@ object Multimodal {
       }
   }
 
+  // ---- audio: REAL WAV encode/decode via javax.sound.sampled (in the
+  //      JDK — no external jars), mirroring the PNG path: payloads are
+  //      actual RIFF/WAVE files whose parameters derive from md5(text)
+  //      bytes by the same seed rule an SQL oracle can replay, and whose
+  //      PCM samples follow a closed-form pattern so peak/sum are
+  //      SQL-predictable while the decoder genuinely reads every sample.
+  //      With this, the declared opaque-payload boundary narrows to
+  //      video only (frameSample below).
+
+  /** Sample rates indexed by seed(0)&3 (the audio twin of the PNG w/h
+    * rule: predictable from md5(text) in SQL).
+    */
+  val wavRates: Array[Int] = Array(8000, 16000, 22050, 44100)
+
+  /** A real 16-bit mono PCM WAV: rate = wavRates(seed0&3), n_samples =
+    * 256 + seed1*8, samples(i) = ((i % 201) - 100) * amp with amp =
+    * 1 + (seed2&0x1f) — a sawtooth whose peak (100*amp, since n ≥ 201
+    * guarantees a full cycle) and signed sum (full cycles cancel; the
+    * tail is an arithmetic series) have closed forms the DuckDB oracle
+    * computes from md5(text) alone. Encoded through AudioSystem.write
+    * (real RIFF container, not a hand-rolled header).
+    */
+  def wavBytes(seed: Array[Byte]): Array[Byte] = {
+    val rate = wavRates(seed(0) & 3)
+    val n = 256 + (seed(1) & 0xff) * 8
+    val amp = 1 + (seed(2) & 0x1f)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = ((i % 201) - 100) * amp
+      pcm(2 * i) = (v & 0xff).toByte // little-endian 16-bit signed
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Media table with REAL WAV payloads, one clip per document, seeded
+    * by md5(text) — the audio twin of [[pngMediaTable]].
+    */
+  def wavMediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          md.reset()
+          val seed = md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (id, s"aud://$id", wavBytes(seed))
+        }
+      }
+      .toDF("doc_id", "media_ref", "payload")
+  }
+
+  /** Real WAV decode via AudioSystem: parse the RIFF container, read
+    * every PCM frame, return (sample_rate, n_samples, peak_abs,
+    * signed_sum) — integer stats, bit-deterministic across JVMs.
+    */
+  def decodeWav(payload: Array[Byte]): (Int, Long, Long, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"unsupported wav format: $fmt")
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val n = bytes.length / 2
+    var peak = 0L; var sum = 0L
+    var i = 0
+    while (i < n) {
+      val v = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff) // sign-extends
+      val a = if (v < 0) -v.toLong else v.toLong
+      if (a > peak) peak = a
+      sum += v
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, n.toLong, peak, sum)
+  }
+
+  case class AudioStats(
+      doc_id: Long, media_ref: String, sample_rate: Long, n_samples: Long,
+      duration_ms: Long, peak: Long, sum_samples: Long)
+
+  /** Batched audio-stats stage — same mapPartitions batch shape as
+    * [[decodeFeatures]]; duration is integer milliseconds (truncating
+    * division, so the SQL oracle agrees without float hazards).
+    */
+  def audioStats(spark: SparkSession, media: DataFrame,
+                 batchSize: Int = 64): Dataset[AudioStats] = {
+    import spark.implicits._
+    media.select("doc_id", "media_ref", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val (rate, n, peak, sum) = decodeWav(r.payload)
+            AudioStats(r.doc_id, r.media_ref, rate.toLong, n,
+              n * 1000L / rate, peak, sum)
+          }
+        }
+      }
+  }
+
   /** Resize plan: fit each decoded image into a target box preserving
     * aspect ratio — the METADATA math is real (and oracle-checked); the
     * pixel resample itself is the stubbed codec step. Pure column

@@ -182,6 +182,14 @@ object KgPipeline {
     * dictionary snapshot (the reference's warm-singleton-model pattern,
     * webapp/app.py:126-149).
     */
+  /** `dictSnapshotId` is the content fingerprint of the alias snapshot
+    * this context was prepared FROM; when present, the salted path
+    * trusts it instead of re-fingerprinting (zero extra jobs). The
+    * caller's contract is the usual warm-singleton one: a context is
+    * valid for the dictionary snapshot it was built from — after a
+    * dictionary push, prepare a new context (or run ctx-less, which
+    * re-fingerprints and picks up the right store entry).
+    */
   case class LinkContext(dict: Map[String, Seq[Alias]],
                          canon: Map[String, String],
                          bloomBits: Option[Array[Long]] = None,
@@ -219,6 +227,29 @@ object KgPipeline {
     LinkContext(dict, canonMap,
       Some(graft.ops.Bloom.buildBitsLocal(dict.keysIterator)),
       Some(graft.store.DictStore.fingerprintLocal(all)))
+  }
+
+  /** The no-broadcast regime's link context: NOTHING dictionary-sized
+    * touches the driver — only the FIXED-SIZE bloom bitset (m/64 longs)
+    * and the snapshot fingerprint. Ensures the scored dictionary is
+    * materialized in `storeRoot` (one O(dictionary) build per snapshot)
+    * and derives the bloom bits from its surface column distributed.
+    * This is the once-per-dictionary-snapshot setup every salted run /
+    * streaming micro-batch shares — the amortized steady state (the
+    * reference's warm-singleton pattern, webapp/app.py:126-149, applied
+    * to the dictionary side).
+    */
+  def prepareSaltedContext(spark: SparkSession, aliases: Dataset[Alias],
+                           storeRoot: String): LinkContext = {
+    import spark.implicits._
+    val snapId = graft.store.DictStore.fingerprint(spark, aliases)
+    val scored = graft.store.DictStore.ensureScored(spark, storeRoot,
+      snapId, aliases,
+      Some(ConnectedComponents.canonicalMap(spark, aliases.toDF())))
+    val bits = graft.ops.Bloom.buildBits(
+      scored.select(org.apache.spark.sql.functions.col("surface_norm")
+        .cast("string")).as[String], 1 << 16, 4)
+    LinkContext(Map.empty, Map.empty, Some(bits), Some(snapId))
   }
 
   /** Full run: docs + alias dict → triples. Pass a prepared [[LinkContext]]

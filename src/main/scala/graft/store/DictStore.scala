@@ -124,4 +124,91 @@ object DictStore {
       Some(spark.read.parquet(p).as[Alias])
     }
   }
+
+  /** DICTIONARY CDC: refresh the store from snapshot `oldSnapId` to the
+    * state of `newAliases` by applying the DELTA — only the connected
+    * components actually touched by added/removed/re-prioritized aliases
+    * are re-canonicalized and re-scored; every other surface's scored
+    * row and every other entity's canon entry is CARRIED from the old
+    * snapshot untouched. At 100 TB-corpus scale a dictionary push
+    * changes a few thousand aliases out of millions: the delta path is
+    * O(diff + affected components), not O(dictionary).
+    *
+    * Correctness of the affected-set closure: alias edges only connect
+    * a surface to an entity WITHIN one component, and components can
+    * only merge through ADDED edges (whose endpoints are in the diff) or
+    * split through REMOVED edges (likewise) — so the old components of
+    * all diffed endpoints, recomputed together over the NEW alias rows
+    * restricted to their entities (plus entities new to the dictionary),
+    * reproduce exactly the full rebuild's assignment (parity-asserted in
+    * DictStoreSpec across add/remove/re-alias/bridge/split cases).
+    *
+    * Returns the new snapshot id (= content fingerprint of
+    * `newAliases`). An EMPTY diff returns `oldSnapId` without writing
+    * anything — downstream consumers keep reading the same snapshot and
+    * emitted triples are bit-identical.
+    */
+  def applyDiff(spark: SparkSession, root: String, oldSnapId: String,
+                newAliases: Dataset[Alias]): String = {
+    import spark.implicits._
+    val newSnapId = fingerprint(spark, newAliases)
+    if (newSnapId == oldSnapId) return oldSnapId // empty diff: no-op
+    val path = scoredPath(root, newSnapId)
+    if (isCommitted(spark, path)) return newSnapId // already materialized
+    val oldAliases = readAliases(spark, root, oldSnapId).getOrElse(
+      throw new IllegalStateException(s"no alias sidecar for $oldSnapId"))
+    val oldCanon = readCanon(spark, root, oldSnapId).getOrElse(
+      throw new IllegalStateException(s"no canon sidecar for $oldSnapId"))
+    val oldScored = spark.read.parquet(scoredPath(root, oldSnapId))
+
+    // the alias-row delta: key = (surface, entity, type), value = prior
+    val keyCol = concat_ws("",
+      col("surface_norm"), col("entity_id"), col("entity_type"))
+    val d = graft.ops.SnapshotDiff.diff(
+      oldAliases.toDF().withColumn("k0", keyCol),
+      newAliases.toDF().withColumn("k0", keyCol), "k0", "prior")
+    val touched = d.select(split(col("k0"), "").as("p"))
+      .select(col("p").getItem(0).as("surface_norm"),
+        col("p").getItem(1).as("entity_id"))
+      .localCheckpoint() // tiny (the diff); read twice below
+    val touchedE = touched.select("entity_id").distinct()
+    val touchedS = touched.select("surface_norm").distinct()
+
+    // affected OLD components: those containing any diffed entity, or
+    // any entity sharing a diffed surface
+    val affected = oldCanon.join(touchedE, "entity_id")
+      .select("canonical_id")
+      .union(oldAliases.toDF().join(touchedS, "surface_norm")
+        .select("entity_id").join(oldCanon, "entity_id")
+        .select("canonical_id"))
+      .distinct()
+    // entities to recompute: members of affected components + entities
+    // NEW to the dictionary
+    val affEnt = oldCanon.join(affected, "canonical_id").select("entity_id")
+      .union(newAliases.select(col("entity_id")).distinct()
+        .join(oldCanon.select("entity_id"), Seq("entity_id"), "left_anti"))
+      .distinct()
+
+    // re-canonicalize + re-score ONLY the affected subgraph (all alias
+    // rows of an affected surface live inside it — see closure note)
+    val subAliases = newAliases.join(affEnt, "entity_id").as[Alias]
+    val subCanon = graft.kg.ConnectedComponents
+      .canonicalMap(spark, subAliases.toDF())
+    val canonAll = oldCanon.join(affEnt, Seq("entity_id"), "left_anti")
+      .unionByName(subCanon)
+    val subScored = graft.kg.Linker.scoredDict(spark, subAliases, Some(subCanon))
+    // stale scored rows: every surface of an affected old component (plus
+    // diffed surfaces, covering brand-new ones) — replaced by subScored
+    val staleSurf = oldAliases.toDF().join(oldCanon, "entity_id")
+      .join(affected, "canonical_id").select("surface_norm")
+      .union(touchedS).distinct()
+    val merged = oldScored.join(staleSurf, Seq("surface_norm"), "left_anti")
+      .unionByName(subScored)
+
+    merged.write.mode(SaveMode.Overwrite).parquet(path)
+    newAliases.toDF().write.mode(SaveMode.Overwrite)
+      .parquet(aliasPath(root, newSnapId))
+    canonAll.write.mode(SaveMode.Overwrite).parquet(canonPath(root, newSnapId))
+    newSnapId
+  }
 }

@@ -26,6 +26,7 @@ object StreamIngest {
 
   def streamPath(root: String) = s"$root/triples_stream"
   def canonPath(root: String) = s"$root/canon_stream"
+  def qualityPath(root: String) = s"$root/_quality"
 
   /** Start the ingestion query over a parquet-directory doc stream. */
   def run(spark: SparkSession, docsStream: Dataset[Doc], root: String,
@@ -85,6 +86,7 @@ object StreamIngest {
             r.getAs[Long]("n"), r.getAs[Long]("docs"), snap, now)
         }
       updateCanonMap(spark, persisted.toDF(), batchId, root)
+      writeQuality(spark, persisted.toDF(), batchId, root)
       persisted.unpersist()
       rws
     }
@@ -96,6 +98,48 @@ object StreamIngest {
         rows.map(_.triple_count).sum,
         graft.store.Snapshots.configHash(spark,
           cfg.toString, s"buckets=${cfg.buckets}"))
+    }
+  }
+
+  /** Per-batch streaming QUALITY MONITOR sidecar: the mergeable KMV
+    * sketch ([[graft.ops.Sketches.approxDistinctUdaf]] — the same
+    * bounded-state aggregator behind [[graft.ops.Sketches.kmvWindowed]])
+    * tracks distinct-doc and distinct-entity cardinality per predicate
+    * for every micro-batch, so drift (a source suddenly emitting
+    * few-doc/many-triple spam, an entity explosion after a bad
+    * dictionary push) is visible per commit without any doc-keyed
+    * shuffle. The doc stream carries no event time, so the micro-batch
+    * IS the window (under AvailableNow each batch is a bounded slice of
+    * the source); event-time streams monitor with kmvWindowed directly.
+    *
+    * Snapshot-keyed layout like the lineage/metrics sidecars:
+    * `_quality/batch=<id>/` immutable partitions — rows ACCUMULATE per
+    * batch and are time-travel readable with the same partition-pruned
+    * batch<=N predicate as the triple store.
+    */
+  private def writeQuality(spark: SparkSession, triples: DataFrame,
+                           batchId: Long, root: String): Unit = {
+    val k = 64
+    triples.groupBy(col("pred"))
+      .agg(count(lit(1)).as("n_triples"),
+        graft.ops.Sketches.approxDistinctUdaf(k)(col("doc_id")).as("approx_docs"),
+        graft.ops.Sketches.approxDistinctUdaf(k)(col("subj")).as("approx_subjects"),
+        graft.ops.Sketches.approxDistinctUdaf(k)(col("obj")).as("approx_objects"))
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite) // dynamic mode: replays overwrite their own partition
+      .partitionBy("batch")
+      .parquet(qualityPath(root))
+  }
+
+  /** Quality sidecar rows up to (and including) `asOfBatch` — the
+    * time-travel read; None = everything.
+    */
+  def readQuality(spark: SparkSession, root: String,
+                  asOfBatch: Option[Long] = None): DataFrame = {
+    val df = spark.read.parquet(qualityPath(root))
+    asOfBatch match {
+      case Some(b) => df.where(col("batch") <= b) // partition pruning
+      case None => df
     }
   }
 

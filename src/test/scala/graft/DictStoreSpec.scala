@@ -65,6 +65,34 @@ class DictStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("prepareSaltedContext: steady-state ctx, no driver dictionary, parity") {
+    val root = tmp("graft_salted_ctx")
+    val docs = CorpusGen.docs(spark, 120, parts = 4)
+    val aliases = CorpusGen.aliases(spark)
+    val lcBefore = KgPipeline.linkContextCalls.get()
+    val ctx = KgPipeline.prepareSaltedContext(spark, aliases, root)
+    assert(KgPipeline.linkContextCalls.get() == lcBefore,
+      "salted context collected the driver dictionary")
+    assert(ctx.dict.isEmpty && ctx.canon.isEmpty &&
+      ctx.bloomBits.isDefined && ctx.dictSnapshotId.isDefined)
+    val cfg = KgPipeline.Config(broadcastLink = false, dictStore = Some(root))
+    val b0 = Linker.scoredDictBuilds.get()
+    def rows(c: Option[KgPipeline.LinkContext]) =
+      KgPipeline.run(spark, docs, aliases, cfg = cfg, ctx = c)
+        .map(t => (t.subj, t.pred, t.obj, t.doc_id, t.conf,
+          t.span_offset, t.sentence_idx)).collect().toSet
+    val withCtx = rows(Some(ctx))
+    spark.catalog.clearCache()
+    assert(Linker.scoredDictBuilds.get() == b0, "ctx run rebuilt the dict")
+    // identical to broadcast ground truth
+    val viaBroadcast = KgPipeline.run(spark, docs, aliases,
+        cfg = KgPipeline.Config())
+      .map(t => (t.subj, t.pred, t.obj, t.doc_id, t.conf,
+        t.span_offset, t.sentence_idx)).collect().toSet
+    assert(withCtx == viaBroadcast && withCtx.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("streaming: second micro-batch reuses the scored dictionary") {
     val root = tmp("graft_stream_dict")
     val aliases = CorpusGen.aliases(spark)
@@ -102,6 +130,66 @@ class DictStoreSpec extends AnyFunSuite {
     // and a committed store is not touched again
     DictStore.ensureScored(spark, root, snap, aliases, None)
     assert(Linker.scoredDictBuilds.get() == b0 + 2)
+  }
+
+  test("dictionary CDC: applyDiff == full rebuild for add/remove/re-alias/bridge/split") {
+    import org.apache.spark.sql.DataFrame
+    val base = Seq(
+      Alias("acme corp", "e1", "ORG", 0.9), Alias("acme", "e1", "ORG", 0.7),
+      Alias("acme", "e2", "ORG", 0.8), Alias("acme inc", "e2", "ORG", 0.85),
+      Alias("berlin", "e3", "LOC", 0.95),
+      Alias("mueller", "e4", "PER", 0.6), Alias("anna mueller", "e4", "PER", 0.9),
+      Alias("wien", "e5", "LOC", 0.9))
+    val root = tmp("graft_cdc")
+    val dsOld = spark.createDataset(base)
+    val oldId = DictStore.fingerprint(spark, dsOld)
+    DictStore.ensureScored(spark, root, oldId, dsOld,
+      Some(graft.kg.ConnectedComponents.canonicalMap(spark, dsOld.toDF())))
+
+    def normScored(df: DataFrame) = df.selectExpr("surface_norm",
+        "to_json(array_sort(map_entries(by_type))) AS bt",
+        "to_json(any_best) AS ab")
+      .as[(String, String, String)].collect().toSet
+    def normCanon(df: DataFrame) =
+      df.select("entity_id", "canonical_id")
+        .as[(String, String)].collect().toSet
+
+    def check(label: String, next: Seq[Alias]): Unit = {
+      val dsNew = spark.createDataset(next)
+      val gotId = DictStore.applyDiff(spark, root, oldId, dsNew)
+      assert(gotId == DictStore.fingerprint(spark, dsNew), label)
+      // full rebuild in a separate root = the ground truth
+      val root2 = tmp("graft_cdc_full")
+      val full = DictStore.ensureScored(spark, root2, gotId, dsNew,
+        Some(graft.kg.ConnectedComponents.canonicalMap(spark, dsNew.toDF())))
+      val viaDiff = spark.read.parquet(DictStore.scoredPath(root, gotId))
+      assert(normScored(viaDiff) == normScored(full), label)
+      assert(normCanon(spark.read.parquet(DictStore.canonPath(root, gotId))) ==
+        normCanon(DictStore.readCanon(spark, root2, gotId).get), label)
+    }
+
+    // re-alias (prior change only — no topology change)
+    check("re-alias", base.map(a =>
+      if (a.surface_norm == "berlin") a.copy(prior = 0.5) else a))
+    // bridge: a new shared surface merges {e1,e2} with {e3}
+    check("bridge", base ++ Seq(
+      Alias("hq", "e2", "ORG", 0.4), Alias("hq", "e3", "LOC", 0.6)))
+    // split: removing e2's "acme" alias detaches e2 from e1
+    check("split", base.filterNot(a =>
+      a.surface_norm == "acme" && a.entity_id == "e2"))
+    // add a brand-new entity + surface; remove an entity entirely
+    check("add+remove", base.filterNot(_.entity_id == "e5") :+
+      Alias("paris", "e9", "LOC", 0.9))
+    // everything at once (closure across multiple affected components)
+    check("combined",
+      base.filterNot(_.entity_id == "e5")
+        .map(a => if (a.surface_norm == "mueller") a.copy(prior = 0.65) else a) ++
+      Seq(Alias("hq", "e2", "ORG", 0.4), Alias("hq", "e3", "LOC", 0.6),
+        Alias("paris", "e9", "LOC", 0.9)))
+
+    // EMPTY diff: same content (reordered) → same snapshot id, no write
+    val reordered = spark.createDataset(base.reverse).repartition(2)
+    assert(DictStore.applyDiff(spark, root, oldId, reordered) == oldId)
   }
 
   test("scored table round-trips through parquet bit-identically") {

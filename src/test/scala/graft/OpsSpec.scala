@@ -197,6 +197,40 @@ class OpsSpec extends AnyFunSuite {
     val frames = Multimodal.frameSample(stub).collect()
     assert(frames.length == 4) // 16-byte payload → frames 0 and 2 per doc
   }
+
+  test("multimodal: REAL WAV payloads round-trip through javax.sound.sampled") {
+    val d = docs((1, "hello world text", "s"), (2, "other doc", "s"))
+    val media = Multimodal.wavMediaTable(d)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    // payloads are genuine RIFF/WAVE containers
+    val payloads = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(payloads.values.forall(p =>
+      new String(p, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(p, 8, 4, "US-ASCII") == "WAVE"))
+    val stats = Multimodal.audioStats(spark, media).collect().sortBy(_.doc_id)
+    assert(stats.length == 2)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val texts = Map(1L -> "hello world text", 2L -> "other doc")
+    for (row <- stats) {
+      md.reset()
+      val seed = md.digest(texts(row.doc_id).getBytes("UTF-8"))
+      val rate = Multimodal.wavRates(seed(0) & 3)
+      val n = 256 + (seed(1) & 0xff) * 8
+      val amp = 1 + (seed(2) & 0x1f)
+      // decoded stats equal the md5 seed rule the clip was ENCODED with
+      assert(row.sample_rate == rate && row.n_samples == n)
+      assert(row.duration_ms == n * 1000L / rate)
+      // the decoder read every sample: peak/sum match the closed form
+      assert(row.peak == 100L * amp)
+      val r = n % 201
+      assert(row.sum_samples == amp.toLong * (r.toLong * (r - 1) / 2 - 100L * r))
+      // and match a direct driver-side decode of the same bytes
+      val (r2, n2, p2, s2) = Multimodal.decodeWav(payloads(row.doc_id))
+      assert((r2.toLong, n2, p2, s2) ==
+        (row.sample_rate, row.n_samples, row.peak, row.sum_samples))
+    }
+  }
 }
 
 class DenseTaggerSpec extends org.scalatest.funsuite.AnyFunSuite {

@@ -38,6 +38,27 @@ class StreamingSpec extends AnyFunSuite {
     val snaps = graft.store.LineageStore.readLineage(spark, root)
       .collect().map(_.snapshot_id).distinct.sorted
     assert(snaps.toSeq == Seq("batch-0", "batch-1", "batch-2"))
+    // quality-monitor sidecar: KMV distinct-doc/entity rows ACCUMULATE
+    // per batch (replayed batch 0 overwrote its own partition, no dups)
+    import org.apache.spark.sql.functions.col
+    val q = StreamIngest.readQuality(spark, root)
+    assert(q.select("batch").distinct().collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(0, 1, 2))
+    assert(q.columns.toSet == Set("pred", "n_triples", "approx_docs",
+      "approx_subjects", "approx_objects", "batch"))
+    // time travel: as-of batch 1 excludes batch 2's rows
+    assert(StreamIngest.readQuality(spark, root, asOfBatch = Some(1L))
+      .select("batch").distinct().count() == 2)
+    // below k distinct the KMV sketch is EXACT: per-pred distinct docs
+    // of batch 0's sidecar equal the store's own exact counts
+    val sidecar0 = q.where(col("batch") === 0)
+      .select("pred", "approx_docs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct0 = spark.read.parquet(StreamIngest.streamPath(root))
+      .where(col("batch") === 0).groupBy("pred")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("doc_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sidecar0 == direct0 && sidecar0.nonEmpty)
     // existence probes go through the Hadoop FileSystem API: lineage and
     // snapshots must resolve through a URI-qualified path exactly as they
     // would on hdfs:// or s3a:// (a java.io.File probe would return false
