@@ -114,6 +114,45 @@ class DictStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("mid-stream dictionary refresh: CDC snapshot swap between micro-batches") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp("graft_stream_cdc")
+    val v1 = CorpusGen.aliases(spark)
+    val ctx1 = KgPipeline.prepareSaltedContext(spark, v1, root)
+    val cfg = KgPipeline.Config(buckets = 8, broadcastLink = false,
+      dictStore = Some(root))
+    val all = CorpusGen.docs(spark, 60, parts = 4)
+    val b0 = all.filter(_.doc_id < CorpusGen.docId(30))
+    val b1 = all.filter(_.doc_id >= CorpusGen.docId(30))
+    StreamIngest.commitBatch(spark, b0, 0L, root, ctx1, v1, cfg)
+    // dictionary push: every alias of the head location surface dropped
+    val dropSurf = CorpusGen.normSurface(
+      CorpusGen.locations.head._2.mkString(" "))
+    val v2 = v1.filter(_.surface_norm != dropSurf)
+    val builds = Linker.scoredDictBuilds.get()
+    val snap2 = DictStore.applyDiff(spark, root, ctx1.dictSnapshotId.get, v2)
+    assert(Linker.scoredDictBuilds.get() == builds + 1) // subgraph-only rescore
+    val ctx2 = KgPipeline.prepareSaltedContext(spark, v2, root)
+    assert(ctx2.dictSnapshotId.contains(snap2))
+    StreamIngest.commitBatch(spark, b1, 1L, root, ctx2, v2, cfg)
+    // neither the context prep nor the batch rebuilt the scored dict
+    assert(Linker.scoredDictBuilds.get() == builds + 1)
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("subj", "pred", "obj", "doc_id")
+      .as[(String, String, String, String)].collect().toSet
+    val got = triples(spark.read.parquet(StreamIngest.streamPath(root))
+      .where(col("batch") === 1))
+    // batch 1 linked against the REFRESHED dictionary == broadcast ground
+    // truth over v2, and differs from what v1 would have produced
+    val wantV2 = triples(KgPipeline.run(spark, b1, v2,
+      cfg = KgPipeline.Config(buckets = 8)).toDF())
+    val wantV1 = triples(KgPipeline.run(spark, b1, v1,
+      cfg = KgPipeline.Config(buckets = 8)).toDF())
+    assert(got == wantV2 && got.nonEmpty)
+    assert(got != wantV1, "dictionary drop not visible in stream output")
+    spark.catalog.clearCache()
+  }
+
   test("torn write (no _SUCCESS) heals: next ensureScored rebuilds") {
     val root = tmp("graft_dict_torn")
     val aliases = CorpusGen.aliases(spark)
