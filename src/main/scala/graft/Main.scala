@@ -22,6 +22,11 @@ import org.apache.spark.sql.SparkSession
   *     triple-store maintenance: rewrite each bucket partition's
   *     accumulated small files as one file per bucket (rows + lineage
   *     unchanged).
+  *   dict <aliasesParquetDir|gen> <storeRoot>
+  *     scored-dictionary maintenance: bring the snapshot-keyed
+  *     DictStore up to the given alias table — CDC delta from the
+  *     CURRENT snapshot when possible, full build otherwise, no-op
+  *     when already current — and advance the head pointer.
   *   serve [port]
   *     HTTP NER surface (GET /models, POST /ner[/id]) over the built-in
   *     registry; blocks until killed.
@@ -111,6 +116,17 @@ object Main {
       println(s"compacted ${LineageStore.triplesPath(args(1))}: $before -> $after data files")
       spark.stop()
 
+    case Some("dict") =>
+      val spark = session("graft-dict-refresh")
+      import spark.implicits._
+      val aliases =
+        if (args(1) == "gen") CorpusGen.aliases(spark)
+        else spark.read.parquet(args(1)).as[graft.model.Alias]
+      val id = graft.store.DictStore.refresh(spark, args(2), aliases)
+      println(s"scored dictionary head: $id at " +
+        graft.store.DictStore.snapPath(args(2), id))
+      spark.stop()
+
     case Some("serve") =>
       // serve [port] — the reference's webapp surface (/models, /ner)
       // over the built-in gazetteer registry; blocks until killed
@@ -148,7 +164,7 @@ object Main {
     case Some("verify") => Verify.main(args.drop(1))
     case Some("bench") => Bench.main(Array.empty)
     case _ =>
-      System.err.println("usage: graft.Main run|stream|mlm|compact|serve|verify|bench|status ...")
+      System.err.println("usage: graft.Main run|stream|mlm|compact|dict|serve|verify|bench|status ...")
       sys.exit(2)
   }
 }

@@ -634,6 +634,13 @@ object SparkEntry {
     "q93_pii_redact" -> ((s, dir) =>
       graft.ops.Filters.piiRedact(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // ---- frame-level audio feature extraction: per-window PCM energy
+    //      (decoder squares every sample; oracle = sawtooth closed form) ----
+    "q96_audio_energy" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.wavMediaTable(t(s, dir, "documents"))
+      graft.ops.Multimodal.audioEnergy(s, media).toDF()
+        .orderBy("doc_id", "window_idx")
+    }),
     // ---- RAG/pretraining sliding-window chunking ----
     "q90_chunking" -> ((s, dir) =>
       graft.ops.TextOps.chunkDocs(t(s, dir, "documents"))
@@ -1948,6 +1955,28 @@ object SparkEntry {
         | (amp * ((n % 201) * ((n % 201) - 1) // 2 - 100 * (n % 201)))::BIGINT
         |   AS sum_samples
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q96_audio_energy" ->
+      """WITH s AS (SELECT doc_id,
+        |  ('0x'||substr(md5(text),3,2))::BIGINT AS s1,
+        |  ('0x'||substr(md5(text),5,2))::BIGINT AS s2 FROM documents),
+        | p AS (SELECT doc_id, 256 + s1 * 8 AS n, 1 + (s2 & 31) AS amp FROM s),
+        | w AS (SELECT doc_id, n, amp, unnest(range((n + 255) // 256)) AS w0 FROM p),
+        | e AS (SELECT doc_id, n, amp, w0, w0 * 256 AS a,
+        |   least(n, w0 * 256 + 256) AS b FROM w),
+        | f AS (SELECT doc_id, amp, w0, a, b,
+        |   a // 201 AS fa, a % 201 AS ra,
+        |   b // 201 AS fb, b % 201 AS rb FROM e)
+        |SELECT doc_id::BIGINT AS doc_id, 'aud://'||doc_id AS media_ref,
+        | w0::BIGINT AS window_idx, (b - a)::BIGINT AS n_in_window,
+        | (amp * amp * (
+        |   (fb * 676700 + CASE WHEN rb <= 100
+        |     THEN 338350 - (100-rb)*(101-rb)*(201-2*rb) // 6
+        |     ELSE 338350 + (rb-101)*(rb-100)*(2*rb-201) // 6 END)
+        | - (fa * 676700 + CASE WHEN ra <= 100
+        |     THEN 338350 - (100-ra)*(101-ra)*(201-2*ra) // 6
+        |     ELSE 338350 + (ra-101)*(ra-100)*(2*ra-201) // 6 END)
+        | ))::BIGINT AS energy
+        |FROM f ORDER BY doc_id, window_idx""".stripMargin,
     "q94_kmv_windowed" ->
       """WITH e AS (SELECT event_type,
         |   epoch_us(ts) // 3600000000 * 3600000000 AS window_us,

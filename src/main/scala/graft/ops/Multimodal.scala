@@ -235,6 +235,48 @@ object Multimodal {
       }
   }
 
+  case class AudioWindow(
+      doc_id: Long, media_ref: String, window_idx: Long,
+      n_in_window: Long, energy: Long)
+
+  /** Windowed energy over decoded PCM — the frame-level feature
+    * extraction shape of a real audio pipeline (fixed windows, one
+    * integer energy per window, explode-style fan-out bounded by
+    * clip length / window). The decoder genuinely squares and sums
+    * every sample; the DuckDB oracle replays the closed form of the
+    * sawtooth's prefix-sum-of-squares from md5(text) alone.
+    */
+  def audioEnergy(spark: SparkSession, media: DataFrame,
+                  window: Int = 256, batchSize: Int = 64): Dataset[AudioWindow] = {
+    import spark.implicits._
+    media.select("doc_id", "media_ref", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            val bytes = ais.readAllBytes()
+            ais.close()
+            val n = bytes.length / 2
+            val nWin = (n + window - 1) / window
+            (0 until nWin).map { w =>
+              val start = w * window
+              val end = math.min(n, start + window)
+              var e = 0L
+              var i = start
+              while (i < end) {
+                val v = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+                e += v.toLong * v
+                i += 1
+              }
+              AudioWindow(r.doc_id, r.media_ref, w.toLong,
+                (end - start).toLong, e)
+            }
+          }
+        }
+      }
+  }
+
   /** Resize plan: fit each decoded image into a target box preserving
     * aspect ratio — the METADATA math is real (and oracle-checked); the
     * pixel resample itself is the stubbed codec step. Pure column

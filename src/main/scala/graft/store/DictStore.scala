@@ -125,6 +125,55 @@ object DictStore {
     }
   }
 
+  def currentPath(root: String) = s"${dictRoot(root)}/CURRENT"
+
+  /** The operational head pointer: which snapshot consumers should use.
+    * Written AFTER a snapshot is fully committed (the swap is a single
+    * small-file overwrite — a crash before it leaves the old pointer
+    * valid; after it, the new snapshot is already durable).
+    */
+  def readCurrent(spark: SparkSession, root: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(currentPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  def writeCurrent(spark: SparkSession, root: String, snapId: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(currentPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(snapId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Operational entry (the `Main dict` verb): bring the store's head up
+    * to the state of `aliases` — CDC from the current snapshot when its
+    * sidecars exist, full build otherwise, no-op when already current —
+    * then advance the CURRENT pointer. Returns the head snapshot id.
+    */
+  def refresh(spark: SparkSession, root: String,
+              aliases: Dataset[Alias]): String = {
+    val newId = fingerprint(spark, aliases)
+    val head = readCurrent(spark, root) match {
+      case Some(old) if old != newId &&
+          readAliases(spark, root, old).isDefined &&
+          readCanon(spark, root, old).isDefined =>
+        applyDiff(spark, root, old, aliases)
+      case _ =>
+        ensureScored(spark, root, newId, aliases,
+          Some(graft.kg.ConnectedComponents.canonicalMap(spark, aliases.toDF())))
+        newId
+    }
+    writeCurrent(spark, root, head)
+    head
+  }
+
   /** DICTIONARY CDC: refresh the store from snapshot `oldSnapId` to the
     * state of `newAliases` by applying the DELTA — only the connected
     * components actually touched by added/removed/re-prioritized aliases

@@ -143,6 +143,39 @@ object StreamIngest {
     }
   }
 
+  /** Drift ALERTS over the quality sidecar: batch-over-batch ratio
+    * checks per predicate — a batch whose triple volume or distinct-doc
+    * cardinality moves more than `tolerance`× against the previous
+    * batch (either direction), or a predicate that appears/disappears
+    * entirely, yields one alert row. Runs off the tiny sidecar table
+    * only (O(batches × preds) rows — never the triple store), so an
+    * operator can evaluate it after every commit for free.
+    */
+  def qualityDrift(spark: SparkSession, root: String,
+                   tolerance: Double = 4.0): DataFrame = {
+    val q = readQuality(spark, root)
+      .select(col("pred"), col("batch").cast("long").as("batch"),
+        col("n_triples"), col("approx_docs"))
+    val prev = q.select(col("pred"), (col("batch") + 1).as("batch"),
+      col("n_triples").as("prev_triples"), col("approx_docs").as("prev_docs"))
+    val batches = q.select("batch").distinct()
+      .join(prev.select("batch").distinct(), Seq("batch"), "inner")
+    // full outer per (pred, adjacent-batch pair): appearing/vanishing
+    // predicates surface as infinite-ratio alerts
+    q.join(prev, Seq("pred", "batch"), "full_outer")
+      .join(batches, Seq("batch"), "left_semi") // only true adjacent pairs
+      .withColumn("triple_ratio",
+        col("n_triples").cast("double") / col("prev_triples"))
+      .withColumn("doc_ratio",
+        col("approx_docs").cast("double") / col("prev_docs"))
+      .where(col("n_triples").isNull || col("prev_triples").isNull ||
+        col("triple_ratio") > tolerance || col("triple_ratio") < 1.0 / tolerance ||
+        col("doc_ratio") > tolerance || col("doc_ratio") < 1.0 / tolerance)
+      .select(col("batch"), col("pred"), col("prev_triples"),
+        col("n_triples"), col("triple_ratio"), col("prev_docs"),
+        col("approx_docs"), col("doc_ratio"))
+  }
+
   /** Incrementally-maintained canonical entity map: the co-mention
     * components of every triple streamed so far (the streaming face of the
     * north rule's "canonicalization via connected components").

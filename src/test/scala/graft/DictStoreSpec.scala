@@ -153,6 +153,31 @@ class DictStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("refresh: full build, CDC advance, and no-op all move the CURRENT pointer") {
+    val root = tmp("graft_dict_refresh")
+    val v1 = CorpusGen.aliases(spark)
+    assert(DictStore.readCurrent(spark, root).isEmpty)
+    val id1 = DictStore.refresh(spark, root, v1)
+    assert(DictStore.readCurrent(spark, root).contains(id1))
+    assert(id1 == DictStore.fingerprint(spark, v1))
+    // no-op refresh: same content → same head, no rebuild
+    val b0 = Linker.scoredDictBuilds.get()
+    assert(DictStore.refresh(spark, root, v1) == id1)
+    assert(Linker.scoredDictBuilds.get() == b0)
+    // changed dictionary → CDC path (one subgraph-only build), head moves
+    val dropSurf = CorpusGen.normSurface(
+      CorpusGen.locations.head._2.mkString(" "))
+    val v2 = v1.filter(_.surface_norm != dropSurf)
+    val id2 = DictStore.refresh(spark, root, v2)
+    assert(id2 != id1 && DictStore.readCurrent(spark, root).contains(id2))
+    assert(Linker.scoredDictBuilds.get() == b0 + 1)
+    // the refreshed snapshot's scored table no longer knows the surface
+    val surfaces = spark.read.parquet(DictStore.scoredPath(root, id2))
+      .select("surface_norm").as[String].collect().toSet
+    assert(!surfaces.contains(dropSurf))
+    spark.catalog.clearCache()
+  }
+
   test("torn write (no _SUCCESS) heals: next ensureScored rebuilds") {
     val root = tmp("graft_dict_torn")
     val aliases = CorpusGen.aliases(spark)

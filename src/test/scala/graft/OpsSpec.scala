@@ -230,6 +230,30 @@ class OpsSpec extends AnyFunSuite {
       assert((r2.toLong, n2, p2, s2) ==
         (row.sample_rate, row.n_samples, row.peak, row.sum_samples))
     }
+    // windowed energy: every window's decoded sum-of-squares equals the
+    // sawtooth closed form (prefix sums of squares over the 201-cycle)
+    def pSq(m: Long): Long = m * (m + 1) * (2 * m + 1) / 6
+    def sSq(x: Long): Long = {
+      val f = x / 201; val r = x % 201
+      val t = if (r <= 100) 338350L - pSq(100 - r) else 338350L + pSq(r - 101)
+      f * 676700L + t
+    }
+    val wins = Multimodal.audioEnergy(spark, media).collect()
+      .groupBy(_.doc_id)
+    for ((id, ws) <- wins) {
+      md.reset()
+      val seed = md.digest(texts(id).getBytes("UTF-8"))
+      val n = 256 + (seed(1) & 0xff) * 8
+      val amp = 1 + (seed(2) & 0x1f)
+      assert(ws.length == (n + 255) / 256)
+      for (w <- ws) {
+        val a = w.window_idx * 256
+        val b = math.min(n.toLong, a + 256)
+        assert(w.n_in_window == b - a)
+        assert(w.energy == amp.toLong * amp * (sSq(b) - sSq(a)),
+          s"doc $id window ${w.window_idx}")
+      }
+    }
   }
 }
 

@@ -311,4 +311,34 @@ class StatefulStreamSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
     spark.sql("DROP TABLE IF EXISTS running_counts")
   }
+
+  test("quality drift alerts fire on a planted volume collapse, stay quiet otherwise") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_drift").toString
+    val aliases = CorpusGen.aliases(spark)
+    val ctx = KgPipeline.prepareLinkContext(spark, aliases)
+    val cfg = KgPipeline.Config(buckets = 8)
+    val all = CorpusGen.docs(spark, 66, parts = 2)
+    // batch 0: 30 docs; batch 1: 30 comparable docs; batch 2: 6 docs —
+    // a planted ~5x collapse in per-pred triple volume
+    val b0 = all.filter(_.doc_id < CorpusGen.docId(30))
+    val b1 = all.filter(d => d.doc_id >= CorpusGen.docId(30) &&
+      d.doc_id < CorpusGen.docId(60))
+    val b2 = all.filter(_.doc_id >= CorpusGen.docId(60))
+    StreamIngest.commitBatch(spark, b0, 0L, root, ctx, aliases, cfg)
+    StreamIngest.commitBatch(spark, b1, 1L, root, ctx, aliases, cfg)
+    StreamIngest.commitBatch(spark, b2, 2L, root, ctx, aliases, cfg)
+    val alerts = StreamIngest.qualityDrift(spark, root, tolerance = 4.0)
+    // the collapse batch alerts; the comparable 0->1 pair includes no
+    // head-predicate volume alerts (rare preds may appear/vanish — those
+    // rows carry a null side rather than a ratio breach)
+    val batch2Alerts = alerts.where(col("batch") === 2)
+    assert(batch2Alerts.count() > 0, "planted collapse not flagged")
+    val headVolumeAlertsB1 = alerts.where(col("batch") === 1 &&
+      col("triple_ratio").isNotNull &&
+      (col("triple_ratio") > 4.0 || col("triple_ratio") < 0.25))
+    assert(headVolumeAlertsB1.count() == 0,
+      "comparable batches flagged as drift")
+    spark.catalog.clearCache()
+  }
 }
