@@ -78,6 +78,16 @@ class NerServer(spark: SparkSession, registry: ModelRegistry, port: Int = 0) {
       }
     }
 
+  // the reference's entry redirect (app.py:161-163): "/" → /index.html.
+  // Registered on "/" so it also serves as the 404 fallback for paths no
+  // other context claims (HttpServer longest-prefix routing).
+  server.createContext("/", (ex: HttpExchange) => safely(ex) {
+    if (ex.getRequestURI.getPath == "/") {
+      ex.getResponseHeaders.set("Location", "/index.html")
+      ex.sendResponseHeaders(302, -1)
+      ex.getResponseBody.close()
+    } else respond(ex, 404, """{"error":"not found"}""")
+  })
   server.createContext("/ner-bert-tokens", postEndpoint("/ner-bert-tokens", bertTokens))
   server.createContext("/tokenized", postEndpoint("/tokenized",
     (_, text) => tokenized(text)))

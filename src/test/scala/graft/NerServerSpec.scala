@@ -96,6 +96,20 @@ class NerServerSpec extends AnyFunSuite {
     }
   }
 
+  test("root redirects to /index.html (app.py:161-163); unknown paths 404") {
+    withServer { (_, port, client) =>
+      val r = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 302)
+      assert(r.headers().firstValue("Location").orElse("") == "/index.html")
+      val nf = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/nope")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(nf.statusCode() == 404)
+    }
+  }
+
   test("request-hash memoization and warm-model swap semantics") {
     withServer { (srv, port, client) =>
       val url = s"http://localhost:$port/ner"
