@@ -921,18 +921,22 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
         | sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
         |   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM w),
-        | seeded AS (SELECT doc_id, shingle, h FROM sh, range(0,8) t(h))
+        | hh AS (SELECT doc_id,
+        |   ('0x'||substr(md5('a_'||shingle),1,15))::BIGINT AS h1,
+        |   ('0x'||substr(md5('b_'||shingle),1,15))::BIGINT AS h2 FROM sh)
         |SELECT doc_id, h,
-        | min(('0x'||substr(md5(h||'_'||shingle),1,15))::BIGINT) AS minhash
-        |FROM seeded GROUP BY doc_id, h ORDER BY doc_id, h""".stripMargin,
+        | min((h1 + h * h2) % 1152921504606846976) AS minhash
+        |FROM hh, range(0,8) t(h) GROUP BY doc_id, h ORDER BY doc_id, h""".stripMargin,
     "q19_minhash_pairs" ->
       """WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
         | sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
         |   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM w),
-        | seeded AS (SELECT doc_id, shingle, h FROM sh, range(0,8) t(h)),
+        | hh AS (SELECT doc_id,
+        |   ('0x'||substr(md5('a_'||shingle),1,15))::BIGINT AS h1,
+        |   ('0x'||substr(md5('b_'||shingle),1,15))::BIGINT AS h2 FROM sh),
         | sig AS (SELECT doc_id, h,
-        |   min(('0x'||substr(md5(h||'_'||shingle),1,15))::BIGINT) AS minhash
-        |   FROM seeded GROUP BY doc_id, h),
+        |   min((h1 + h * h2) % 1152921504606846976) AS minhash
+        |   FROM hh, range(0,8) t(h) GROUP BY doc_id, h),
         | bands AS (SELECT doc_id, h//2 AS band,
         |   md5(string_agg(h||':'||minhash, ',' ORDER BY h||':'||minhash)) AS band_key
         |   FROM sig GROUP BY doc_id, h//2)
@@ -1253,10 +1257,12 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
         | shd AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
         |   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM w),
-        | seeded AS (SELECT doc_id, shingle, h FROM shd, range(0,8) t(h)),
+        | hh AS (SELECT doc_id,
+        |   ('0x'||substr(md5('a_'||shingle),1,15))::BIGINT AS h1,
+        |   ('0x'||substr(md5('b_'||shingle),1,15))::BIGINT AS h2 FROM shd),
         | sig AS (SELECT doc_id, h,
-        |   min(('0x'||substr(md5(h||'_'||shingle),1,15))::BIGINT) AS minhash
-        |   FROM seeded GROUP BY doc_id, h),
+        |   min((h1 + h * h2) % 1152921504606846976) AS minhash
+        |   FROM hh, range(0,8) t(h) GROUP BY doc_id, h),
         | bands AS (SELECT doc_id, h//2 AS band,
         |   md5(string_agg(h||':'||minhash, ',' ORDER BY h||':'||minhash)) AS band_key
         |   FROM sig GROUP BY doc_id, h//2),
@@ -2247,10 +2253,12 @@ object SparkEntry {
       """WITH RECURSIVE w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
         | sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
         |   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM w),
-        | seeded AS (SELECT doc_id, shingle, h FROM sh, range(0,8) t(h)),
+        | hh AS (SELECT doc_id,
+        |   ('0x'||substr(md5('a_'||shingle),1,15))::BIGINT AS h1,
+        |   ('0x'||substr(md5('b_'||shingle),1,15))::BIGINT AS h2 FROM sh),
         | sig AS (SELECT doc_id, h,
-        |   min(('0x'||substr(md5(h||'_'||shingle),1,15))::BIGINT) AS minhash
-        |   FROM seeded GROUP BY doc_id, h),
+        |   min((h1 + h * h2) % 1152921504606846976) AS minhash
+        |   FROM hh, range(0,8) t(h) GROUP BY doc_id, h),
         | bands AS (SELECT doc_id, h//2 AS band,
         |   md5(string_agg(h||':'||minhash, ',' ORDER BY h||':'||minhash)) AS band_key
         |   FROM sig GROUP BY doc_id, h//2),

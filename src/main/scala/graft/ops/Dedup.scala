@@ -35,8 +35,16 @@ object Dedup {
     * lambdas are NOT whole-stage-codegen'd (interpreted per element), and
     * a seeded-md5 min has no codegen-able built-in — measured 2.3×
     * faster than the HOF formulation and ∞ less shuffle than the
-    * explode+groupBy one. Hash = first 60 bits of md5("h_shingle"),
-    * bit-identical to TextOps.hexInt and the DuckDB oracle.
+    * explode+groupBy one.
+    *
+    * Hash family: Kirsch-Mitzenmacher double hashing (the same public
+    * construction the Bloom filter uses) — hash_i(shingle) =
+    * (h1 + i·h2) mod 2^60 with h1 = h60("a_"+shingle), h2 =
+    * h60("b_"+shingle). TWO digest calls per shingle instead of one per
+    * (shingle, function): at 8 functions this quarters the cost of the
+    * dominant dedup kernel while keeping every value bit-replayable in
+    * the DuckDB oracles (no overflow: h1 + 7·h2 ≤ 8·(2^60−1) <
+    * Long.MaxValue, which also bounds nHashes at 8).
     */
   /** doc ids travel as strings through the kernel and are cast back to
     * the input's own id type at the end — lossless for numeric ids, a
@@ -47,11 +55,15 @@ object Dedup {
       : org.apache.spark.sql.Dataset[(String, Array[Long])] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(nHashes <= 8,
+      s"K-M minhash family supports at most 8 functions (got $nHashes): " +
+        "h1 + 7*h2 is the largest sum that cannot overflow Long")
     docs.select(col("doc_id").cast("string"), col("text"))
       .as[(String, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         def h60(s: String): Long = TextOps.h60(md, s)
+        val M = 1L << 60
         it.flatMap { case (id, text) =>
           val ws = text.split(" ", -1) // same semantics as split(text,' ')
           val n = ws.length - 2
@@ -61,10 +73,15 @@ object Dedup {
             var i = 0
             while (i < n) {
               val sh = ws(i) + " " + ws(i + 1) + " " + ws(i + 2)
+              val h1 = h60("a_" + sh)
+              val h2 = h60("b_" + sh)
+              // iterative (v + h2) % M == (h1 + h*h2) % M — the exact
+              // expression the DuckDB oracle evaluates directly
+              var v = h1
               var h = 0
               while (h < nHashes) {
-                val v = h60(h.toString + "_" + sh)
                 if (v < mins(h)) mins(h) = v
+                v = (v + h2) % M
                 h += 1
               }
               i += 1
