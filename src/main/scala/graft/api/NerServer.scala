@@ -43,9 +43,11 @@ class NerServer(spark: SparkSession, registry: ModelRegistry, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.createContext("/models", (ex: HttpExchange) => safely(ex) {
+    // jsonStr (proper JSON escaping) — the reference's jsonify escapes
+    // these fields too; html escaping belongs only to /ner-bert-tokens
     val body = registry.list.map { m =>
-      s"""{"name":"${NerOutput.htmlEscape(m.name)}","id":${m.id},""" +
-        s""""model_dir":"${NerOutput.htmlEscape(m.model_dir)}",""" +
+      s"""{"name":${jsonStr(m.name)},"id":${m.id},""" +
+        s""""model_dir":${jsonStr(m.model_dir)},""" +
         s""""epoch":${m.epoch},"default":${m.default}}"""
     }.mkString("[", ",", "]")
     respond(ex, 200, body)
@@ -63,18 +65,24 @@ class NerServer(spark: SparkSession, registry: ModelRegistry, port: Int = 0) {
       else {
         val path = ex.getRequestURI.getPath.stripPrefix(prefix)
           .stripPrefix("/")
-        val modelId = if (path.isEmpty) None else Some(path.toInt)
-        val text = new String(ex.getRequestBody.readAllBytes(),
-          StandardCharsets.UTF_8)
-        val key = graft.store.Snapshots.configHash(spark, prefix,
-          registry.resolve(modelId).id.toString, text)
-        val cached = memo.get(key)
-        val body = if (cached != null) { memoHits.incrementAndGet(); cached }
+        // a malformed id suffix is a CLIENT error (404, like the
+        // reference's unmatched <model_id> route), never a 500
+        if (path.nonEmpty && path.toIntOption.isEmpty)
+          respond(ex, 404, """{"error":"bad model id"}""")
         else {
-          val out = handler(modelId, text)
-          memo.put(key, out); out
+          val modelId = path.toIntOption
+          val text = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val key = graft.store.Snapshots.configHash(spark, prefix,
+            registry.resolve(modelId).id.toString, text)
+          val cached = memo.get(key)
+          val body = if (cached != null) { memoHits.incrementAndGet(); cached }
+          else {
+            val out = handler(modelId, text)
+            memo.put(key, out); out
+          }
+          respond(ex, 200, body)
         }
-        respond(ex, 200, body)
       }
     }
 
@@ -167,8 +175,11 @@ class NerServer(spark: SparkSession, registry: ModelRegistry, port: Int = 0) {
   private def safely(ex: HttpExchange)(f: => Unit): Unit =
     try f catch {
       case e: Exception =>
+        // jsonStr, not htmlEscape: exception messages routinely contain
+        // newlines/backslashes (Spark analysis errors), which htmlEscape
+        // leaves raw — the 500 body must still be parseable JSON
         respond(ex, 500,
-          s"""{"error":"${NerOutput.htmlEscape(String.valueOf(e.getMessage))}"}""")
+          s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
     }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {

@@ -106,7 +106,11 @@ object Multimodal {
   }
 
   /** Batched decode stage: one mapPartitions, grouped micro-batches (the
-    * mapInPandas batch shape), never row-at-a-time.
+    * mapInPandas batch shape). The stub codec itself decodes per row —
+    * the grouping exists as the amortization point a real vectorized
+    * codec (GPU image decode, batched resampler) plugs into without
+    * reshaping the stage; it does not pretend to amortize anything
+    * today.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame,
                      batchSize: Int = 64,
@@ -308,6 +312,9 @@ object Multimodal {
         explode(sequence(lit(0), frames - 1, lit(step))).as("frame_idx"))
       .select(col("doc_id"), col("media_ref"),
         col("frame_idx").cast("long").as("frame_idx"),
-        (col("frame_idx") * (1000 / fps)).cast("long").as("ts_ms"))
+        // (idx * 1000) / fps, NOT idx * (1000/fps): integer-dividing the
+        // per-frame increment first drifts for any fps not dividing 1000
+        // (at 30 fps frame 3000 would be a full second off)
+        (col("frame_idx") * 1000 / fps).cast("long").as("ts_ms"))
   }
 }

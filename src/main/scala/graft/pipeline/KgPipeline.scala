@@ -193,7 +193,12 @@ object KgPipeline {
   case class LinkContext(dict: Map[String, Seq[Alias]],
                          canon: Map[String, String],
                          bloomBits: Option[Array[Long]] = None,
-                         dictSnapshotId: Option[String] = None)
+                         dictSnapshotId: Option[String] = None,
+                         // true for contexts built by prepareSaltedContext:
+                         // they carry NO driver dictionary, so the broadcast
+                         // branch must reject them instead of silently
+                         // linking nothing
+                         saltedOnly: Boolean = false)
 
   /** Persisted row of the salted path's detect cache: EITHER a slim
     * mention projection (surface_norm + join key + type — the minimum
@@ -249,7 +254,8 @@ object KgPipeline {
     val bits = graft.ops.Bloom.buildBits(
       scored.select(org.apache.spark.sql.functions.col("surface_norm")
         .cast("string")).as[String], 1 << 16, 4)
-    LinkContext(Map.empty, Map.empty, Some(bits), Some(snapId))
+    LinkContext(Map.empty, Map.empty, Some(bits), Some(snapId),
+      saltedOnly = true)
   }
 
   /** Full run: docs + alias dict → triples. Pass a prepared [[LinkContext]]
@@ -269,6 +275,10 @@ object KgPipeline {
         // the driver-resident LinkContext is legitimate — prepared lazily
         // HERE so the salted branch never materializes it
         val context = ctx.getOrElse(prepareLinkContext(spark, aliases))
+        require(!context.saltedOnly,
+          "a salted-regime LinkContext (prepareSaltedContext: no driver " +
+            "dictionary) was passed to the broadcast path — it would link " +
+            "nothing; use Config(broadcastLink = false) or prepareLinkContext")
         val bcDict = spark.sparkContext.broadcast(context.dict)
         val bcCanon = spark.sparkContext.broadcast(context.canon)
         def linkCanon(surface: String, typ: String): Option[(String, Double)] = {
@@ -321,10 +331,15 @@ object KgPipeline {
                 CorpusGen.normSurface(r.obj_surface), r.obj_type)
             }
           }
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // materialize ONCE before the consumers below — without this
-        // the union's branches race and recompute detect partitions
-        slim.count()
+          // eager localCheckpoint, not persist: materializes ONCE before
+          // the consumers below (without a cut the union's branches race
+          // and recompute detect partitions) AND the blocks are released
+          // by the ContextCleaner when the dataset goes out of scope — a
+          // Dataset.persist entry would live in the cache manager until
+          // an explicit unpersist that no caller can sequence (run()
+          // returns a LAZY plan), leaking one cached detect projection
+          // per micro-batch on a long-running stream
+          .localCheckpoint()
         // dictionary side: with a DictStore root the scored+canonicalized
         // dictionary is READ from the snapshot-keyed table (built at most
         // once per dictionary snapshot — the canon CC job and both

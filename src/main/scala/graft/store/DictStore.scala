@@ -51,21 +51,29 @@ object DictStore {
   private def rowKey(a: Alias): String =
     s"${a.surface_norm}${a.entity_id}${a.entity_type}${a.prior}"
 
-  /** Content fingerprint of a dictionary snapshot: count + xor of
-    * per-row h60 — order-independent, so any partitioning/ordering of
-    * the same alias set produces the same id. One narrow O(dictionary)
-    * scan; at 100 TB corpus scale this is dictionary-sized, i.e. free
-    * relative to a single micro-batch.
+  /** Content fingerprint of a dictionary snapshot: count + xor + wrapped
+    * SUM of per-row h60 — order-independent, so any partitioning/
+    * ordering of the same alias set produces the same id. The sum term
+    * makes the combine multiplicity-sensitive: xor alone self-cancels on
+    * even duplicate counts ({R,Q,Q} vs {R,R,R} xor-collide), and a
+    * duplicated alias row from a bad upstream feed must still move the
+    * snapshot id or refresh() would skip a real change. One narrow
+    * O(dictionary) scan; at 100 TB corpus scale this is
+    * dictionary-sized, i.e. free relative to a single micro-batch.
     */
   def fingerprint(spark: SparkSession, aliases: Dataset[Alias]): String = {
     import spark.implicits._
     val parts = aliases.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      var n = 0L; var x = 0L
-      it.foreach { a => n += 1L; x ^= graft.ops.TextOps.h60(md, rowKey(a)) }
-      Iterator.single((n, x))
+      var n = 0L; var x = 0L; var s = 0L
+      it.foreach { a =>
+        val h = graft.ops.TextOps.h60(md, rowKey(a))
+        n += 1L; x ^= h; s += h // wrapping add: order-independent
+      }
+      Iterator.single((n, x, s))
     }.collect()
-    render(parts.map(_._1).sum, parts.map(_._2).foldLeft(0L)(_ ^ _))
+    render(parts.map(_._1).sum, parts.map(_._2).foldLeft(0L)(_ ^ _),
+      parts.map(_._3).sum)
   }
 
   /** Driver-side twin of [[fingerprint]] for rows already in memory
@@ -75,12 +83,16 @@ object DictStore {
     */
   def fingerprintLocal(aliases: IterableOnce[Alias]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    var n = 0L; var x = 0L
-    aliases.iterator.foreach { a => n += 1L; x ^= graft.ops.TextOps.h60(md, rowKey(a)) }
-    render(n, x)
+    var n = 0L; var x = 0L; var s = 0L
+    aliases.iterator.foreach { a =>
+      val h = graft.ops.TextOps.h60(md, rowKey(a))
+      n += 1L; x ^= h; s += h
+    }
+    render(n, x, s)
   }
 
-  private def render(n: Long, x: Long): String = f"$n%d-$x%015x"
+  private def render(n: Long, x: Long, s: Long): String =
+    f"$n%d-$x%015x-$s%016x"
 
   private def isCommitted(spark: SparkSession, path: String): Boolean =
     Fs.exists(spark, s"$path/_SUCCESS")

@@ -226,14 +226,25 @@ object StreamIngest {
       .select(col("node"), col("component")))
   }
 
-  /** Current canonical map (latest batch), or as-of a given batch id. */
+  /** Current canonical map (latest batch), or as-of a given batch id —
+    * the latest committed snapshot AT OR BELOW `asOfBatch` (time-travel
+    * semantics matching [[readQuality]] and [[Snapshots.readStreamAsOf]];
+    * an exact-id probe would silently return an EMPTY map for any batch
+    * id without its own canon partition, e.g. a replay-skipped batch).
+    * Throws if no snapshot exists at or below the requested batch.
+    */
   def readCanonMap(spark: SparkSession, root: String,
                    asOfBatch: Option[Long] = None): DataFrame = {
     val snaps = spark.read.parquet(canonPath(root))
-    val latest = asOfBatch.getOrElse {
-      snaps.agg(max(col("batch").cast("long"))).head().getLong(0)
+    val eligible = asOfBatch match {
+      case Some(b) => snaps.where(col("batch").cast("long") <= b)
+      case None => snaps
     }
-    snaps.where(col("batch") === latest).select(col("node"), col("component"))
+    val head = eligible.agg(max(col("batch").cast("long"))).head()
+    require(!head.isNullAt(0),
+      s"no canon snapshot at or below batch ${asOfBatch.getOrElse("latest")}")
+    eligible.where(col("batch") === head.getLong(0))
+      .select(col("node"), col("component"))
   }
 
   /** Columns later engine versions ADDED to the triple schema, with the

@@ -118,10 +118,11 @@ object SentenceSplitter {
     }.filter(_.nonEmpty)
   }
 
-  /** Sentence-split a token sequence: boundary after `.`/`!`/`?`/`:` not
+  /** Sentence-split a token sequence: boundary after `.`/`!`/`?` not
     * belonging to an abbreviation or a number, mirroring the regex
     * end-of-sentence rule of europeana_historic.py:35-44 (word matches
-    * `.*[.?!]$` with numeric/short-token guards).
+    * `.*[.?!]$` with numeric/short-token guards — the reference rule has
+    * no colon boundary, and neither does this).
     */
   def splitSentences(tokens: Array[String]): Array[Array[String]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[String]]

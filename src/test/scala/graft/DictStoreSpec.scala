@@ -39,6 +39,25 @@ class DictStoreSpec extends AnyFunSuite {
     // matches the LinkContext-carried id (zero-extra-job path)
     val ctx = KgPipeline.prepareLinkContext(spark, ds)
     assert(ctx.dictSnapshotId.contains(fp))
+    // multiplicity-sensitive: xor alone would collide {R,Q,Q} with
+    // {R,R,R} (duplicates cancel pairwise) — the sum term must not
+    val r = rows(0); val q = rows(1)
+    assert(DictStore.fingerprintLocal(Seq(r, q, q)) !=
+      DictStore.fingerprintLocal(Seq(r, r, r)))
+    assert(DictStore.fingerprintLocal(Seq(r, r)) !=
+      DictStore.fingerprintLocal(Seq(r)))
+  }
+
+  test("broadcast path rejects a salted-only context instead of linking nothing") {
+    val root = tmp("graft_salted_guard")
+    val aliases = CorpusGen.aliases(spark)
+    val ctx = KgPipeline.prepareSaltedContext(spark, aliases, root)
+    val docs = CorpusGen.docs(spark, 10, parts = 2)
+    val e = intercept[IllegalArgumentException] {
+      KgPipeline.run(spark, docs, aliases,
+        cfg = KgPipeline.Config(), ctx = Some(ctx)).count()
+    }
+    assert(e.getMessage.contains("salted-regime"))
   }
 
   test("store-backed salted pipeline: parity with inline + broadcast, built once") {

@@ -126,6 +126,12 @@ class NerServerSpec extends AnyFunSuite {
       assert(g.statusCode() == 405)
       val bad = post(client, s"$url/99", "x")
       assert(bad.statusCode() == 500)
+      // the 500 body must be PARSEABLE JSON even for messy messages
+      assert(bad.body().startsWith("{\"error\":\"") &&
+        !bad.body().exists(_ < ' '), bad.body())
+      // a non-numeric model id is a CLIENT error (404), never a 500
+      val nonNum = post(client, s"$url/abc", "x")
+      assert(nonNum.statusCode() == 404, nonNum.body())
     }
   }
 }

@@ -196,6 +196,11 @@ class OpsSpec extends AnyFunSuite {
     val stub = Multimodal.mediaTable(d)
     val frames = Multimodal.frameSample(stub).collect()
     assert(frames.length == 4) // 16-byte payload → frames 0 and 2 per doc
+    // ts math is (idx*1000)/fps, not idx*(1000/fps): at 30 fps frame 3
+    // is 100 ms (the drifting per-frame-increment form gave 99)
+    val f30 = Multimodal.frameSample(stub, step = 1, fps = 30).collect()
+      .map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(f30(3L) == 100L && f30(0L) == 0L, f30)
   }
 
   test("multimodal: REAL WAV payloads round-trip through javax.sound.sampled") {

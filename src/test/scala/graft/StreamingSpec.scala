@@ -51,6 +51,17 @@ class StreamingSpec extends AnyFunSuite {
       .select("batch").distinct().count() == 2)
     // below k distinct the KMV sketch is EXACT: per-pred distinct docs
     // of batch 0's sidecar equal the store's own exact counts
+    // canon time travel: as-of beyond the head falls back to the latest
+    // snapshot AT OR BELOW it (an exact-id probe returned an EMPTY map)
+    val canonLatest = StreamIngest.readCanonMap(spark, root)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    val canonAsOf5 = StreamIngest.readCanonMap(spark, root, Some(5L))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(canonAsOf5 == canonLatest && canonLatest.nonEmpty)
+    assert(StreamIngest.readCanonMap(spark, root, Some(0L)).count() > 0)
+    intercept[IllegalArgumentException] {
+      StreamIngest.readCanonMap(spark, root, Some(-1L)).count()
+    }
     val sidecar0 = q.where(col("batch") === 0)
       .select("pred", "approx_docs").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
