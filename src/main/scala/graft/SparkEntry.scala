@@ -1446,14 +1446,15 @@ object SparkEntry {
     "q49_vocab_build" ->
       """WITH c AS (SELECT word, count(*) AS freq FROM (
         |   SELECT unnest(str_split(text,' ')) AS word FROM documents)
-        |   GROUP BY word),
+        |   WHERE word <> '' GROUP BY word),
         | t AS (SELECT word, freq,
         |   row_number() OVER (ORDER BY freq DESC, word ASC) AS rank FROM c)
         |SELECT rank::BIGINT AS rank, word, freq::BIGINT AS freq
         |FROM t WHERE rank <= 1000 ORDER BY rank""".stripMargin,
     "q50_oov_rate" ->
-      """WITH toks AS (SELECT source, unnest(str_split(text,' ')) AS word
-        |   FROM documents),
+      """WITH toks AS (SELECT source, word FROM (
+        |   SELECT source, unnest(str_split(text,' ')) AS word
+        |   FROM documents) WHERE word <> ''),
         | c AS (SELECT word, count(*) AS freq FROM toks GROUP BY word),
         | v AS (SELECT word FROM (SELECT word,
         |   row_number() OVER (ORDER BY freq DESC, word ASC) AS rank FROM c)

@@ -47,13 +47,17 @@ object SpanMetrics {
   def evaluateMentions(spark: SparkSession, pred: Dataset[Mention],
                        gold: Dataset[GoldMention]): Dataset[EvalRow] = {
     import spark.implicits._
-    val p = pred.select(col("doc_id"), col("span_offset"), col("start_word"),
-      col("end_word"), col("entity_type")).withColumn("p", lit(true))
-    val g = gold.select(col("doc_id"), col("span_offset"), col("start_word"),
-      col("end_word"), col("entity_type")).withColumn("g", lit(true))
-    val joined = g.join(p,
-      Seq("doc_id", "span_offset", "start_word", "end_word", "entity_type"),
-      "full_outer")
+    // sentence_idx IS part of the span identity: start/end_word are
+    // sentence-relative, and on the raw-ingestion path span_offset is a
+    // constant 0 — without it a pred span in sentence 3 would "match" a
+    // gold span at the same word range of sentence 0. distinct() guards
+    // against key-duplicate fan-out (a dup on either side would
+    // otherwise multiply tp), mirroring tripleCounts.
+    val keys = Seq("doc_id", "span_offset", "sentence_idx", "start_word",
+      "end_word", "entity_type")
+    val p = pred.select(keys.map(col): _*).distinct().withColumn("p", lit(true))
+    val g = gold.select(keys.map(col): _*).distinct().withColumn("g", lit(true))
+    val joined = g.join(p, keys, "full_outer")
       .select(col("entity_type"),
         coalesce(col("g"), lit(false)).as("g"),
         coalesce(col("p"), lit(false)).as("p"))
@@ -63,10 +67,21 @@ object SpanMetrics {
       .agg(new CountsAgg().toColumn)
       .map { case (typ: String, c: Counts) =>
         EvalRow(typ, c.precision, c.recall, c.f1, c.tp, c.fp, c.fn) }
-    val all = joined.as[(String, Boolean, Boolean)]
-      .map(t => (t._2, t._3))
-      .select(new CountsAgg().toColumn)
-      .map(c => EvalRow("ALL", c.precision, c.recall, c.f1, c.tp, c.fp, c.fn))
+      // tiny after aggregation — materialized so the ALL row is derived
+      // from these counts instead of re-running the full-outer join
+      .localCheckpoint()
+    // every joined row carries exactly one entity_type, so ALL is the
+    // column-sum of the per-type counts (one join execution, not two)
+    val t = perType.agg(
+      org.apache.spark.sql.functions.sum("tp"),
+      org.apache.spark.sql.functions.sum("fp"),
+      org.apache.spark.sql.functions.sum("fn")).head()
+    val c = Counts(
+      Option(t.get(0)).fold(0L)(_ => t.getLong(0)),
+      Option(t.get(1)).fold(0L)(_ => t.getLong(1)),
+      Option(t.get(2)).fold(0L)(_ => t.getLong(2)))
+    val all = spark.createDataset(Seq(
+      EvalRow("ALL", c.precision, c.recall, c.f1, c.tp, c.fp, c.fn)))
     perType.unionByName(all)
   }
 

@@ -19,8 +19,19 @@ object GraphOps {
 
   /** Symmetric distinct co-occurrence edge list from the triple store. */
   def coEdges(triples: Dataset[Triple]): DataFrame = {
+    // canonicalize BEFORE distinct: a store carrying both directions of
+    // a pair — possible for externally produced or merged data, even
+    // though this engine's own coTriples always emits subj < obj —
+    // would otherwise survive distinct() and double-weight that
+    // neighbour in EVERY downstream consumer (degrees, PageRank, label
+    // propagation), while the operators that defensively dedup
+    // (triangles, k-hop, jaccard) disagreed. Self-loops dropped for the
+    // same reason.
     val co = triples.toDF().where(col("pred") === "co_occurs_with")
-      .select(col("subj").as("src"), col("obj").as("dst")).distinct()
+      .where(col("subj") =!= col("obj"))
+      .select(least(col("subj"), col("obj")).as("src"),
+        greatest(col("subj"), col("obj")).as("dst"))
+      .distinct()
     co.unionByName(co.select(col("dst").as("src"), col("src").as("dst")))
   }
 

@@ -18,6 +18,10 @@ object VocabOps {
   def buildVocab(docs: DataFrame, k: Int = 1000): DataFrame = {
     val counts = docs
       .select(explode(split(col("text"), " ")).as("word"))
+      // consecutive/leading/trailing spaces split into empty tokens —
+      // filtered like invertedIndex/freqSpectrum, or '' would claim a
+      // top-k vocab slot on any corpus with irregular spacing
+      .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("word")).limit(k)
     counts.withColumn("rank",
@@ -152,15 +156,19 @@ object VocabOps {
     */
   def oovRate(docs: DataFrame, k: Int = 100): DataFrame = {
     val vocab = buildVocab(docs, k).select("word")
+    // ONE stats pass over the tokenized stream (total + OOV counted in
+    // the same aggregation via a broadcast vocab membership join) —
+    // the previous shape scanned and re-tokenized the corpus separately
+    // for totals and for OOV; empty tokens filtered like buildVocab so
+    // numerator and denominator agree with the vocab's own universe
     val toks = docs.select(col("source"),
-      explode(split(col("text"), " ")).as("word"))
-    val oov = toks.join(broadcast(vocab), Seq("word"), "left_anti")
-      .groupBy("source").agg(count(lit(1)).as("n_oov"))
-    toks.groupBy("source").agg(count(lit(1)).as("n_tokens"))
-      .join(oov, Seq("source"), "left")
-      .select(col("source"), col("n_tokens"),
-        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
-        round(coalesce(col("n_oov"), lit(0L)) / col("n_tokens"), 6)
-          .as("oov_rate"))
+        explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+    toks.join(broadcast(vocab.withColumn("iv", lit(true))), Seq("word"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("iv").isNull, 1)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
   }
 }

@@ -40,21 +40,15 @@ object LineageStore {
       .map(_.partition_id).distinct().collect().toSet
   }
 
-  /** Write triples for (possibly a subset of) buckets + lineage rows.
-    * snapshotId should be a content/config hash — the Spark analog of the
-    * reference's request-hash memoization key (webapp/app.py:157-158).
+  /** The per-bucket lineage aggregation shared by the batch and
+    * streaming commit paths (one recipe, one sketch parameterization —
+    * the two cannot drift): triple count, span-offset range, KMV
+    * distinct-doc sketch per bucket.
     */
-  def commit(spark: SparkSession, root: String, stage: String,
-             triples: Dataset[Triple], snapshotId: String): Unit = {
-    import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val persisted = triples.persist()
-    persisted.write
-      .mode(SaveMode.Overwrite)
-      .partitionBy("bucket")
-      .parquet(triplesPath(root))
-    val now = System.currentTimeMillis()
-    val rows = persisted.groupBy(col("bucket"))
+  private[graft] def bucketLineageRows(triples: org.apache.spark.sql.DataFrame,
+                                       stage: String, snapshotId: String,
+                                       now: Long): Array[LineageRow] =
+    triples.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("span_offset")).as("omin"),
         max(col("span_offset")).as("omax"),
@@ -68,9 +62,54 @@ object LineageStore {
           r.getAs[Int]("omin").toLong, r.getAs[Int]("omax").toLong,
           r.getAs[Long]("n"), r.getAs[Long]("docs"), snapshotId, now)
       }
+
+  /** Run `body` with dynamic partition overwrite, then RESTORE the
+    * session's previous mode — a leaked session-wide "dynamic" would
+    * silently change every later Overwrite+partitionBy in the session
+    * from full-table replacement to partial overwrite.
+    */
+  private[graft] def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Write triples for (possibly a subset of) buckets + lineage rows.
+    * snapshotId should be a content/config hash — the Spark analog of the
+    * reference's request-hash memoization key (webapp/app.py:157-158).
+    *
+    * `processedBuckets`, when given, is the FULL set of buckets this
+    * commit covers: buckets in it that produced ZERO triples still get a
+    * lineage row (triple_count = 0) — without one, resume would treat a
+    * legitimately-empty bucket as pending and reprocess it on every
+    * restart, never converging to zero work.
+    */
+  def commit(spark: SparkSession, root: String, stage: String,
+             triples: Dataset[Triple], snapshotId: String,
+             processedBuckets: Option[Set[Int]] = None): Unit = {
+    import spark.implicits._
+    val persisted = triples.persist()
+    withDynamicOverwrite(spark) {
+      persisted.write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(triplesPath(root))
+    }
+    val now = System.currentTimeMillis()
+    val dataRows = bucketLineageRows(persisted.toDF(), stage, snapshotId, now)
     persisted.unpersist()
+    val emptyRows = processedBuckets
+      .map(_ -- dataRows.map(_.partition_id).toSet).getOrElse(Set.empty)
+      .toSeq.sorted
+      .map(b => LineageRow(stage, b, 0L, 0L, 0L, 0L, snapshotId, now))
+    val rows = dataRows.toSeq ++ emptyRows
     if (rows.nonEmpty)
-      spark.createDataset(rows.toSeq).write.mode(SaveMode.Append)
+      spark.createDataset(rows).write.mode(SaveMode.Append)
         .parquet(lineagePath(root))
   }
 
@@ -84,14 +123,19 @@ object LineageStore {
     import spark.implicits._
     recoverCompaction(spark, root) // heal an interrupted compaction first
     val done = committedBuckets(spark, root, stage)
+    val pendingBuckets = (0 until buckets).toSet -- done
+    if (pendingBuckets.isEmpty) return 0
     val bcDone = spark.sparkContext.broadcast(done)
     // left-anti-join semantics against the lineage table (SURVEY §2.9 ST3);
     // the committed set is dictionary-sized (≤ buckets), so a broadcast
     // filter replaces the shuffle an actual anti join would cost.
     val pending = docs.filter(d => !bcDone.value.contains(Triples.bucketOf(d.doc_id, buckets)))
-    if (pending.isEmpty) return 0
-    val triples = pipeline(pending)
-    commit(spark, root, stage, triples, snapshotId)
+    // even a doc-less / triple-less pending set commits: every pending
+    // bucket gets its lineage row (possibly zero-count), so resume
+    // CONVERGES instead of re-examining empty buckets forever
+    val triples =
+      if (pending.isEmpty) spark.emptyDataset[Triple] else pipeline(pending)
+    commit(spark, root, stage, triples, snapshotId, Some(pendingBuckets))
     committedBuckets(spark, root, stage).size - done.size
   }
 

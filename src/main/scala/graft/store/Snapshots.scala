@@ -32,8 +32,14 @@ object Snapshots {
   }
 
   def current(spark: SparkSession, root: String, stage: String): Option[SnapshotRow] = {
+    // tie-break within one created_at millisecond by id LENGTH before
+    // lexical order: ids are unpadded ("batch-9" vs "batch-10"), so a
+    // plain string sort would rank batch-9 above batch-10 and corrupt
+    // the parent chain of fast same-ms commits
     val rows = read(spark, root).filter(col("stage") === stage)
-      .orderBy(desc("created_at"), desc("snapshot_id")).limit(1).collect()
+      .orderBy(col("created_at").desc, length(col("snapshot_id")).desc,
+        col("snapshot_id").desc)
+      .limit(1).collect()
     rows.headOption
   }
 
@@ -64,7 +70,12 @@ object Snapshots {
     */
   def readStreamAsOf(spark: SparkSession, root: String, snapshotId: String): Dataset[Triple] = {
     import spark.implicits._
-    val batchId = snapshotId.stripPrefix("batch-").toLong
+    // "none" is the stored parent_id of the FIRST snapshot — walking the
+    // chain past the beginning reads an empty table, not a crash
+    if (snapshotId == "none") return spark.emptyDataset[Triple]
+    val batchId = snapshotId.stripPrefix("batch-").toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"not a stream snapshot id: '$snapshotId' (expected batch-<n>)"))
     spark.read.parquet(StreamIngestPaths.streamPath(root))
       .where(col("batch") <= batchId) // partition pruning on batch=
       .select("subj", "pred", "obj", "doc_id", "bucket", "conf",

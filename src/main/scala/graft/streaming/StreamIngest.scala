@@ -65,40 +65,37 @@ object StreamIngest {
     // check is a pure path probe, zero extra jobs
     val cfgS = cfg.copy(dictStore = cfg.dictStore.orElse(Some(root)))
     val (rows, metrics) = graft.store.StageMetrics.capture(spark) {
-      val triples = KgPipeline.run(spark, batch, aliases, cfg = cfgS, ctx = Some(ctx))
-        .withColumn("batch", lit(batchId))
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      val persisted = triples.persist()
-      persisted.write.mode(SaveMode.Overwrite)
-        .partitionBy("batch", "bucket")
-        .parquet(streamPath(root))
-      val now = System.currentTimeMillis()
-      val rws = persisted.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"),
-          min(col("span_offset")).as("omin"), max(col("span_offset")).as("omax"),
-          // mergeable KMV sketch, not COUNT(DISTINCT): bounded k-long
-          // state per bucket instead of a doc-keyed shuffle per commit;
-          // exact below k=64 distinct docs, deterministic estimate above
-          graft.ops.Sketches.approxDistinctUdaf(64)(col("doc_id")).as("docs"))
-        .collect().map { r =>
-          LineageRow("stream_triples", r.getAs[Int]("bucket"),
-            r.getAs[Int]("omin").toLong, r.getAs[Int]("omax").toLong,
-            r.getAs[Long]("n"), r.getAs[Long]("docs"), snap, now)
-        }
-      updateCanonMap(spark, persisted.toDF(), batchId, root)
-      writeQuality(spark, persisted.toDF(), batchId, root)
-      persisted.unpersist()
-      rws
+      LineageStore.withDynamicOverwrite(spark) {
+        val triples = KgPipeline.run(spark, batch, aliases, cfg = cfgS, ctx = Some(ctx))
+          .withColumn("batch", lit(batchId))
+        val persisted = triples.persist()
+        persisted.write.mode(SaveMode.Overwrite)
+          .partitionBy("batch", "bucket")
+          .parquet(streamPath(root))
+        val now = System.currentTimeMillis()
+        // the SAME per-bucket lineage recipe as the batch store
+        // (LineageStore.bucketLineageRows — one copy, the two paths
+        // cannot drift). An all-empty batch still commits ONE marker
+        // row (partition_id = -1, zero counts): without it the
+        // idempotency probe above never finds the snapshot and a
+        // replayed empty batch re-runs the pipeline on every restart.
+        val dataRows = LineageStore.bucketLineageRows(
+          persisted.toDF(), "stream_triples", snap, now)
+        val rws = if (dataRows.nonEmpty) dataRows.toSeq
+          else Seq(LineageRow("stream_triples", -1, 0L, 0L, 0L, 0L, snap, now))
+        updateCanonMap(spark, persisted.toDF(), batchId, root)
+        writeQuality(spark, persisted.toDF(), batchId, root)
+        persisted.unpersist()
+        rws
+      }
     }
     graft.store.StageMetrics.write(spark, root, "stream_triples", snap, metrics)
-    if (rows.nonEmpty) {
-      spark.createDataset(rows.toSeq).write.mode(SaveMode.Append)
-        .parquet(LineageStore.lineagePath(root))
-      graft.store.Snapshots.commitStreamBatch(spark, root, batchId,
-        rows.map(_.triple_count).sum,
-        graft.store.Snapshots.configHash(spark,
-          cfg.toString, s"buckets=${cfg.buckets}"))
-    }
+    spark.createDataset(rows).write.mode(SaveMode.Append)
+      .parquet(LineageStore.lineagePath(root))
+    graft.store.Snapshots.commitStreamBatch(spark, root, batchId,
+      rows.map(_.triple_count).sum,
+      graft.store.Snapshots.configHash(spark,
+        cfg.toString, s"buckets=${cfg.buckets}"))
   }
 
   /** Per-batch streaming QUALITY MONITOR sidecar: the mergeable KMV

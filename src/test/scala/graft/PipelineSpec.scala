@@ -180,6 +180,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(LineageStore.runResumable(spark, root, "triples", docs, pipe, buckets, "snap-3") == 0)
   }
 
+  test("resume converges when some buckets legitimately produce zero triples") {
+    val root = java.nio.file.Files.createTempDirectory("graft_resume0").toString
+    val docs = CorpusGen.docs(spark, N, parts = 4)
+    val aliases = CorpusGen.aliases(spark)
+    val buckets = 8
+    val pipelineRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    // a pipeline whose output leaves buckets 4..7 EMPTY (e.g. their docs
+    // never link): those buckets must still be marked committed
+    val pipe: org.apache.spark.sql.Dataset[Doc] => org.apache.spark.sql.Dataset[Triple] =
+      ds => {
+        pipelineRuns.incrementAndGet()
+        KgPipeline.run(spark, ds, aliases, cfg = KgPipeline.Config(buckets = buckets))
+          .filter(_.bucket < 4)
+      }
+    assert(LineageStore.runResumable(spark, root, "triples", docs, pipe,
+      buckets, "snap-1") == buckets)
+    assert(LineageStore.committedBuckets(spark, root, "triples") ==
+      (0 until buckets).toSet, "zero-triple buckets missing from lineage")
+    // the empty buckets have explicit zero-count lineage rows
+    val zeroRows = LineageStore.readLineage(spark, root)
+      .filter(l => l.partition_id >= 4).collect()
+    assert(zeroRows.length == 4 && zeroRows.forall(_.triple_count == 0L))
+    // second invocation: CONVERGED — the pipeline must not run again
+    val before = pipelineRuns.get()
+    assert(LineageStore.runResumable(spark, root, "triples", docs, pipe,
+      buckets, "snap-2") == 0)
+    assert(pipelineRuns.get() == before, "resume reprocessed committed empty buckets")
+  }
+
+  test("snapshot head: batch-10 outranks batch-9 within one created_at ms") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_tie").toString
+    val ts = 1700000000000L
+    for (id <- Seq("batch-9", "batch-10"))
+      graft.store.Snapshots.append(spark, root,
+        graft.store.Snapshots.SnapshotRow(id, "none", "stream_triples",
+          ts, 1L, "h"))
+    assert(graft.store.Snapshots.current(spark, root, "stream_triples")
+      .map(_.snapshot_id).contains("batch-10"))
+    // chain-walk past the first snapshot reads empty, not a crash
+    assert(graft.store.Snapshots.readStreamAsOf(spark, root, "none")
+      .isEmpty)
+  }
+
   test("bucket-level upsert: re-committing changed docs replaces exactly their buckets") {
     val root = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val aliases = CorpusGen.aliases(spark)
