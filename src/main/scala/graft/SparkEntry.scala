@@ -1418,7 +1418,8 @@ object SparkEntry {
         | totals AS (SELECT source, sum(n_tokens)::BIGINT AS total_tokens
         |   FROM toks GROUP BY source),
         | t2 AS (SELECT source, total_tokens,
-        |   least(1000000, 1000000000::BIGINT // total_tokens)::BIGINT AS keep_ppm
+        |   greatest(1, least(1000000,
+        |     1000000000::BIGINT // total_tokens))::BIGINT AS keep_ppm
         |   FROM totals),
         | kept AS (SELECT toks.source, count(*)::BIGINT AS n_docs_kept,
         |   sum(n_tokens)::BIGINT AS tokens_kept
@@ -2175,18 +2176,18 @@ object SparkEntry {
       """SELECT CAST(nsentence AS BIGINT) AS nsentence,
         | CAST(nword AS INT) AS nword, word, tag, dataset
         |FROM (VALUES
-        | (100000, 0, 'Wien', 'B-LOC', 'EU-TEST'),
-        | (100000, 1, 'ist', 'O', 'EU-TEST'),
-        | (100000, 2, 'gross.', 'O', 'EU-TEST'),
-        | (200000, 0, 'Berliner', 'B-LOC', 'GERM-EVAL-TEST'),
-        | (200000, 1, 'Kind', 'O', 'GERM-EVAL-TEST'),
-        | (300000, 0, 'Paris', 'B-LOC', 'DE-CONLL-TEST'),
-        | (300000, 1, 'ist', 'O', 'DE-CONLL-TEST'),
-        | (300000, 2, '..', 'O', 'DE-CONLL-TEST'),
-        | (300001, 0, 'Anna', 'B-PER', 'DE-CONLL-TEST'),
-        | (300001, 1, 'Müller', 'I-PER', 'DE-CONLL-TEST'),
-        | (1000000, 0, 'Paris', 'B-LOC', 'WIKINER-TEST'),
-        | (1000000, 1, 'ist', 'O', 'WIKINER-TEST')
+        | (1000000000, 0, 'Wien', 'B-LOC', 'EU-TEST'),
+        | (1000000000, 1, 'ist', 'O', 'EU-TEST'),
+        | (1000000000, 2, 'gross.', 'O', 'EU-TEST'),
+        | (2000000000, 0, 'Berliner', 'B-LOC', 'GERM-EVAL-TEST'),
+        | (2000000000, 1, 'Kind', 'O', 'GERM-EVAL-TEST'),
+        | (3000000000, 0, 'Paris', 'B-LOC', 'DE-CONLL-TEST'),
+        | (3000000000, 1, 'ist', 'O', 'DE-CONLL-TEST'),
+        | (3000000000, 2, '..', 'O', 'DE-CONLL-TEST'),
+        | (3000000001, 0, 'Anna', 'B-PER', 'DE-CONLL-TEST'),
+        | (3000000001, 1, 'Müller', 'I-PER', 'DE-CONLL-TEST'),
+        | (4000000000, 0, 'Paris', 'B-LOC', 'WIKINER-TEST'),
+        | (4000000000, 1, 'ist', 'O', 'WIKINER-TEST')
         |) AS t(nsentence, nword, word, tag, dataset)
         |ORDER BY nsentence, nword""".stripMargin,
     "q34_mlm_pairs" ->
@@ -2235,7 +2236,7 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, str_split(text,' ')[1:128] AS toks FROM documents),
         | t AS (SELECT doc_id, toks, len(toks) AS m FROM w),
         | p AS (SELECT doc_id, toks, m,
-        |   least(20, greatest(1, round(m*0.15))) AS ntm,
+        |   least(20, greatest(1, round_even(m*0.15, 0))) AS ntm,
         |   unnest(range(0, m)) AS pos0 FROM t),
         | c AS (SELECT doc_id, toks, m, ntm, pos0, toks[pos0+1] AS token,
         |   ('0x'||substr(md5(doc_id||'_m_'||pos0),1,15))::BIGINT AS rank_key

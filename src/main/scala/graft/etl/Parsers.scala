@@ -26,10 +26,29 @@ import org.apache.spark.sql.functions._
   */
 object Parsers {
 
-  val EUROPEANA_BASE = 100000L
-  val GERMEVAL_BASE = 200000L
-  val CONLL_BASE = 300000L
-  val WIKINER_BASE = 1000000L
+  // GLOBAL sentence-id namespace (Assembly groups by nsentence alone, so
+  // ids must be disjoint across corpora AND across files of one corpus):
+  // each corpus owns a 1e9-wide range, each FILE within it a 1e7-wide
+  // stride (capacity: 100 files/corpus, 1e7 sentences/file — far beyond
+  // the reference's one-file-per-corpus layout). Before the stride,
+  // sentence counters restarted at the corpus base PER FILE, so two
+  // files of one corpus collided and Assembly merged unrelated
+  // sentences.
+  val EUROPEANA_BASE = 1000000000L
+  val GERMEVAL_BASE = 2000000000L
+  val CONLL_BASE = 3000000000L
+  val WIKINER_BASE = 4000000000L
+  val WIKIPEDIA_BASE = 5000000000L
+  val FILE_STRIDE = 10000000L
+
+  /** Deterministic per-file index (0-based, file-name order) — the tiny
+    * distinct-file table ranked and broadcast back; never a corpus-wide
+    * window.
+    */
+  private def fileIndex(ln: DataFrame): DataFrame =
+    ln.select("file").distinct()
+      .withColumn("fileIdx",
+        row_number().over(Window.orderBy("file")).cast("long") - 1)
 
   private def lines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
@@ -58,7 +77,10 @@ object Parsers {
     val wWord = Window.partitionBy("file", "segId").orderBy("lineNo")
     val bcTrunc = truncate5
     seg
-      .withColumn("nsentence", dense_rank().over(wSent).cast("long") - 1 + base)
+      .join(broadcast(fileIndex(ln)), "file")
+      .withColumn("nsentence",
+        dense_rank().over(wSent).cast("long") - 1 + base +
+          col("fileIdx") * FILE_STRIDE)
       .withColumn("nword", (row_number().over(wWord) - 1))
       .select(col("nsentence"), col("nword"), col("word"), col("rawTag"))
       .as[(Long, Int, String, String)]
@@ -99,14 +121,19 @@ object Parsers {
     */
   def europeana(spark: SparkSession, path: String, dataset: String): Dataset[GtToken] = {
     import spark.implicits._
-    val raw = lines(spark, path)
+    val ln0 = lines(spark, path)
+    // per-file id stride (driver map: corpus file lists are tiny)
+    val idxMap = fileIndex(ln0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bcIdx = spark.sparkContext.broadcast(idxMap)
+    val raw = ln0
       .select(col("file"), col("lineNo"), col("value"))
       .as[(String, Long, String)]
-    raw.groupByKey(_._1).flatMapGroups { (_, it) =>
+    raw.groupByKey(_._1).flatMapGroups { (file, it) =>
       val sorted = it.toSeq.sortBy(_._2)
       val out = scala.collection.mutable.ArrayBuffer.empty[GtToken]
       var sent = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      var ns = EUROPEANA_BASE
+      var ns = EUROPEANA_BASE + bcIdx.value(file) * FILE_STRIDE
       def flush(): Unit = {
         if (sent.nonEmpty) {
           sent.zipWithIndex.foreach { case ((w, t), i) =>
@@ -140,10 +167,12 @@ object Parsers {
     */
   def wikiner(spark: SparkSession, path: String, dataset: String): Dataset[GtToken] = {
     import spark.implicits._
-    val ln = lines(spark, path)
-      .where(length(trim(col("value"))) > 0)
+    val ln0 = lines(spark, path).where(length(trim(col("value"))) > 0)
+    val ln = ln0
+      .join(broadcast(fileIndex(ln0)), "file")
       .withColumn("sentIdx",
-        row_number().over(Window.partitionBy("file").orderBy("lineNo")).cast("long") - 1)
+        row_number().over(Window.partitionBy("file").orderBy("lineNo")).cast("long") - 1 +
+          col("fileIdx") * FILE_STRIDE)
       .select(col("sentIdx"), col("value")).as[(Long, String)]
     ln.flatMap { case (sentIdx, line) =>
       val toks = line.trim.split("\\s+").flatMap { t =>

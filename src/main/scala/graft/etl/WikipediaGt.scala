@@ -30,6 +30,11 @@ object WikipediaGt {
         split(col("col.sentences"), " ").as("words"),
         split(col("col.tagseqs"), " ").as("tags"))
       .where(size(col("words")) >= minSenLen) // P6 sentence length
+      // malformed rows (tags JSON shorter than text → null-padded by
+      // arrays_zip, or per-sentence word/tag length mismatch) are
+      // DROPPED here rather than surfacing null tags that crash the
+      // encoder's label lookup downstream
+      .where(col("tags").isNotNull && size(col("words")) === size(col("tags")))
   }
 
   /** P5 — page-subset semi-join (data_processor.py:164-165). */
@@ -50,19 +55,27 @@ object WikipediaGt {
     parsed.where(hasEntity || keepNoEnt)
   }
 
-  /** To the GT token relation (nsentence = wikipedia base + running id). */
+  /** To the GT token relation. nsentence lives in the WIKIPEDIA range of
+    * the global namespace (Parsers.WIKIPEDIA_BASE — the previous form
+    * reused WIKINER_BASE, so Wikipedia sentence ids collided with the
+    * WikiNER corpus and Assembly merged unrelated sentences); page
+    * stride 100000 keeps (page, sent) pairs disjoint for any realistic
+    * article. Tags are normalized like every other parser (uppercase,
+    * whitelist, else O).
+    */
   def toGt(spark: SparkSession, parsed: DataFrame, dataset: String): Dataset[GtToken] = {
     import spark.implicits._
     parsed
       .select(col("page_id"), col("sent_idx"),
         posexplode(arrays_zip(col("words"), col("tags"))))
       .select(
-        (lit(Parsers.WIKINER_BASE) + col("page_id") * 10000 + col("sent_idx"))
+        (lit(Parsers.WIKIPEDIA_BASE) + col("page_id") * 100000 + col("sent_idx"))
           .as("nsentence"),
         col("pos").as("nword"),
         col("col.words").as("word"),
         col("col.tags").as("tag"),
         lit(dataset).as("dataset"))
       .as[GtToken]
+      .map(t => t.copy(tag = graft.text.Tags.normalize(t.tag, truncate5 = false)))
   }
 }

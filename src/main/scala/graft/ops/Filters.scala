@@ -74,8 +74,13 @@ object Filters {
     val totals = toks.groupBy("source")
       .agg(sum("n_tokens").as("total_tokens"))
       .withColumn("keep_ppm",
-        least(lit(1000000L),
-          expr(s"CAST(${budgetTokens * 1000000L} AS BIGINT) div total_tokens")))
+        // clamped to >= 1 ppm: for a source whose total exceeds 10^6 ×
+        // budget the floored ratio is 0 and the source would be DELETED
+        // outright instead of downsampled; 1 ppm is the documented
+        // resolution floor (keeps ~total/10^6 tokens, the closest this
+        // quantization can get to the budget)
+        greatest(lit(1L), least(lit(1000000L),
+          expr(s"CAST(${budgetTokens * 1000000L} AS BIGINT) div total_tokens"))))
     val kept = toks.join(broadcast(totals), "source")
       .where(pmod(hexInt(concat(col("doc_id"), lit("_samp"))), lit(1000000L))
         < col("keep_ppm"))

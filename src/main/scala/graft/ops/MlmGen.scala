@@ -19,7 +19,9 @@ import TextOps.hexInt
   *    doc (:59 asserts this);
   *  - 50% is_random_next (:183), A/B split of the doc (:172-177);
   *  - 80/10/10 masking with num_to_mask = min(max_pred,
-  *    max(1, round(len·0.15))) (:113-131);
+  *    max(1, round(len·0.15))) (:113-131) — round is PYTHON round, i.e.
+  *    banker's/HALF_EVEN (Spark `bround`, DuckDB `round_even`): at
+  *    len=30 the reference masks 4 positions, not 5;
   *  - per-epoch JSON-lines sink with a sidecar metrics file (:278-298).
   *
   * Documented divergences (plumbing-preserving simplifications):
@@ -168,7 +170,10 @@ object MlmGen {
         slice(split(col("text"), " "), 1, maxInstTokens).as("toks"))
       .withColumn("m", size(col("toks")))
       .withColumn("ntm",
-        least(lit(maxPred), greatest(lit(1), round(col("m") * prob))))
+        // bround (HALF_EVEN) = Python round — the reference's
+        // round(len*0.15) is banker's, so m=30 masks 4, not 5; the
+        // DuckDB oracle replays round_even
+        least(lit(maxPred), greatest(lit(1), bround(col("m") * prob))))
     val pos = base
       .select(col("doc_id"), col("toks"), col("m"), col("ntm"),
         posexplode(col("toks")))
@@ -203,6 +208,12 @@ object MlmGen {
     val ranked = Scans.zeroBasedRank(docs.select("doc_id").distinct(), "doc_id")
       .localCheckpoint() // anchor side + rank-lookup side both read it
     val n = ranked.count()
+    // no negatives exist for a 0/1-doc corpus: pmod by n=0 throws under
+    // ANSI, and at n=1 the collision shift maps every draw back to the
+    // anchor itself (self-pairs) — empty result, same schema
+    if (n <= 1)
+      return ranked.select(col("doc_id"), lit(0L).as("j"),
+        col("doc_id").as("neg_doc_id")).limit(0)
     val anchors = ranked
       .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
       .withColumn("draw",
@@ -223,8 +234,12 @@ object MlmGen {
   def writeEpochJson(spark: SparkSession, instances: DataFrame,
                      outDir: String, epoch: Int, maxSeqLen: Int = 128): Long = {
     val path = s"$outDir/epoch_$epoch.json"
-    val n = instances.count()
-    instances.write.mode("overwrite").json(path)
+    // persist: count + write share ONE execution of the NSP/masking
+    // pipeline instead of running it end-to-end twice
+    val persisted = instances.persist()
+    val n = persisted.count()
+    persisted.write.mode("overwrite").json(path)
+    persisted.unpersist()
     val side = new org.apache.hadoop.fs.Path(s"$outDir/epoch_${epoch}_metrics.json")
     val fs = side.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(side, true)

@@ -175,8 +175,13 @@ object Scans {
                          binWidth: Long, ps: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
+    // FLOOR division, not Spark's truncating `div`: truncation gives
+    // negative values a double-width bin 0 and mislabeled [lo, hi]
+    // bounds (DuckDB's `//` — the oracle's operator — floors). The
+    // pmod form stays in exact integer arithmetic.
     val bins = df.select(col(grpCol).cast("string").as("grp"),
-        expr(s"cast($valueCol as bigint) div ${binWidth}L").as("bin"))
+        expr(s"(cast($valueCol as bigint) - pmod(cast($valueCol as bigint), " +
+          s"${binWidth}L)) div ${binWidth}L").as("bin"))
       .groupBy("grp", "bin").agg(count(lit(1)).as("n"))
       .localCheckpoint() // reused: cumulative pass + per-group totals
     val cum = bins.withColumn("cum",

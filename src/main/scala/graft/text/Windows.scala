@@ -19,6 +19,10 @@ final class WindowEncoder(
     labelMap: Map[String, Int],
     val maxSeqLen: Int = 128,
     val doLowerCase: Boolean = true) extends Serializable {
+  // [CLS] + at least one body token + [SEP]; below 3 the packing loop
+  // could never advance (body = maxSeqLen - 2 <= 0 → an infinite
+  // zero-width window) — fail at construction, not in an executor
+  require(maxSeqLen >= 3, s"maxSeqLen must be >= 3, got $maxSeqLen")
 
   private val unkId = vocabIds("[UNK]")
   private def id(tok: String): Int = vocabIds.getOrElse(tok, unkId)
@@ -50,20 +54,10 @@ final class WindowEncoder(
     * (data_processor.py:388-402).
     */
   def tokenizeWithLabels(words: Array[String], tags: Array[String]): (Array[String], Array[String]) = {
-    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
-    val labs = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    while (i < words.length) {
-      val pieces = tokenizeWord(words(i))
-      var j = 0
-      while (j < pieces.length) {
-        toks += pieces(j)
-        labs += (if (j == 0) tags(i) else "X")
-        j += 1
-      }
-      i += 1
-    }
-    (toks.toArray, labs.toArray)
+    // delegate — one accumulation loop, so the first-piece-label rule
+    // cannot fork between the counted and uncounted paths
+    val (toks, labs, _) = tokenizeWithCounts(words, tags)
+    (toks, labs)
   }
 
   /** Pack a token sequence into window slices [start, end) that never end

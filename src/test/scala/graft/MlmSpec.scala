@@ -58,9 +58,10 @@ class MlmSpec extends AnyFunSuite {
   test("masking: num_to_mask = min(20, max(1, round(0.15·len))) per doc; 80/10/10 shape") {
     val masks = MlmGen.maskedLm(docs)
     val perDoc = masks.groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
+    // bround = banker's rounding = Python round (the reference's :113-131)
     val expected = docs.select(col("doc_id"),
       least(lit(20), greatest(lit(1),
-        round(least(size(split(col("text"), " ")), lit(128)) * 0.15))).as("want"))
+        bround(least(size(split(col("text"), " ")), lit(128)) * 0.15))).as("want"))
     val bad = perDoc.join(expected, "doc_id")
       .where(col("n_masked") =!= col("want")).count()
     assert(bad == 0)
