@@ -1647,13 +1647,15 @@ object SparkEntry {
         |   WHERE regexp_matches(word, '^[a-z]{4,}$')),
         | nz AS (SELECT substr(word,1,p0) || chr(nc) || substr(word,p0+2)
         |     AS word FROM (
-        |   SELECT word,
-        |     (('0x'||substr(md5(word),1,15))::BIGINT % length(word))::INT
-        |       AS p0,
-        |     (97 + ('0x'||substr(md5(word||'_c'),1,15))::BIGINT % 26)::INT
+        |   SELECT word, p0,
+        |     (97 + (ascii(substr(word, p0+1, 1)) - 97 + 1 +
+        |       ('0x'||substr(md5(word||'_c'),1,15))::BIGINT % 25) % 26)::INT
         |       AS nc
+        |   FROM (SELECT word,
+        |     (('0x'||substr(md5(word),1,15))::BIGINT % length(word))::INT
+        |       AS p0
         |   FROM w
-        |   WHERE ('0x'||substr(md5(word||'_sel'),1,15))::BIGINT % 3 = 0)),
+        |   WHERE ('0x'||substr(md5(word||'_sel'),1,15))::BIGINT % 3 = 0))),
         | toks AS (SELECT DISTINCT word FROM
         |   (SELECT word FROM w UNION ALL SELECT word FROM nz)
         |   WHERE regexp_matches(word, '^[a-z]{4,}$')),

@@ -67,7 +67,9 @@ object ModelRegistry {
     val specs = cfg.select(explode(col("MODELS")).as("m"))
       .select(col("m.name"), col("m.id").cast("int").as("id"),
         col("m.model_dir"), col("m.epoch").cast("int").as("epoch"),
-        col("m.default").as("default"))
+        // the reference's config simply OMITS the flag on non-default
+        // entries — absent parses as null, and getBoolean would NPE
+        coalesce(col("m.default"), lit(false)).as("default"))
       .orderBy("id")
       .collect()
       .map(r => ModelSpec(r.getString(0), r.getInt(1), r.getString(2),

@@ -26,13 +26,17 @@ object NerOutput {
     // (guid=doc/offset/sent, words, tags)
     tagged
       .map { case (guid, words, tags) =>
-        val doc = guid.split('/')(0)
-        val off = guid.split('/')(1).toInt
-        (doc, off, words.zip(tags))
+        // sort key carries BOTH guid fields: the raw-ingestion path pins
+        // span offset to 0 for every sentence (guid doc/0/sidx), and a
+        // sort on offset alone would fall through to comparing the pairs
+        // arrays lexicographically — sentence CONTENT, not position
+        val parts = guid.split('/')
+        (parts(0), parts(1).toInt, parts(2).toInt, words.zip(tags))
       }
-      .toDF("doc_id", "off", "pairs")
+      .toDF("doc_id", "off", "sidx", "pairs")
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("off"), col("pairs")))).as("sents"))
+      .agg(sort_array(collect_list(
+        struct(col("off"), col("sidx"), col("pairs")))).as("sents"))
       .select(col("doc_id"),
         to_json(expr(
           "transform(sents, s -> transform(s.pairs, p -> named_struct('word', p._1, 'prediction', p._2)))"))

@@ -55,10 +55,18 @@ object Corpus {
       .select("ppn", "filename", "text")
       .as[(String, String, String)]
       .flatMap { case (ppn, fn, text) =>
-        reflow(text, minLineLen).map(l => (ppn, fn, l))
+        // per-doc line index as the THIRD sort key: Spark's sort makes
+        // no relative-order promise for equal-key rows, so without it a
+        // document's reflowed lines could interleave arbitrarily after
+        // the range shuffle. The empty sentinel line (index MaxValue —
+        // always last within its doc) is the K2 blank-line document
+        // separator the sink contract documents.
+        reflow(text, minLineLen).zipWithIndex.map { case (l, i) =>
+          (ppn, fn, i, l)
+        } :+ ((ppn, fn, Int.MaxValue, ""))
       }
-      .orderBy("_1", "_2")
-      .map(_._3)
+      .orderBy("_1", "_2", "_3")
+      .map(_._4)
   }
 
   /** K2 — corpus text sink: documents separated by blank lines, single

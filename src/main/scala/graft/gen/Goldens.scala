@@ -155,9 +155,12 @@ object Goldens {
     */
   def evalGolden(n: Int): Seq[EvalRow] = {
     val keys = docs(n).flatMap(_.gold)
-      .map(m => (m.doc_id, m.span_offset, m.start_word, m.end_word, m.entity_type))
+      // same 6-field span identity as SpanMetrics.evaluateMentions
+      // (sentence_idx included — start/end_word are sentence-relative)
+      .map(m => (m.doc_id, m.span_offset, m.sentence_idx, m.start_word,
+        m.end_word, m.entity_type))
       .distinct
-    val perType = keys.groupBy(_._5).toSeq.map { case (t, ks) =>
+    val perType = keys.groupBy(_._6).toSeq.map { case (t, ks) =>
       EvalRow(t, 1.0, 1.0, 1.0, ks.size.toLong, 0L, 0L)
     }
     (perType :+ EvalRow("ALL", 1.0, 1.0, 1.0, keys.size.toLong, 0L, 0L))

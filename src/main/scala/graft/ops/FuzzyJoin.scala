@@ -73,12 +73,19 @@ object FuzzyJoin {
     */
   def ocrVariants(tokens: DataFrame, selMod: Int = 3): DataFrame =
     tokens
+      .where(length(col("word")) >= 1) // empty word → % 0 → null row
       .where(TextOps.hexInt(concat(col("word"), lit("_sel"))) % selMod === 0)
       .withColumn("p0",
         (TextOps.hexInt(col("word")) % length(col("word")).cast("long"))
           .cast("int"))
+      // substitute char = original OFFSET-AND-WRAPPED by 1..25 within
+      // a-z: an independent draw over all 26 letters equals the original
+      // 1-in-26 per pick, silently emitting an identical "variant"
+      .withColumn("oc", expr("ascii(substring(word, p0 + 1, 1))"))
       .withColumn("nc",
-        (TextOps.hexInt(concat(col("word"), lit("_c"))) % 26 + 97).cast("int"))
+        (pmod(col("oc") - 97 +
+          (TextOps.hexInt(concat(col("word"), lit("_c"))) % 25 + 1),
+          lit(26)) + 97).cast("int"))
       .select(concat(
         expr("substring(word, 1, p0)"),
         expr("char(nc)"),

@@ -112,7 +112,10 @@ object TextCore {
     * (tokenization.py:247-267).
     */
   def splitOnPunc(s: String): Array[String] = {
-    if (s.isEmpty) return Array(s)
+    // the reference's _run_split_on_punc("") is [] (it joins an empty
+    // char list), NOT [""] — a phantom empty piece would miscount
+    // tokens for any caller that doesn't filter empties afterwards
+    if (s.isEmpty) return Array.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var i = 0

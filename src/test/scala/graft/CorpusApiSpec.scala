@@ -32,7 +32,11 @@ class CorpusApiSpec extends AnyFunSuite {
     val selection = Seq(("p1", "f1", true), ("p2", "f2", true), ("p3", "f3", false))
       .toDF("ppn", "filename", "selected")
     val lines = Corpus.collect(spark, fulltext, selection, 20).collect()
-    assert(lines.nonEmpty && lines.forall(_.nonEmpty))
+    // content lines + exactly one blank document separator per selected
+    // doc with text (K2 contract: documents separated by blank lines)
+    assert(lines.nonEmpty && lines.last == "")
+    assert(lines.count(_.isEmpty) == 1) // p1 only: p2 has null text, p3 unselected
+    assert(lines.init.forall(_.nonEmpty))
     assert(!lines.exists(_.contains("not selected")))
     val out = Files.createTempDirectory("graft_corpus").toString + "/corpus"
     Corpus.writeCorpus(spark, Corpus.collect(spark, fulltext, selection, 20), out)
