@@ -1822,7 +1822,7 @@ object SparkEntry {
       """SELECT source, doc_id, rn FROM (
         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
         |    ORDER BY ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT
-        |      % 1125899906842624 ASC, doc_id ASC) AS rn
+        |      % 1125899906842624 ASC, doc_id::VARCHAR ASC) AS rn
         |  FROM documents) WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
     "q61_bloom_prune" ->
       """WITH small AS (SELECT DISTINCT c_custkey::VARCHAR AS key

@@ -35,6 +35,11 @@ object Bloom {
   /** OR-merging bitset aggregator: each key sets its k md5 positions. */
   private class BitsetAgg(m: Int, k: Int)
       extends Aggregator[String, Array[Long], Array[Long]] {
+    // checked at CONSTRUCTION on every build path (incl. bitsAggUdaf):
+    // a non-multiple-of-64 m would allocate a truncated m/64-long buffer
+    // and setBits positions in [64*(m/64), m) would then fault mid-job
+    // inside an executor aggregate instead of failing fast here
+    require(m % 64 == 0, s"m must be a multiple of 64, got $m")
     @transient private lazy val md =
       java.security.MessageDigest.getInstance("MD5")
     def zero: Array[Long] = new Array[Long](m / 64)

@@ -13,28 +13,49 @@ import org.apache.spark.sql.functions._
   */
 object Scans {
 
-  /** 0-based rank of UNIQUE long keys in ascending order:
-    * (key, idx) with idx ∈ [0, N). Equivalent to
-    * `row_number().over(Window.orderBy(key)) - 1` without the
-    * single-partition window.
+  /** Shared first pass of the single-long-column scans: range partition
+    * + in-partition sort + localCheckpoint the values, then ONE
+    * per-partition count job collected to the driver (O(partitions)).
+    * Returns the checkpointed values and the global start offset of
+    * each partition — offsets has partitions+1 entries and
+    * `offsets.last` is the total row count, so callers needing N reuse
+    * it instead of paying a second full scan of the raw input.
     */
-  def zeroBasedRank(df: DataFrame, key: String): DataFrame = {
+  private def rangedOffsets(df: DataFrame, valueCol: String)
+      : (org.apache.spark.sql.Dataset[Long], Array[Long]) = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = math.max(2, spark.sparkContext.defaultParallelism)
-    val ranged = df.select(col(key).cast("long").as("k"))
-      .repartitionByRange(parts, col("k"))
-      .sortWithinPartitions("k")
+    val ranged = df.select(col(valueCol).cast("long").as("v"))
+      .repartitionByRange(parts, col("v"))
+      .sortWithinPartitions("v")
       .as[Long]
       .localCheckpoint()
     val counts = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var c = 0L; it.foreach(_ => c += 1); Iterator.single((pid, c))
     }.collect().sortBy(_._1).map(_._2)
-    val off = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
-    ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+    (ranged, counts.scanLeft(0L)(_ + _))
+  }
+
+  /** 0-based rank of UNIQUE long keys in ascending order:
+    * (key, idx) with idx ∈ [0, N). Equivalent to
+    * `row_number().over(Window.orderBy(key)) - 1` without the
+    * single-partition window.
+    */
+  def zeroBasedRank(df: DataFrame, key: String): DataFrame =
+    rankedWithTotal(df, key)._1
+
+  private def rankedWithTotal(df: DataFrame, key: String)
+      : (DataFrame, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (ranged, offsets) = rangedOffsets(df, key)
+    val off = spark.sparkContext.broadcast(offsets)
+    val ranked = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var i = off.value(pid)
       it.map { k => val row = (k, i); i += 1; row }
     }.toDF(key, "idx")
+    (ranked, offsets.last)
   }
 
   /** Exact global percentiles over a (non-unique) long value column,
@@ -54,23 +75,15 @@ object Scans {
                        ps: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val parts = math.max(2, spark.sparkContext.defaultParallelism)
-    val ranged = df.select(col(valueCol).cast("long").as("v"))
-      .repartitionByRange(parts, col("v"))
-      .sortWithinPartitions("v")
-      .as[Long]
-      .localCheckpoint()
-    val counts = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var c = 0L; it.foreach(_ => c += 1); Iterator.single((pid, c))
-    }.collect().sortBy(_._1).map(_._2)
-    val n = counts.sum
+    val (ranged, offsets) = rangedOffsets(df, valueCol)
+    val n = offsets.last
     // ceil(p·n) in IEEE double on BOTH sides of the oracle compare —
     // representability of p (0.9, 0.99, …) cancels out
     val targets: Map[Long, Seq[Double]] = ps
       .map(p => (math.max(1L, math.ceil(p * n).toLong) - 1L) -> p)
       .groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2) }
     val bcTargets = spark.sparkContext.broadcast(targets)
-    val off = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    val off = spark.sparkContext.broadcast(offsets)
     ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var i = off.value(pid)
       it.flatMap { v =>
@@ -142,8 +155,9 @@ object Scans {
     * (key, fold ∈ [0, k)).
     */
   def ntileFolds(df: DataFrame, key: String, k: Int): DataFrame = {
-    val ranked = zeroBasedRank(df, key)
-    val n = df.count()
+    // N comes from the rank pass's own per-partition counts — a
+    // df.count() here would be a second complete scan of the raw input
+    val (ranked, n) = rankedWithTotal(df, key)
     val q = n / k; val r = n % k
     val fold =
       if (q == 0) col("idx") // fewer keys than folds: one key per fold

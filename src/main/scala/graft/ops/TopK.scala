@@ -64,7 +64,12 @@ object TopK {
     * with the same map-side heap pruning as [[groupedTopK]] (shuffle
     * volume partitions·k per group, never the corpus). The hash rank is
     * reduced mod 2^50 so it is exactly representable as a double on
-    * both sides of the oracle compare. Output: (grp, id, rn ∈ [1, k]).
+    * both sides of the oracle compare. Rank ties — near-certain at the
+    * 10^12-row scale (birthday bound ~2^25 rows per group in a 2^50
+    * space) — break by the STRING form of the id, and any oracle must
+    * tie-break identically (CAST the id to VARCHAR in SQL: a numeric
+    * tie-break orders 9 before 10 where "10" < "9").
+    * Output: (grp, id, rn ∈ [1, k]).
     */
   def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
                       k: Int): DataFrame = {

@@ -143,4 +143,12 @@ class BloomSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSet
     assert(exact == smallKeys.toSet)
   }
+
+  test("bloom bitset rejects non-multiple-of-64 m at construction") {
+    // a truncated m/64 buffer would otherwise fault mid-job in an
+    // executor aggregate on any key hashing into [64*(m/64), m)
+    intercept[IllegalArgumentException] {
+      graft.ops.Bloom.bitsAggUdaf(m = 1000, k = 4)
+    }
+  }
 }
