@@ -16,7 +16,7 @@ import java.nio.file.{Files, Paths}
   *
   * Usage:
   *   runMain graft.ScalingBench single <nDocs> <cpus> <outJson>
-  *   runMain graft.ScalingBench report <json8> <json32> <outMd>
+  *   runMain graft.ScalingBench report <outMd> <jsonN> <json4N> [extra...]
   */
 object ScalingBench {
 

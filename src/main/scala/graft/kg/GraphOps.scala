@@ -75,9 +75,10 @@ object GraphOps {
     */
   def triangleCounts(triples: Dataset[Triple]): DataFrame = {
     val sym = coEdges(triples)
-    // one row per undirected edge (dedup: coEdges may carry both
-    // plant-time directions of the same pair)
-    val und = sym.where(col("src") < col("dst")).distinct()
+    // one row per undirected edge: coEdges canonicalizes + dedups
+    // BEFORE mirroring, so src < dst alone recovers the distinct
+    // canonical half — no extra distinct shuffle needed
+    val und = sym.where(col("src") < col("dst"))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     // total order (deg asc, id asc) as one sortable key; any consistent
     // total order is correct — degree-ascending is the skew bound
@@ -194,7 +195,9 @@ object GraphOps {
     */
   def kHopDistances(triples: Dataset[Triple], maxHops: Int = 3,
                     seedMod: Int = 16): DataFrame = {
-    val edges = coEdges(triples).distinct().localCheckpoint()
+    // coEdges output is already distinct (canonicalize + dedup before
+    // the mirror) — a distinct() here would be a full extra shuffle
+    val edges = coEdges(triples).localCheckpoint()
     val nodes = edges.select(col("src").as("entity")).distinct()
     val seeds = nodes.where(
       graft.ops.TextOps.hexInt(col("entity")) % seedMod === 0)
@@ -237,7 +240,7 @@ object GraphOps {
     */
   def neighborhoodJaccard(triples: Dataset[Triple],
                           maxCenterDegree: Long = 1L << 20): DataFrame = {
-    val sym = coEdges(triples).distinct().localCheckpoint()
+    val sym = coEdges(triples).localCheckpoint() // already distinct
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint() // reused: center cap + both marginal joins
     val capped = sym.join(
@@ -265,7 +268,7 @@ object GraphOps {
     */
   def clusteringCoefficient(triples: Dataset[Triple]): DataFrame = {
     val tri = triangleCounts(triples)
-    val deg = coEdges(triples).distinct()
+    val deg = coEdges(triples) // already distinct
       .groupBy("src").agg(count(lit(1)).as("deg"))
     tri.join(deg.select(col("src").as("entity"), col("deg")), "entity")
       .select(col("entity"), col("n_triangles"), col("deg"),
@@ -290,7 +293,14 @@ object GraphOps {
     * factor or pre-divide total.
     */
   def cooccurrenceLift(triples: Dataset[Triple]): DataFrame = {
+    // canonicalize direction like coEdges: a merged/external store
+    // carrying both (a,b) and (b,a) would otherwise split the pair's
+    // count across two rows, roughly halving each direction's lift
+    // (this engine's own coTriples always emits subj < obj, so the
+    // least/greatest is a no-op on native data and the oracle)
     val pairs = triples.toDF().where(col("pred") === "co_occurs_with")
+      .select(least(col("subj"), col("obj")).as("subj"),
+        greatest(col("subj"), col("obj")).as("obj"))
       .groupBy("subj", "obj").agg(count(lit(1)).as("pair_n"))
       .localCheckpoint() // reused for both marginals and the output join
     val occ = pairs.select(col("subj").as("entity"), col("pair_n"))

@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Parity contract (oracle-checked): `cosine6(a,b)` ==
   * `round(aggregate(zip_with(a,b,*),0d,+) / (sqrt(..a..)*sqrt(..b..)), 6)`
   * and `dot6(a,b)` == `round(aggregate(zip_with(a,b,*),0d,+), 6)` for
-  * arrays of doubles, bit for bit.
+  * EQUAL-LENGTH arrays of doubles, bit for bit. Ragged pairs fail
+  * loudly (zip_with yields NULL there — neither is a similarity).
   */
 object AnnKernels {
 
@@ -33,6 +34,12 @@ object AnnKernels {
 
   def cosine6(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    // iterating to a's length unchecked would READ PAST the shorter
+    // array on UnsafeArrayData — garbage doubles, silently wrong
+    // similarity. A ragged embedding is data corruption: fail loudly
+    // (zip_with would yield NULL; neither is a meaningful score)
+    require(n == b.numElements(),
+      s"cosine6: embedding length mismatch $n vs ${b.numElements()}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -45,6 +52,8 @@ object AnnKernels {
 
   def dot6(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    require(n == b.numElements(),
+      s"dot6: embedding length mismatch $n vs ${b.numElements()}")
     var dot = 0.0
     var i = 0
     while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }

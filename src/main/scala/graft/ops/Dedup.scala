@@ -206,8 +206,11 @@ object Dedup {
     val idType = docs.schema("doc_id").dataType
     val numeric = idType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     // numeric ids: zero-pad so the CC engine's string-min representative
-    // is the numeric min (20 digits covers any long); string ids pass
-    // through and the keeper is the lexicographic min
+    // is the numeric min (20 digits covers any long). NON-NEGATIVE ids
+    // only: a negative id pads as "0…0-5", whose string order INVERTS
+    // the numeric order ("-3" < "-5" lexicographically) — the keeper is
+    // still a deterministic cluster representative then, just not the
+    // numeric min. String ids pass through; keeper = lexicographic min.
     def enc(c: org.apache.spark.sql.Column) =
       if (numeric) lpad(c.cast("string"), 20, "0") else c.cast("string")
     val edges = minhashPairs(docs, bands, rows)

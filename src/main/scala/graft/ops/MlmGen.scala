@@ -141,14 +141,20 @@ object MlmGen {
       .withColumn("sent_idx",
         (col("cum") + hexInt(concat(col("doc_id"), lit("_draw")))
           % (col("total") - col("n"))) % col("total"))
+    // only the ~half of docs drawing a RANDOM next consume the sample —
+    // restrict the query side BEFORE the two-pass searchsorted scan
+    // (halves its union/range-partition volume at corpus scale), then
+    // left-join the draws back so the 50% with the sequential next pass
+    // through with a null (never selected) sample
     val sampledIdx = searchSorted(spark,
       c.select(col("cum").as("v"), col("idx")),
-      q.select(col("sent_idx").as("v"), col("doc_id").as("q_doc")))
+      q.where(col("is_random_next"))
+        .select(col("sent_idx").as("v"), col("doc_id").as("q_doc")))
     val sampled = sampledIdx.join(
       c.select(col("idx").as("cnt"), col("doc_id").as("s_doc"), col("n").as("s_n")),
       "cnt")
     val aFull = floor((col("n") + 1) / 2).cast("long")
-    q.join(sampled.select("doc_id", "s_doc", "s_n"), "doc_id")
+    q.join(sampled.select("doc_id", "s_doc", "s_n"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_random_next"),
         when(col("is_random_next"), col("s_doc")).otherwise(col("doc_id"))
           .as("b_doc_id"),

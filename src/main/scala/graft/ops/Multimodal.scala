@@ -259,6 +259,12 @@ object Multimodal {
           batch.flatMap { r =>
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(r.payload))
+            // same format gate as decodeWav: an 8-bit/stereo/big-endian
+            // WAV would otherwise silently pair wrong bytes into samples
+            // and emit garbage energies instead of failing loudly
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian, s"unsupported wav format: $fmt")
             val bytes = ais.readAllBytes()
             ais.close()
             val n = bytes.length / 2
@@ -314,7 +320,9 @@ object Multimodal {
         col("frame_idx").cast("long").as("frame_idx"),
         // (idx * 1000) / fps, NOT idx * (1000/fps): integer-dividing the
         // per-frame increment first drifts for any fps not dividing 1000
-        // (at 30 fps frame 3000 would be a full second off)
-        (col("frame_idx") * 1000 / fps).cast("long").as("ts_ms"))
+        // (at 30 fps frame 3000 would be a full second off). The idx is
+        // widened to long BEFORE the multiply — int*1000 overflows past
+        // ~2.1M frames (an ~8.6 MB stub payload)
+        (col("frame_idx").cast("long") * 1000 / fps).cast("long").as("ts_ms"))
   }
 }

@@ -33,6 +33,10 @@ object RangeJoin {
                  leftId: String, rightId: String,
                  leftTs: String, rightTs: String,
                  windowSec: Long): DataFrame = {
+    // a zero window would put `div 0` in the bucket expression — a
+    // mid-plan DIVIDE_BY_ZERO (or silent empty output with ANSI off)
+    // instead of an actionable error; negative windows bucket nonsense
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
     val w = windowSec * 1000000L
     // FLOOR division (div truncates toward zero): pre-1970 timestamps
     // produce negative epoch micros, and the two-bucket containment

@@ -91,7 +91,14 @@ object Sessionize {
               closed += ClosedSession(user, s.start, s.last, s.n)
               cur = Some(OpenSession(t, t, 1))
             case Some(s) =>
-              cur = Some(OpenSession(s.start, t, s.n + 1))
+              // a LATE cross-batch event (t <= s.last, admissible under
+              // the watermark) joins the open session but must never move
+              // its bounds backward: the next gap decision keeps measuring
+              // from the true max event time, and an event older than the
+              // recorded start widens the session start (bounded state
+              // cannot retroactively split an earlier session off)
+              cur = Some(OpenSession(math.min(s.start, t),
+                math.max(s.last, t), s.n + 1))
             case None =>
               cur = Some(OpenSession(t, t, 1))
           }

@@ -257,6 +257,42 @@ class StatefulStreamSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS fsess")
   }
 
+  test("a late cross-batch event never moves an open session's bounds backward") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_lsess").toString
+    def ev(user: Long, id: Long, minute: Long) =
+      (user, id, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2026, 1, 1, 10, 0).plusMinutes(minute)))
+    // batch 0: session open with last = minute 10; batch 1 delivers a
+    // LATE minute-5 event (inside the session) plus the minute-60 event
+    // that closes it. A state that let `last` regress to 5 would then
+    // emit session_end = minute 5 instead of minute 10.
+    val b0 = Seq(ev(1, 1, 0), ev(1, 2, 10))
+    val b1 = Seq(ev(1, 3, 5), ev(1, 4, 60))
+    val sch = spark.createDataset(b0).toDF("user_id", "event_id", "ts").schema
+    spark.createDataset(b0).toDF("user_id", "event_id", "ts")
+      .coalesce(1).write.parquet(s"$dir/in/b0")
+    Thread.sleep(1100)
+    spark.createDataset(b1).toDF("user_id", "event_id", "ts")
+      .coalesce(1).write.parquet(s"$dir/in/b1")
+    val stream = spark.readStream.schema(sch)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*").as[Sessionize.TimedEvent]
+    val q = Sessionize.gapSessions(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lsess")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT user_id, session_start, session_end, n_events FROM lsess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val start = ev(1, 1, 0)._3.getTime / 1000
+    val end = ev(1, 2, 10)._3.getTime / 1000 // NOT the late minute-5 time
+    assert(got == Set((1L, start, end, 3L)), got)
+    spark.sql("DROP TABLE IF EXISTS lsess")
+  }
+
   test("EventTimeTimeout flushes an idle user's tail session on watermark advance") {
     val dir = Files.createTempDirectory("graft_tsess").toString
     def ev(user: Long, id: Long, minute: Long) =
