@@ -119,6 +119,98 @@ object ScalingBench {
       Files.writeString(Paths.get(out), json)
       println(json)
 
+    case "recall" =>
+      // recall <sfDir> <outJson> — the recall/cost sweep a production ANN
+      // index is tuned with: mean recall@5 and best-of-3 wall time for
+      // each method config against the exact brute-force baseline over
+      // the driver-generated embeddings table. planes/probes are the
+      // recall dials ([[graft.ops.Ann]]); this measures both sides of the
+      // dial at once. The trained-IVF quantizer is built ONCE outside the
+      // timed region (production shape: train once, search many).
+      // Optional 4th/5th args <nVec> <nClusters>: synthesize a PLANTED-
+      // cluster embedding table of that size instead of reading the
+      // sf-dir table (the driver's synthetic embeddings are structureless
+      // — intra-label cosine ≈ inter ≈ 0 — so recall on them is partition
+      // luck; planted structure is the honest recall signal, and a
+      // 100×-larger table shows the cost separation that motivates IVF).
+      // Deterministic: every vector keyed by vec_id via mix64, never by
+      // partition/task id.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      import graft.ops.Ann
+      val sfDir = args(1); val out = args(2)
+      val spark = Bench.session("32")
+      import spark.implicits._
+      val nVec = if (args.length > 3) args(3).toLong else 0L
+      val nClusters = if (args.length > 4) args(4).toInt else 64
+      val emb = (if (nVec > 0) {
+        import graft.gen.CorpusGen.mix64
+        val dim = 64
+        def unit(seed: Long): Array[Double] = {
+          val v = Array.tabulate(dim)(d =>
+            mix64(seed * 31 + d).toDouble / Long.MaxValue)
+          val n = math.sqrt(v.map(x => x * x).sum)
+          v.map(_ / n)
+        }
+        val centers = Array.tabulate(nClusters)(c => unit(1000L + c))
+        val bcC = spark.sparkContext.broadcast(centers)
+        spark.range(nVec).as[Long].map { i =>
+          val c = bcC.value((i % nClusters).toInt)
+          val noise = unit(777L + i)
+          (i, c.zip(noise).map { case (a, b) => (a + 0.15 * b).toFloat })
+        }.toDF("vec_id", "embedding").repartition(256)
+      } else spark.read.parquet(s"$sfDir/embeddings.parquet"))
+        .localCheckpoint() // measure the operator, not parquet IO / gen
+      val n = emb.count()
+      // ~n/queryMod queries; keep a few hundred at any size
+      val queryMod = math.max(25L, n / 400).toInt
+      val centroidMod = math.max(50L, n / nClusters).toInt
+      val exact = Ann.bruteTopK(emb, 5, queryMod).select("q_id", "nn_id")
+        .localCheckpoint()
+      val nExact = exact.count()
+      val trained = Ann.trainedCentroids(emb, nClusters, 5).localCheckpoint()
+      def meanRecall(approx: DataFrame): Double =
+        exact.join(approx.select("q_id", "nn_id"),
+          Seq("q_id", "nn_id"), "left_semi").count().toDouble / nExact
+      def sweep(name: String, f: () => DataFrame): String = {
+        f().count() // JIT warm-up
+        val sec = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f().count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val r = meanRecall(f())
+        f"""{"config":"$name","sec":$sec%.3f,"recall":$r%.4f}"""
+      }
+      val entries = Seq(
+        sweep("brute_exact", () => Ann.bruteTopK(emb, 5, queryMod)),
+        sweep("lsh_planes6",
+          () => Ann.lshTopK(emb, 5, planes = 6, queryMod = queryMod)),
+        sweep("lsh_planes8",
+          () => Ann.lshTopK(emb, 5, planes = 8, queryMod = queryMod)),
+        sweep("lsh_planes10",
+          () => Ann.lshTopK(emb, 5, planes = 10, queryMod = queryMod)),
+        sweep("lsh_multi_4x4",
+          () => Ann.lshTopKMulti(emb, 5, queryMod = queryMod)),
+        sweep("ivf_mod_p1", () => Ann.ivfTopK(emb, 5, probes = 1,
+          centroidMod = centroidMod, queryMod = queryMod)),
+        sweep("ivf_mod_p2", () => Ann.ivfTopK(emb, 5, probes = 2,
+          centroidMod = centroidMod, queryMod = queryMod)),
+        sweep("ivf_mod_p4", () => Ann.ivfTopK(emb, 5, probes = 4,
+          centroidMod = centroidMod, queryMod = queryMod)),
+        sweep("ivf_trained_p1",
+          () => Ann.ivfTopKWithCentroids(emb, trained, 5, 1, queryMod)),
+        sweep("ivf_trained_p2",
+          () => Ann.ivfTopKWithCentroids(emb, trained, 5, 2, queryMod)),
+        sweep("ivf_trained_p4",
+          () => Ann.ivfTopKWithCentroids(emb, trained, 5, 4, queryMod)))
+      spark.stop()
+      val json = s"""{"mode":"recall_sweep","k":5,"nVectors":$n,""" +
+        s""""planted":${nVec > 0},"nClusters":$nClusters,""" +
+        s""""queryMod":$queryMod,"nExactPairs":$nExact,""" +
+        s""""entries":[${entries.mkString(",")}]}"""
+      Files.writeString(Paths.get(out), json)
+      println(json)
+
     case "report" =>
       // report <outMd> <json N> <json 4N> [<json extra>...]
       def readJson(p: String): Map[String, Double] = {

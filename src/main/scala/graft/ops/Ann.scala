@@ -203,9 +203,17 @@ object Ann {
 
   def ivfTopKTrained(emb: DataFrame, k: Int = 5, nCentroids: Int = 10,
                      trainIters: Int = 5, probes: Int = 2,
-                     queryMod: Int = 25): DataFrame = {
+                     queryMod: Int = 25): DataFrame =
+    ivfTopKWithCentroids(emb, trainedCentroids(emb, nCentroids, trainIters),
+      k, probes, queryMod)
+
+  /** Cell-restricted search under a PRECOMPUTED centroid table — the
+    * production IVF shape (train the quantizer once, search many times);
+    * [[ivfTopKTrained]] is the train+search convenience over this.
+    */
+  def ivfTopKWithCentroids(emb: DataFrame, cents: DataFrame, k: Int = 5,
+                           probes: Int = 2, queryMod: Int = 25): DataFrame = {
     val spark = emb.sparkSession
-    val cents = trainedCentroids(emb, nCentroids, trainIters)
     val e = emb.select(col("vec_id"), vcol.as("v"))
     val cells = assignCells(e, cents, 1)
       .select(col("vec_id"), col("cell"))

@@ -39,6 +39,22 @@ object SentenceSplitter {
   private val truncatedRe =
     "^(?:\\p{L}[\\p{L}\\p{N}]*-|-\\p{L}[\\p{L}\\p{N}]*)$".r.pattern
 
+  // SoMaJo's ordinal token class keeps number+dot as ONE token ("12.",
+  // "1.000.", "XVIII.", "Karl V.") and such a token never ends a
+  // sentence. Three stem shapes: plain digits, thousand-grouped digits,
+  // and a strict roman numeral (all-upper or all-lower — never mixed, so
+  // ordinary words like "Mix" don't match).
+  private val groupedDigitsRe = "^\\d{1,3}(?:\\.\\d{3})+$".r.pattern
+  private val romanStrict =
+    "^M{0,3}(?:CM|CD|D?C{0,3})(?:XC|XL|L?X{0,3})(?:IX|IV|V?I{0,3})$".r.pattern
+
+  def isOrdinalStem(stem: String): Boolean =
+    stem.nonEmpty && (
+      stem.forall(_.isDigit) ||
+      groupedDigitsRe.matcher(stem).matches() ||
+      ((stem.forall(_.isUpper) || stem.forall(_.isLower)) &&
+        romanStrict.matcher(stem.toUpperCase).matches()))
+
   def isProtected(tok: String): Boolean =
     urlRe.matcher(tok).matches() || emailRe.matcher(tok).matches() ||
     emoticonRe.matcher(tok).matches() ||
@@ -103,8 +119,7 @@ object SentenceSplitter {
       // numeric guard can see them
       def keepDot(x: String): Boolean = x.charAt(x.length - 1) == '.' && {
         val stem = x.dropRight(1)
-        abbrevs.contains(stem.toLowerCase) ||
-        (stem.nonEmpty && stem.forall(_.isDigit))
+        abbrevs.contains(stem.toLowerCase) || isOrdinalStem(stem)
       }
       val trail = scala.collection.mutable.ArrayBuffer.empty[String]
       while (s.nonEmpty && TextCore.isPunctuation(s.charAt(s.length - 1)) &&
@@ -133,7 +148,7 @@ object SentenceSplitter {
       cur += t
       val isEnd = (t == "." || t == "!" || t == "?") ||
         (t.length > 1 && ".!?".contains(t.last) && !isProtected(t) &&
-          !t.dropRight(1).forall(_.isDigit) &&
+          !(t.last == '.' && isOrdinalStem(t.dropRight(1))) &&
           !abbrevs.contains(t.dropRight(1).toLowerCase))
       if (isEnd && cur.nonEmpty) {
         out += cur.toArray; cur.clear()

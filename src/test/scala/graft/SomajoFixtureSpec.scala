@@ -141,6 +141,29 @@ class SomajoFixtureSpec extends AnyFunSuite {
       Seq("Nord-Süd-Achse", "bleibt"))
   }
 
+  test("roman-numeral and grouped ordinals keep their dot (SoMaJo ordinal class)") {
+    import graft.text.SentenceSplitter._
+    // regnal numbers: "Karl V." stays one token and is no boundary
+    val s = sentences("Kaiser Karl V. regierte lange. Dann kam Ferdinand I. an die Macht.")
+    assert(s.length == 2, s.map(_.mkString("|")).mkString(" // "))
+    assert(s(0).toSeq ==
+      Seq("Kaiser", "Karl", "V.", "regierte", "lange", "."))
+    assert(s(1).toSeq ==
+      Seq("Dann", "kam", "Ferdinand", "I.", "an", "die", "Macht", "."))
+    // lowercase roman ordinals ("im xviii. Jahrhundert") also hold
+    assert(sentences("Im xviii. Jahrhundert war es anders .").length == 1)
+    // thousand-grouped ordinal keeps its final dot
+    assert(tokenizeWords("der 1.000. Besucher kam").toSeq ==
+      Seq("der", "1.000.", "Besucher", "kam"))
+    assert(sentences("Der 1.000. Besucher kam heute an .").length == 1)
+    // mixed-case words ending in roman letters are NOT ordinals
+    val mix = sentences("Das war der Mix. Danach kam mehr .")
+    assert(mix.length == 2, mix.map(_.mkString("|")).mkString(" // "))
+    // '!' and '?' always end — the ordinal guard is dot-only (mirrors the
+    // reference's `[0-9]+[.]$` guard, europeana_historic.py:37)
+    assert(sentences("Es waren 1871 ! Neu begann es .").length == 2)
+  }
+
   test("dates, times and grouped numbers survive as single tokens") {
     import graft.text.SentenceSplitter._
     assert(tokenizeWords("Am 01.01.1871 um 12:30 Uhr").toSeq ==
