@@ -195,7 +195,14 @@ object Multimodal {
     * every PCM frame, return (sample_rate, n_samples, peak_abs,
     * signed_sum) — integer stats, bit-deterministic across JVMs.
     */
-  def decodeWav(payload: Array[Byte]): (Int, Long, Long, Long) = {
+  /** Shared 16-bit/mono/little-endian PCM reader: the RIFF container
+    * parse, the format gate (an 8-bit/stereo/big-endian WAV would
+    * silently pair wrong bytes into samples and emit garbage instead of
+    * failing loudly) and the raw sample bytes. [[decodeWav]] and
+    * [[audioEnergy]] both ride this one parser so container handling
+    * and the sign-extending byte pairing can never diverge.
+    */
+  private def readPcm16(payload: Array[Byte]): (javax.sound.sampled.AudioFormat, Array[Byte]) = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     val fmt = ais.getFormat
@@ -203,11 +210,20 @@ object Multimodal {
       !fmt.isBigEndian, s"unsupported wav format: $fmt")
     val bytes = ais.readAllBytes()
     ais.close()
+    (fmt, bytes)
+  }
+
+  /** Sample i of a 16-bit little-endian PCM byte array (sign-extends). */
+  private def sample16(bytes: Array[Byte], i: Int): Int =
+    (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+
+  def decodeWav(payload: Array[Byte]): (Int, Long, Long, Long) = {
+    val (fmt, bytes) = readPcm16(payload)
     val n = bytes.length / 2
     var peak = 0L; var sum = 0L
     var i = 0
     while (i < n) {
-      val v = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff) // sign-extends
+      val v = sample16(bytes, i)
       val a = if (v < 0) -v.toLong else v.toLong
       if (a > peak) peak = a
       sum += v
@@ -257,16 +273,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.flatMap { r =>
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(r.payload))
-            // same format gate as decodeWav: an 8-bit/stereo/big-endian
-            // WAV would otherwise silently pair wrong bytes into samples
-            // and emit garbage energies instead of failing loudly
-            val fmt = ais.getFormat
-            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-              !fmt.isBigEndian, s"unsupported wav format: $fmt")
-            val bytes = ais.readAllBytes()
-            ais.close()
+            val (_, bytes) = readPcm16(r.payload)
             val n = bytes.length / 2
             val nWin = (n + window - 1) / window
             (0 until nWin).map { w =>
@@ -275,7 +282,7 @@ object Multimodal {
               var e = 0L
               var i = start
               while (i < end) {
-                val v = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+                val v = sample16(bytes, i)
                 e += v.toLong * v
                 i += 1
               }

@@ -99,7 +99,13 @@ object DictStore {
 
   /** The scored dictionary for snapshot `snapId`: read when
     * materialized, else build (canon map included — `canon` is by-name
-    * so the CC job only runs on a build miss), persist, and read back.
+    * so the CC job only runs on a build miss, and is forced EXACTLY once
+    * there: canonicalMap is eager, so a second evaluation would re-run
+    * the whole CC fixpoint), persist, and read back. The alias/canon
+    * sidecars are written BEFORE the scored table: scored/_SUCCESS is
+    * the snapshot's commit gate, so a crash mid-build can never leave a
+    * committed snapshot whose CDC sidecars are missing (which would
+    * silently force full rebuilds on every later [[refresh]]).
     * Returns the PARQUET-BACKED frame in both cases so every consumer
     * downstream shares one physical source.
     */
@@ -108,12 +114,13 @@ object DictStore {
                    canon: => Option[DataFrame]): DataFrame = {
     val path = scoredPath(root, snapId)
     if (!isCommitted(spark, path)) {
-      graft.kg.Linker.scoredDict(spark, aliases, canon)
-        .write.mode(SaveMode.Overwrite).parquet(path)
+      val c = canon // force the by-name thunk once
       aliases.toDF().write.mode(SaveMode.Overwrite)
         .parquet(aliasPath(root, snapId))
-      canon.foreach(_.write.mode(SaveMode.Overwrite)
+      c.foreach(_.write.mode(SaveMode.Overwrite)
         .parquet(canonPath(root, snapId)))
+      graft.kg.Linker.scoredDict(spark, aliases, c)
+        .write.mode(SaveMode.Overwrite).parquet(path)
     }
     spark.read.parquet(path)
   }
@@ -176,7 +183,7 @@ object DictStore {
       case Some(old) if old != newId &&
           readAliases(spark, root, old).isDefined &&
           readCanon(spark, root, old).isDefined =>
-        applyDiff(spark, root, old, aliases)
+        applyDiff(spark, root, old, aliases, Some(newId))
       case _ =>
         ensureScored(spark, root, newId, aliases,
           Some(graft.kg.ConnectedComponents.canonicalMap(spark, aliases.toDF())))
@@ -210,9 +217,12 @@ object DictStore {
     * emitted triples are bit-identical.
     */
   def applyDiff(spark: SparkSession, root: String, oldSnapId: String,
-                newAliases: Dataset[Alias]): String = {
+                newAliases: Dataset[Alias],
+                knownNewId: Option[String] = None): String = {
     import spark.implicits._
-    val newSnapId = fingerprint(spark, newAliases)
+    // `knownNewId` lets refresh() pass the fingerprint it already
+    // computed instead of paying a second O(dictionary) scan per CDC
+    val newSnapId = knownNewId.getOrElse(fingerprint(spark, newAliases))
     if (newSnapId == oldSnapId) return oldSnapId // empty diff: no-op
     val path = scoredPath(root, newSnapId)
     if (isCommitted(spark, path)) return newSnapId // already materialized
@@ -266,10 +276,12 @@ object DictStore {
     val merged = oldScored.join(staleSurf, Seq("surface_norm"), "left_anti")
       .unionByName(subScored)
 
-    merged.write.mode(SaveMode.Overwrite).parquet(path)
+    // sidecars first, scored last — scored/_SUCCESS is the commit gate
+    // (same crash-safety ordering as ensureScored)
     newAliases.toDF().write.mode(SaveMode.Overwrite)
       .parquet(aliasPath(root, newSnapId))
     canonAll.write.mode(SaveMode.Overwrite).parquet(canonPath(root, newSnapId))
+    merged.write.mode(SaveMode.Overwrite).parquet(path)
     newSnapId
   }
 }

@@ -47,12 +47,20 @@ object SentenceSplitter {
   private val groupedDigitsRe = "^\\d{1,3}(?:\\.\\d{3})+$".r.pattern
   private val romanStrict =
     "^M{0,3}(?:CM|CD|D?C{0,3})(?:XC|XL|L?X{0,3})(?:IX|IV|V?I{0,3})$".r.pattern
+  // lowercase stems that are VALID strict roman numerals but are far more
+  // often unit abbreviations or ordinary words ("5 mm.", "auf cd.",
+  // "ein mix."): never ordinals. Uppercase forms stay ordinals — regnal
+  // numbers ("Karl V.", "MM.") are the whole point of the class.
+  private val lowerRomanStopwords =
+    Set("cm", "mm", "dm", "ml", "cl", "dl", "cd", "cc", "dc", "mi", "li",
+      "mix")
 
   def isOrdinalStem(stem: String): Boolean =
     stem.nonEmpty && (
       stem.forall(_.isDigit) ||
       groupedDigitsRe.matcher(stem).matches() ||
-      ((stem.forall(_.isUpper) || stem.forall(_.isLower)) &&
+      ((stem.forall(_.isUpper) ||
+        (stem.forall(_.isLower) && !lowerRomanStopwords.contains(stem))) &&
         romanStrict.matcher(stem.toUpperCase).matches()))
 
   def isProtected(tok: String): Boolean =

@@ -159,6 +159,11 @@ class SomajoFixtureSpec extends AnyFunSuite {
     // mixed-case words ending in roman letters are NOT ordinals
     val mix = sentences("Das war der Mix. Danach kam mehr .")
     assert(mix.length == 2, mix.map(_.mkString("|")).mkString(" // "))
+    // lowercase roman-shaped UNIT abbreviations are not ordinals either
+    // ("mm" = MM = 2000, but "Es misst 5 mm." ends a sentence)
+    val mmS = sentences("Es misst 5 mm. Danach kam mehr .")
+    assert(mmS.length == 2, mmS.map(_.mkString("|")).mkString(" // "))
+    assert(sentences("Alles auf cd. Danach kam mehr .").length == 2)
     // '!' and '?' always end — the ordinal guard is dot-only (mirrors the
     // reference's `[0-9]+[.]$` guard, europeana_historic.py:37)
     assert(sentences("Es waren 1871 ! Neu begann es .").length == 2)

@@ -388,4 +388,33 @@ class StatefulStreamSpec extends AnyFunSuite {
       "comparable batches flagged as drift")
     spark.catalog.clearCache()
   }
+
+  test("an ALL-EMPTY micro-batch is visible to quality drift (vanish + rebound alerts)") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_drift_empty").toString
+    val aliases = CorpusGen.aliases(spark)
+    val ctx = KgPipeline.prepareLinkContext(spark, aliases)
+    val cfg = KgPipeline.Config(buckets = 8)
+    val all = CorpusGen.docs(spark, 30, parts = 2)
+    val b0 = all.filter(_.doc_id < CorpusGen.docId(15))
+    val empty = all.filter(_ => false)
+    val b2 = all.filter(_.doc_id >= CorpusGen.docId(15))
+    StreamIngest.commitBatch(spark, b0, 0L, root, ctx, aliases, cfg)
+    StreamIngest.commitBatch(spark, empty, 1L, root, ctx, aliases, cfg)
+    StreamIngest.commitBatch(spark, b2, 2L, root, ctx, aliases, cfg)
+    // the marker row makes batch 1 PRESENT in the adjacency list: the
+    // total outage surfaces as vanishing alerts at 1 and appearing
+    // alerts at 2 — the exact scenario a silent gap would hide
+    val alerts = StreamIngest.qualityDrift(spark, root, tolerance = 4.0)
+    assert(alerts.where(col("batch") === 1 &&
+      col("n_triples").isNull).count() > 0, "outage batch not flagged")
+    assert(alerts.where(col("batch") === 2 &&
+      col("prev_triples").isNull).count() > 0, "rebound batch not flagged")
+    // the marker itself never leaks: not in readQuality, not in alerts
+    assert(StreamIngest.readQuality(spark, root)
+      .where(col("pred") === StreamIngest.QualityMarker).count() == 0)
+    assert(alerts.where(col("pred") === StreamIngest.QualityMarker)
+      .count() == 0)
+    spark.catalog.clearCache()
+  }
 }
