@@ -69,7 +69,7 @@ object Main {
       val aliases = CorpusGen.aliases(spark)
       val ctx = KgPipeline.prepareLinkContext(spark, aliases)
       val cfg = KgPipeline.Config(buckets = buckets)
-      val snap = graft.store.Snapshots.configHash(spark, cfg.toString, args(1))
+      val snap = graft.store.Snapshots.configHash(cfg.toString, args(1))
       val n = LineageStore.runResumable(spark, outRoot, "triples", docs,
         ds => KgPipeline.run(spark, ds, aliases, cfg = cfg, ctx = Some(ctx)),
         buckets, snap)

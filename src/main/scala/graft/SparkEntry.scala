@@ -2064,10 +2064,14 @@ object SparkEntry {
         | np AS (SELECT doc_id, count(*)::BIGINT AS n_novel FROM (
         |   SELECT gram, min(doc_id) AS doc_id FROM g GROUP BY gram)
         |   GROUP BY doc_id)
-        |SELECT pd.doc_id, pd.n_grams, coalesce(np.n_novel, 0) AS n_novel,
-        | (1000000 * coalesce(np.n_novel, 0)) // pd.n_grams AS novelty_ppm
-        |FROM pd LEFT JOIN np ON pd.doc_id = np.doc_id
-        |ORDER BY pd.doc_id""".stripMargin,
+        |SELECT w.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
+        | coalesce(np.n_novel, 0) AS n_novel,
+        | CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0
+        |   ELSE (1000000 * coalesce(np.n_novel, 0)) // pd.n_grams
+        | END AS novelty_ppm
+        |FROM w LEFT JOIN pd ON w.doc_id = pd.doc_id
+        |  LEFT JOIN np ON w.doc_id = np.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
     "q87_bm25" ->
       """WITH toks AS (SELECT doc_id, w AS word FROM (
         |   SELECT doc_id, unnest(str_split(text,' ')) AS w FROM documents)
@@ -2102,7 +2106,7 @@ object SparkEntry {
     "q88_cms_grouped" ->
       """WITH wc AS (SELECT source, word, count(*)::BIGINT AS cnt FROM (
         |   SELECT source, unnest(str_split(text,' ')) AS word FROM documents)
-        |   GROUP BY source, word),
+        |   WHERE word <> '' GROUP BY source, word),
         | seeded AS (SELECT source, word, cnt, j,
         |   ('0x'||substr(md5(j||'_'||word),1,15))::BIGINT % 64 AS h
         |   FROM wc, range(0,4) t(j)),
@@ -2124,7 +2128,7 @@ object SparkEntry {
     "q54_cms_counts" ->
       """WITH wc AS (SELECT word, count(*) AS cnt FROM (
         |   SELECT unnest(str_split(text,' ')) AS word FROM documents)
-        |   GROUP BY word),
+        |   WHERE word <> '' GROUP BY word),
         | seeded AS (SELECT word, cnt, j,
         |   ('0x'||substr(md5(j||'_'||word),1,15))::BIGINT % 64 AS h
         |   FROM wc, range(0,4) t(j)),

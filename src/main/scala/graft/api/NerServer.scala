@@ -73,7 +73,7 @@ class NerServer(spark: SparkSession, registry: ModelRegistry, port: Int = 0) {
           val modelId = path.toIntOption
           val text = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
-          val key = graft.store.Snapshots.configHash(spark, prefix,
+          val key = graft.store.Snapshots.configHash(prefix,
             registry.resolve(modelId).id.toString, text)
           val cached = memo.get(key)
           val body = if (cached != null) { memoHits.incrementAndGet(); cached }

@@ -74,6 +74,8 @@ object Sketches {
                     topK: Int = 20): DataFrame = {
     def bucket = pmod(hexInt(concat(col("j"), lit("_"), col("word"))), lit(width))
     val wc = docs.select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "") // same guard as buildVocab: irregular
+      // spacing must not let '' claim a top-k probe slot
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // counters AND the top-k probe set read it
     val seeded = wc
@@ -170,6 +172,7 @@ object Sketches {
     def bucket = pmod(hexInt(concat(col("j"), lit("_"), col("word"))), lit(width))
     val wc = docs
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "") // buildVocab's empty-token guard
       .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // counters AND the probe set read it
     val seeded = wc

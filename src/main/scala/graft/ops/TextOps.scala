@@ -204,6 +204,12 @@ object TextOps {
     * grams⋈first-holder join a naive formulation would pay never
     * exists. Three keyed aggregations (gram-keyed, doc-keyed ×2) plus a
     * doc-keyed join of two doc-sized tables.
+    *
+    * TOTAL over the corpus: a doc with fewer than n words has zero
+    * grams, but still gets an explicit (0, 0, 0) row (like
+    * [[graft.ops.Filters.contamination]]'s n_hits=0 rows) — silently
+    * dropping it would skew any per-source novelty average joined back
+    * onto the corpus.
     */
   def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
     val grams = docs
@@ -214,10 +220,15 @@ object TextOps {
     val novelPerDoc = grams.groupBy("gram")
       .agg(min(col("doc_id")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    perDoc.join(novelPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(novelPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        expr("(1000000L * n_novel) div n_grams").as("novelty_ppm"))
+        when(col("n_grams") > 0,
+          expr("(1000000L * n_novel) div n_grams"))
+          .otherwise(lit(0L)).as("novelty_ppm"))
   }
 }

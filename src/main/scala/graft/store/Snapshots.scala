@@ -43,11 +43,20 @@ object Snapshots {
     rows.headOption
   }
 
-  /** sha-256 config hash — F9, the cache-key function of the reference. */
-  def configHash(spark: SparkSession, parts: String*): String = {
+  /** sha-256 config hash — F9, the cache-key function of the reference.
+    * Each part is length-prefixed before hashing so distinct part LISTS
+    * can never collide (a bare separator would make ("a|b","c") and
+    * ("a","b|c") the same memoization key, silently skipping a
+    * recompute).
+    */
+  def configHash(parts: String*): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(parts.mkString("|").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    parts.foreach { p =>
+      val b = p.getBytes("UTF-8")
+      md.update(s"${b.length}:".getBytes("UTF-8"))
+      md.update(b)
+    }
+    md.digest().map("%02x".format(_)).mkString
   }
 
   def append(spark: SparkSession, root: String, row: SnapshotRow): Unit = {
