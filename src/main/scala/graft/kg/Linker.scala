@@ -71,23 +71,46 @@ object Linker {
     * min id — one min_by aggregation over a lexicographic key struct (no
     * window).
     */
-  private def saltedBest(m: DataFrame, aliases: Dataset[Alias],
-                         saltBuckets: Int, skew: Seq[String],
-                         groupCols: Seq[String]): DataFrame = {
-    // empty head (tiny sampled input) → no key salts; sentinel keeps the
-    // array expression well-typed ("\u0000" can never be a normalized surface)
-    val skewArr =
-      if (skew.isEmpty) array(lit("\u0000")) else array(skew.map(lit): _*)
-    val salted = m.withColumn("salt",
-      when(array_contains(skewArr, col("surface_norm")),
-        pmod(hash(col("doc_id")), lit(saltBuckets))).otherwise(lit(0)))
-    val a = aliases
-      .withColumnRenamed("entity_type", "alias_type")
-      .withColumn("salts",
+  /** Empty-skew-head sentinel: keeps the literal array expression
+    * well-typed; the NUL escape can never be a normalized surface, so
+    * `array_contains` is vacuously false. (Salting is result-invariant
+    * either way — the sentinel only keeps routing deterministic.)
+    */
+  private val NoSkew = "\u0000"
+
+  /** The skew head as a literal array column (tiny — tens of keys). */
+  private def skewArray(skew: Seq[String]) =
+    if (skew.isEmpty) array(lit(NoSkew)) else array(skew.map(lit): _*)
+
+  /** Mention-side salt: heavy surfaces scatter across `saltBuckets`
+    * sub-keys by doc hash; everything else joins unreplicated on salt 0.
+    */
+  private def mentionSalt(skewArr: org.apache.spark.sql.Column,
+                          saltBuckets: Int) =
+    when(array_contains(skewArr, col("surface_norm")),
+      pmod(hash(col("doc_id")), lit(saltBuckets))).otherwise(lit(0))
+
+  /** Dictionary-side salt explode: rows of heavy surfaces replicated
+    * `saltBuckets`x, the rest once on salt 0 — blowup is
+    * O(heavy keys x salts), never O(dictionary).
+    */
+  private def explodeSalts(df: DataFrame,
+                           skewArr: org.apache.spark.sql.Column,
+                           saltBuckets: Int): DataFrame =
+    df.withColumn("salts",
         when(array_contains(skewArr, col("surface_norm")),
           sequence(lit(0), lit(saltBuckets - 1)))
           .otherwise(array(lit(0))))
       .withColumn("salt", explode(col("salts"))).drop("salts")
+
+  private def saltedBest(m: DataFrame, aliases: Dataset[Alias],
+                         saltBuckets: Int, skew: Seq[String],
+                         groupCols: Seq[String]): DataFrame = {
+    val skewArr = skewArray(skew)
+    val salted = m.withColumn("salt", mentionSalt(skewArr, saltBuckets))
+    val a = explodeSalts(
+      aliases.withColumnRenamed("entity_type", "alias_type").toDF(),
+      skewArr, saltBuckets)
     salted.join(a, Seq("surface_norm", "salt"), "inner")
       .groupBy(groupCols.map(col): _*)
       .agg(min_by(
@@ -246,8 +269,7 @@ object Linker {
           graft.ops.Bloom.prune(m, "surface_norm", surfaces.as[String])
       }
     val skew = skewKeys.getOrElse(inferSkewKeysNorm(spark, mIn))
-    val skewArr =
-      if (skew.isEmpty) array(lit(" ")) else array(skew.map(lit): _*)
+    val skewArr = skewArray(skew)
     // the scored dictionary: read the pre-materialized table when the
     // caller has one (store-amortized across runs/micro-batches over the
     // same dictionary snapshot — [[graft.store.DictStore]]), else build
@@ -259,16 +281,9 @@ object Linker {
     // and relation re-pairing), and without the cut each consumer would
     // re-run the whole dict-side chain — canon join, two aggregations,
     // salt explode (verified: zero ReusedExchange across the branches).
-    val bestSalted = best
-      .withColumn("salts",
-        when(array_contains(skewArr, col("surface_norm")),
-          sequence(lit(0), lit(saltBuckets - 1)))
-          .otherwise(array(lit(0))))
-      .withColumn("salt", explode(col("salts"))).drop("salts")
+    val bestSalted = explodeSalts(best, skewArr, saltBuckets)
       .localCheckpoint()
-    val salted = mIn.withColumn("salt",
-      when(array_contains(skewArr, col("surface_norm")),
-        pmod(hash(col("doc_id")), lit(saltBuckets))).otherwise(lit(0)))
+    val salted = mIn.withColumn("salt", mentionSalt(skewArr, saltBuckets))
     val picked = coalesce(
       element_at(col("by_type"), col("entity_type")), col("any_best"))
     salted.join(bestSalted, Seq("surface_norm", "salt"), "inner")

@@ -95,6 +95,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(3) == 80L * 1000000L, got.toSeq)
   }
 
+  test("config hash: part boundaries are injective, not separator-based") {
+    import graft.store.Snapshots.configHash
+    // length-prefixed parts: shifting bytes across a part boundary or
+    // splitting differently must change the key — a separator-join hash
+    // would memoize ("a|b","c") and ("a","b|c") identically
+    assert(configHash("a|b", "c") != configHash("a", "b|c"))
+    assert(configHash("ab", "") != configHash("a", "b"))
+    assert(configHash("ab") != configHash("a", "b"))
+    assert(configHash("", "a") != configHash("a", ""))
+    // deterministic across calls
+    assert(configHash("x", "y") == configHash("x", "y"))
+  }
+
+  test("novelty emits explicit zero rows for docs shorter than the gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" "), "s"),
+      (2L, "too short", "s")). // 2 words < n=8 → zero 8-grams
+      toDF("doc_id", "text", "source")
+    val got = graft.ops.TextOps.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L)) // short doc present, not dropped
+    assert(got(2L) == ((0L, 0L, 0L)))
+    assert(got(1L)._3 == 1000000L)
+  }
+
   test("as-of join carries the matched row atomically when a field is NULL") {
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val left = Seq((1L, t(100))).toDF("key", "t")
