@@ -641,6 +641,13 @@ object SparkEntry {
       graft.ops.Multimodal.audioEnergy(s, media).toDF()
         .orderBy("doc_id", "window_idx")
     }),
+    // ---- product-quantization ADC search: per-subspace integer
+    //      codebooks + table-lookup distances, bit-exact replay of
+    //      index build AND search ----
+    "q97_pq_adc" -> ((s, dir) =>
+      graft.ops.Ann.pqSearchAdc(t(s, dir, "embeddings"),
+          m = 2, k = 4, updates = 2, nQueries = 8, topK = 3)
+        .orderBy("q_id", "rank")),
     // ---- RAG/pretraining sliding-window chunking ----
     "q90_chunking" -> ((s, dir) =>
       graft.ops.TextOps.chunkDocs(t(s, dir, "documents"))
@@ -2026,6 +2033,61 @@ object SparkEntry {
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |   '\+[0-9]{7,14}', '<PHONE>', 'g')) AS redacted_md5
         |FROM seeded ORDER BY doc_id""".stripMargin,
+    "q97_pq_adc" ->
+      """WITH e AS (SELECT vec_id, j // 32 AS sub, j % 32 AS sdim,
+        |   CAST(round(CAST(embedding[j+1] AS DOUBLE) * 1000) AS BIGINT) AS v
+        |   FROM embeddings, range(0, 64) t(j)),
+        | ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+        |   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        | cent0 AS (SELECT e.sub, ids.cell, e.sdim, e.v
+        |   FROM ids JOIN e ON e.vec_id = ids.vec_id),
+        | d1 AS (SELECT e.vec_id, e.sub, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cent0 c ON c.sub = e.sub AND c.sdim = e.sdim
+        |   GROUP BY e.vec_id, e.sub, c.cell),
+        | a1 AS (SELECT vec_id, sub, cell FROM (SELECT vec_id, sub, cell,
+        |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn
+        |   FROM d1) WHERE rn = 1),
+        | cent1 AS (SELECT a1.sub, a1.cell, e.sdim,
+        |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
+        |   FROM a1 JOIN e ON e.vec_id = a1.vec_id AND e.sub = a1.sub
+        |   GROUP BY a1.sub, a1.cell, e.sdim),
+        | d2 AS (SELECT e.vec_id, e.sub, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cent1 c ON c.sub = e.sub AND c.sdim = e.sdim
+        |   GROUP BY e.vec_id, e.sub, c.cell),
+        | a2 AS (SELECT vec_id, sub, cell FROM (SELECT vec_id, sub, cell,
+        |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn
+        |   FROM d2) WHERE rn = 1),
+        | cent2 AS (SELECT a2.sub, a2.cell, e.sdim,
+        |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
+        |   FROM a2 JOIN e ON e.vec_id = a2.vec_id AND e.sub = a2.sub
+        |   GROUP BY a2.sub, a2.cell, e.sdim),
+        | d3 AS (SELECT e.vec_id, e.sub, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cent2 c ON c.sub = e.sub AND c.sdim = e.sdim
+        |   GROUP BY e.vec_id, e.sub, c.cell),
+        | codes AS (SELECT vec_id, sub, cell AS code FROM (
+        |   SELECT vec_id, sub, cell,
+        |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn
+        |   FROM d3) WHERE rn = 1),
+        | qs AS (SELECT vec_id AS q_id FROM embeddings ORDER BY vec_id LIMIT 8),
+        | qtab AS (SELECT qs.q_id, c.sub, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM qs JOIN e ON e.vec_id = qs.q_id
+        |   JOIN cent2 c ON c.sub = e.sub AND c.sdim = e.sdim
+        |   GROUP BY qs.q_id, c.sub, c.cell),
+        | scored AS (SELECT qtab.q_id, codes.vec_id AS nn_id,
+        |   sum(qtab.dist)::BIGINT AS adc_dist
+        |   FROM codes JOIN qtab
+        |     ON qtab.sub = codes.sub AND qtab.cell = codes.code
+        |   WHERE codes.vec_id <> qtab.q_id
+        |   GROUP BY qtab.q_id, codes.vec_id)
+        |SELECT q_id, rank::BIGINT AS rank, nn_id, adc_dist FROM (
+        |  SELECT q_id, nn_id, adc_dist,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, nn_id)
+        |      AS rank
+        |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "q90_chunking" ->
       """WITH t AS (SELECT doc_id,
         |   list_filter(str_split(text,' '), w -> w <> '') AS toks

@@ -364,4 +364,98 @@ object Ann {
         lshTopKMulti(emb, k, queryMod = queryMod)
           .select(col("q_id"), col("nn_id")), "lsh_multi"))
   }
+
+  /** Product-quantization ADC search (Jégou, Douze & Schmid 2011,
+    * "Product quantization for nearest neighbor search" — public
+    * algorithm), integer-exact end to end so index build AND search
+    * replay bit-identically in SQL.
+    *
+    * Index: each quantized vector (round(x·scale) longs,
+    * [[Kmeans.quantized]]) is cut into `m` contiguous subvectors; per
+    * subspace a tiny codebook of `k` centroids is trained with the
+    * FP-free Lloyd loop ([[Kmeans.trainQuantizedCentroids]] — init =
+    * the k smallest vec_ids' subvectors, truncating-division updates,
+    * empty cells dropped, ties to the smaller cell) and every vector
+    * is encoded as its per-subspace argmin-distance code: d dims of
+    * 8-byte longs collapse to m small ints per vector.
+    *
+    * Search (asymmetric distance computation): each of the `nQueries`
+    * smallest-vec_id queries precomputes one m×k table of exact
+    * integer squared-L2 distances from ITS subvectors to every
+    * codebook centroid; a candidate's approximate distance is then m
+    * table lookups summed, so the corpus scan touches ONLY the m-int
+    * codes, never the vectors. Codebooks and query tables travel as
+    * broadcasts (m·k·(d/m) resp. Q·m·k longs — fixed-size regardless
+    * of corpus), the scan is one shuffle-free mapPartitions, and the
+    * only exchange is the per-query top-k. This is the memory-bound
+    * regime PQ exists for at 100 TB: the code index is ~d·8/m× smaller
+    * than the raw vectors, and codebook training needs only a bounded
+    * sample (the codebook is k·d longs no matter the corpus size —
+    * here it trains on the full toy corpus to keep the oracle replay
+    * exact).
+    */
+  def pqSearchAdc(emb: DataFrame, m: Int = 2, k: Int = 4,
+                  updates: Int = 2, nQueries: Int = 8, topK: Int = 3,
+                  scale: Int = 1000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = Kmeans.quantized(emb, scale).persist()
+    val head = q.orderBy("_1").limit(math.max(k, nQueries)).collect()
+    if (head.isEmpty) {
+      q.unpersist()
+      return spark.emptyDataset[(Long, Long, Long, Long)]
+        .toDF("q_id", "rank", "nn_id", "adc_dist")
+    }
+    val d = head(0)._2.length
+    require(d % m == 0, s"embedding dim $d is not divisible by m=$m subspaces")
+    val sd = d / m
+    // per-subspace codebooks — m tiny trainings over subvector slices
+    // (each round is one partial-aggregation pass, like the IVF trainer)
+    val books: IndexedSeq[Seq[(Int, Array[Long])]] = (0 until m).map { s =>
+      Kmeans.trainQuantizedCentroids(
+        q.map { case (id, v) => (id, v.slice(s * sd, s * sd + sd)) },
+        k, updates)
+    }
+    val bcBooks = spark.sparkContext.broadcast(books)
+    // encode: vector → m codes; reused by every query, so cut once
+    val codes = q.map { case (id, v) =>
+      val bs = bcBooks.value
+      (id, Array.tabulate(m)(s =>
+        Kmeans.nearest(bs(s), v.slice(s * sd, s * sd + sd))._1))
+    }.toDF("vec_id", "codes").localCheckpoint()
+    q.unpersist()
+    // per-query ADC tables, built driver-side from the collected query
+    // head (Q·m·k longs — bounded); row index = cell id, dropped cells
+    // keep MaxValue but are never referenced (codes only name live cells)
+    val tables: Array[(Long, Array[Array[Long]])] =
+      head.take(nQueries).map { case (qid, qv) =>
+        (qid, Array.tabulate(m) { s =>
+          val row = Array.fill(k)(Long.MaxValue)
+          books(s).foreach { case (c, cv) =>
+            var dist = 0L; var i = 0
+            while (i < sd) {
+              val t = qv(s * sd + i) - cv(i); dist += t * t; i += 1
+            }
+            row(c) = dist
+          }
+          row
+        })
+      }
+    val bcT = spark.sparkContext.broadcast(tables)
+    val scored = codes.as[(Long, Array[Int])].mapPartitions { it =>
+      val ts = bcT.value
+      it.flatMap { case (id, cs) =>
+        ts.iterator.withFilter(_._1 != id).map { case (qid, t) =>
+          var dist = 0L; var s = 0
+          while (s < cs.length) { dist += t(s)(cs(s)); s += 1 }
+          (qid, id, dist)
+        }
+      }
+    }.toDF("q_id", "nn_id", "adc_dist")
+    val w = Window.partitionBy("q_id").orderBy(asc("adc_dist"), asc("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("adc_dist"))
+  }
 }

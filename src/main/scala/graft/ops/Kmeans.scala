@@ -103,8 +103,8 @@ object Kmeans {
   /** Argmin-distance cell for a quantized vector: exact long Σ(v−c)²,
     * ties to the smallest cell id (`cs` must be cell-ascending).
     */
-  private def nearest(cs: Seq[(Int, Array[Long])],
-                      v: Array[Long]): (Int, Long) = {
+  private[ops] def nearest(cs: Seq[(Int, Array[Long])],
+                           v: Array[Long]): (Int, Long) = {
     var best = -1; var bestD = Long.MaxValue
     cs.foreach { case (c, cv) =>
       var s = 0L; var i = 0

@@ -107,6 +107,51 @@ class KmeansSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
     assert(got == got2)
   }
+
+  test("PQ ADC: planted recovery, partitioning-invariant, empty-safe") {
+    import spark.implicits._
+    // dim 8 = two subspaces of 4; each half carries its own two planted
+    // clusters, so the per-subspace codebooks must separate them
+    def half(base: Float, wiggle: Float) = Array(base + wiggle, base, base, base)
+    // (cB differs between ids 0 and 1 — the codebook init takes the two
+    // smallest vec_ids per subspace, which must not share a cluster or
+    // the duplicate-centroid init collapses cell 1)
+    val rows = (0 until 24).map { i =>
+      val cA = i % 2            // cluster in subspace 0
+      val cB = ((i + 1) / 2) % 2 // cluster in subspace 1
+      val w = (i / 4) * 0.01f
+      (i.toLong,
+        half(if (cA == 0) 1f else -1f, w) ++ half(if (cB == 0) 1f else -1f, w))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.ops.Ann.pqSearchAdc(df, m = 2, k = 2, updates = 2,
+        nQueries = 4, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 4 * 3)
+    // a query's nearest ADC neighbours share BOTH its planted clusters:
+    // identical codes → adc distance == the query's own code distance,
+    // strictly below any candidate differing in either subspace
+    got.filter(_._2 == 1L).foreach { case (qid, _, nn, _) =>
+      assert(qid % 2 == nn % 2 &&
+        ((qid + 1) / 2) % 2 == ((nn + 1) / 2) % 2, (qid, nn))
+    }
+    // no self matches, ranks dense per query
+    assert(got.forall { case (q, _, nn, _) => q != nn })
+    assert(got.groupBy(_._1).values.forall(_.map(_._2).sorted.sameElements(Seq(1L, 2L, 3L))))
+    // identical output under a different partitioning (the invariance
+    // the bit-exact DuckDB replay of q97 relies on)
+    val got2 = graft.ops.Ann.pqSearchAdc(df.repartition(7), m = 2, k = 2,
+        updates = 2, nQueries = 4, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sorted.sameElements(got2.sorted))
+    // empty input → empty result with the contract schema, no throw
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      df.schema)
+    val e = graft.ops.Ann.pqSearchAdc(empty, m = 2, k = 2)
+    assert(e.columns.toSeq == Seq("q_id", "rank", "nn_id", "adc_dist"))
+    assert(e.count() == 0)
+  }
 }
 
 /** Deterministic Bloom membership pruning: exactness + replayability. */
