@@ -660,6 +660,10 @@ object SparkEntry {
     "q92_novelty" -> ((s, dir) =>
       graft.ops.TextOps.ngramNovelty(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // ---- exact substring-level duplication coverage (span dedup) ----
+    "q98_dup_spans" -> ((s, dir) =>
+      graft.ops.Dedup.duplicateSpanCoverage(t(s, dir, "documents"))
+        .orderBy("doc_id")),
     // ---- integer-quantized BM25 over the inverted index ----
     "q87_bm25" -> ((s, dir) =>
       graft.ops.VocabOps.bm25(t(s, dir, "documents"))
@@ -2033,6 +2037,28 @@ object SparkEntry {
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |   '\+[0-9]{7,14}', '<PHONE>', 'g')) AS redacted_md5
         |FROM seeded ORDER BY doc_id""".stripMargin,
+    "q98_dup_spans" ->
+      """WITH w AS (SELECT doc_id::BIGINT AS doc_id, str_split(text,' ') AS ws
+        |   FROM documents),
+        | g0 AS (SELECT doc_id, ws,
+        |   unnest(range(greatest(len(ws)-7, 0))) AS p FROM w),
+        | g AS (SELECT doc_id, p,
+        |   ws[p+1]||' '||ws[p+2]||' '||ws[p+3]||' '||ws[p+4]||' '||ws[p+5]
+        |     ||' '||ws[p+6]||' '||ws[p+7]||' '||ws[p+8] AS gram FROM g0),
+        | dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        | cov AS (SELECT DISTINCT g.doc_id, g.p + k.k AS tok
+        |   FROM g JOIN dup USING (gram), range(0, 8) k(k)),
+        | cd AS (SELECT doc_id, count(*)::BIGINT AS n_dup_tokens FROM cov
+        |   GROUP BY doc_id),
+        | nt AS (SELECT doc_id::BIGINT AS doc_id,
+        |   len(str_split(text,' '))::BIGINT AS n_tokens FROM documents)
+        |SELECT nt.doc_id, nt.n_tokens,
+        | coalesce(cd.n_dup_tokens, 0) AS n_dup_tokens,
+        | CASE WHEN nt.n_tokens = 0 THEN 0
+        |   ELSE (1000000 * coalesce(cd.n_dup_tokens, 0)) // nt.n_tokens
+        | END AS dup_ppm
+        |FROM nt LEFT JOIN cd ON nt.doc_id = cd.doc_id
+        |ORDER BY nt.doc_id""".stripMargin,
     "q97_pq_adc" ->
       """WITH e AS (SELECT vec_id, j // 32 AS sub, j % 32 AS sdim,
         |   CAST(round(CAST(embedding[j+1] AS DOUBLE) * 1000) AS BIGINT) AS v

@@ -396,4 +396,48 @@ object Dedup {
           .as("cosine"))
       .where(col("cosine") >= minCos)
   }
+
+  /** Exact SUBSTRING-level duplication coverage (Lee, Ippolito et al.
+    * 2022, "Deduplicating training data makes language models better" —
+    * public algorithm family): a token position is DUPLICATED if some
+    * n-token shingle covering it occurs more than once in the corpus
+    * (any doc, any position — a doc repeating itself counts too).
+    * Returns one row per doc: (doc_id, n_tokens, n_dup_tokens,
+    * dup_ppm) — the span-level complement of [[exact]] (whole-doc) and
+    * [[minhashSignatures]] (near-dup): exact full-document copies score
+    * 1e6 ppm, partially-quoted boilerplate scores its quoted fraction.
+    *
+    * Shape: positioned shingles → ONE gram-keyed aggregation finds
+    * duplicated grams (like q92's novelty, never a corpus² join), a
+    * semi join marks their occurrences, and coverage is a bounded
+    * n-wide position explode + doc-keyed distinct count. Every doc
+    * gets a row (explicit zeros — same totality contract as
+    * [[TextOps.ngramNovelty]]). At 100 TB key the gram tables by a
+    * 60-bit content hash instead of the gram string to shrink the
+    * shuffle (here grams stay literal so the replay is collision-free
+    * exact).
+    */
+  def duplicateSpanCoverage(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(TextOps.shinglesN(col("text"), n)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "gram")
+      .localCheckpoint() // read by the dup aggregation AND the coverage side
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+      .where(col("occ") > 1).select("gram")
+    val covered = grams.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("tok"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tokens"))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+        when(col("n_tokens") > 0,
+          expr("(1000000L * n_dup_tokens) div n_tokens"))
+          .otherwise(lit(0L)).as("dup_ppm"))
+  }
 }

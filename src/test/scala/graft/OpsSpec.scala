@@ -1053,6 +1053,30 @@ class Round4OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
 
+  test("duplicate-span coverage: copies, partial quotes, self-repeats, short docs") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "s"),                                   // original
+      (2L, base, "s"),                                   // full copy
+      // 10 unique tokens then an 8-token quote of doc 1
+      (3L, (1 to 10).map(i => s"x$i").mkString(" ") + " " +
+        (1 to 8).map(i => s"a$i").mkString(" "), "s"),
+      (4L, "too short", "s"),                            // < n tokens
+      // self-repetition: the same 8-gram twice WITHIN one doc
+      (5L, ((1 to 8) ++ (1 to 8)).map(i => s"r$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.Dedup.duplicateSpanCoverage(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((20L, 20L, 1000000L)))  // fully covered by the copy
+    assert(got(2L) == ((20L, 20L, 1000000L)))
+    // only the quoted 8 tokens of doc 3 are covered: 8/18 → 444444 ppm
+    assert(got(3L) == ((18L, 8L, 444444L)))
+    assert(got(4L) == ((2L, 0L, 0L)))          // short doc: explicit zeros
+    assert(got(5L) == ((16L, 16L, 1000000L)))  // self-repeat covers all
+  }
+
   test("PII redaction: planted contacts counted and masked") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"text nummer $i", "s"))
