@@ -194,6 +194,32 @@ class PlanSpec extends AnyFunSuite {
     val p = mentions.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"unexpected shuffle in detect stage:\n$p")
   }
+
+  test("PQ ADC search: code-scan side joins nothing, one exchange for top-k") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.ops.Ann.pqSearchAdc(emb)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the ADC scan is broadcast-table lookups over the materialized code
+    // table — no join operator anywhere; the only exchange is the
+    // per-query top-k window's hash partitioning on q_id
+    assert(!p.contains("Join"), s"ADC scan must not join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly 1 exchange (top-k window):\n$p")
+    assert(p.contains("ExistingRDD"), p) // reads the checkpointed codes
+  }
+
+  test("duplicate-span coverage: semi-join mark, no cartesian/nested-loop") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ops.Dedup.duplicateSpanCoverage(docs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"corpus-squared join:\n$p")
+    assert(p.contains("LeftSemi"), s"dup mark should be a semi join:\n$p")
+  }
 }
 
 /** Bucket-partitioned triple store: reads with a bucket predicate must
@@ -260,4 +286,5 @@ class NormalizeSurfaceSpec extends AnyFunSuite {
     assert(viaBroadcast == viaSalted && viaSalted.nonEmpty)
     mentions.unpersist()
   }
+
 }
