@@ -648,6 +648,10 @@ object SparkEntry {
       graft.ops.Ann.pqSearchAdc(t(s, dir, "embeddings"),
           m = 2, k = 4, updates = 2, nQueries = 8, topK = 3)
         .orderBy("q_id", "rank")),
+    // ---- int8 scalar quantization + integer-L2 top-k (SQ8) ----
+    "q99_sq8_ann" -> ((s, dir) =>
+      graft.ops.Ann.sq8TopK(t(s, dir, "embeddings"))
+        .orderBy("q_id", "rank")),
     // ---- RAG/pretraining sliding-window chunking ----
     "q90_chunking" -> ((s, dir) =>
       graft.ops.TextOps.chunkDocs(t(s, dir, "documents"))
@@ -2059,6 +2063,24 @@ object SparkEntry {
         | END AS dup_ppm
         |FROM nt LEFT JOIN cd ON nt.doc_id = cd.doc_id
         |ORDER BY nt.doc_id""".stripMargin,
+    "q99_sq8_ann" ->
+      """WITH mx AS (SELECT max(abs(CAST(e AS DOUBLE))) AS m FROM (
+        |   SELECT unnest(embedding) AS e FROM embeddings)),
+        | q AS (SELECT vec_id, j AS dim,
+        |   CASE WHEN mx.m = 0 OR mx.m IS NULL THEN 0
+        |     ELSE CAST(round(CAST(embedding[j+1] AS DOUBLE) * 127.0 / mx.m)
+        |       AS BIGINT) END AS v
+        |   FROM embeddings, range(0, 64) t(j), mx),
+        | qs AS (SELECT vec_id AS q_id FROM embeddings ORDER BY vec_id LIMIT 8),
+        | d AS (SELECT qs.q_id, c.vec_id AS nn_id,
+        |   sum((a.v - c.v)*(a.v - c.v))::BIGINT AS dist
+        |   FROM qs JOIN q a ON a.vec_id = qs.q_id
+        |   JOIN q c ON c.dim = a.dim
+        |   WHERE c.vec_id <> qs.q_id GROUP BY qs.q_id, c.vec_id)
+        |SELECT q_id, rank::BIGINT AS rank, nn_id, dist FROM (
+        |  SELECT q_id, nn_id, dist,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nn_id) AS rank
+        |  FROM d) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "q97_pq_adc" ->
       """WITH e AS (SELECT vec_id, j // 32 AS sub, j % 32 AS sdim,
         |   CAST(round(CAST(embedding[j+1] AS DOUBLE) * 1000) AS BIGINT) AS v

@@ -458,4 +458,47 @@ object Ann {
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("nn_id"), col("adc_dist"))
   }
+
+  /** Int8 scalar quantization + integer-L2 top-k — the SQ8 rung of the
+    * embedding-compression ladder between raw floats and
+    * [[pqSearchAdc]] (FAISS's ScalarQuantizer shape, public): ONE
+    * corpus-wide scale (127 / global max |x|, a single order-independent
+    * max aggregation — per-vector scales would make L2 incomparable
+    * across vectors), every coordinate quantized to round(127·x/max) ∈
+    * [-127, 127], and neighbours ranked by exact integer squared L2
+    * over the codes (ties → smaller vec_id). 8 bits/dim where the raw
+    * column pays 32 — the index is 4× smaller and the distance kernel
+    * is pure integer math.
+    *
+    * Determinism/oracle: max is order-independent, the quantize
+    * expression `round(x * 127.0 / m)` is the same IEEE double chain on
+    * both engines (ties away from zero), and everything after is long
+    * arithmetic — the whole query replays bit-exact in DuckDB. The
+    * query side is broadcast (nQueries rows); the corpus side is
+    * scanned once with no shuffle before the per-query top-k window.
+    */
+  def sq8TopK(emb: DataFrame, nQueries: Int = 8, topK: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    val mRow = emb.select(max(array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))).as("m")).collect()(0)
+    val m = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0)
+    // all-zero (or empty) corpus → every code 0, distances 0, ties by id
+    val qcol =
+      if (m == 0.0) transform(col("embedding"), _ => lit(0L))
+      else transform(col("embedding"),
+        x => round(x.cast("double") * lit(127.0) / lit(m)).cast("long"))
+    val q = emb.select(col("vec_id").cast("long").as("vec_id"), qcol.as("qv"))
+      .localCheckpoint() // scale scan done; codes read by both join sides
+    val queries = q.orderBy("vec_id").limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("a"))
+    val scored = broadcast(queries).join(q, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        expr("""aggregate(zip_with(a, qv, (x, y) -> (x - y) * (x - y)),
+               |0L, (acc, x) -> acc + x)""".stripMargin).as("dist"))
+    val w = Window.partitionBy("q_id").orderBy(asc("dist"), asc("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("dist"))
+  }
 }

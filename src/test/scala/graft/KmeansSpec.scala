@@ -152,6 +152,34 @@ class KmeansSpec extends AnyFunSuite {
     assert(e.columns.toSeq == Seq("q_id", "rank", "nn_id", "adc_dist"))
     assert(e.count() == 0)
   }
+
+  test("SQ8: planted recovery, repartition-invariant, degenerate-safe") {
+    import spark.implicits._
+    // two planted clusters around +1 and -1 with per-vector wiggle well
+    // inside the int8 quantization step (127/max ≈ 120 levels per unit)
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1f else -1f
+      (i.toLong, Array.fill(8)(base + (i / 2) * 0.001f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.ops.Ann.sq8TopK(df, nQueries = 4, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 12)
+    // every neighbour shares its query's planted side
+    got.foreach { case (q, _, nn, _) => assert(q % 2 == nn % 2, (q, nn)) }
+    // identical under a different partitioning (global max + per-element
+    // quantize are order-independent — the bit-exact replay contract)
+    val got2 = graft.ops.Ann.sq8TopK(df.repartition(7), nQueries = 4, topK = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sorted.sameElements(got2.sorted))
+    // all-zero corpus: scale guard yields zero codes, zero distances,
+    // id-ordered ties — never a divide-by-zero NaN
+    val zeros = (0 until 5).map(i => (i.toLong, Array.fill(8)(0f)))
+      .toDF("vec_id", "embedding")
+    val z = graft.ops.Ann.sq8TopK(zeros, nQueries = 2, topK = 2).collect()
+    assert(z.length == 4 && z.forall(_.getLong(3) == 0L))
+  }
 }
 
 /** Deterministic Bloom membership pruning: exactness + replayability. */
