@@ -143,6 +143,16 @@ object Main {
     case Some("status") =>
       val spark = session("graft-status")
       val root = args(1)
+      // batch lineage first: a `run` root has no snapshot chain, and
+      // status must still answer "what's committed / what resumes"
+      if (graft.store.Fs.exists(spark, graft.store.LineageStore.lineagePath(root))) {
+        val lineage = graft.store.LineageStore.readLineage(spark, root).collect()
+        lineage.groupBy(_.stage).toSeq.sortBy(_._1).foreach { case (stage, rs) =>
+          println(s"lineage $stage: ${rs.map(_.partition_id).distinct.length} " +
+            s"bucket(s), ${rs.map(_.triple_count).sum} triples, " +
+            s"${rs.map(_.rows_in).sum} rows in")
+        }
+      }
       val snaps = graft.store.Snapshots.read(spark, root).collect()
         .sortBy(_.snapshot_id)
       snaps.foreach(s => println(
