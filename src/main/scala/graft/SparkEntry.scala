@@ -652,6 +652,10 @@ object SparkEntry {
     "q99_sq8_ann" -> ((s, dir) =>
       graft.ops.Ann.sq8TopK(t(s, dir, "embeddings"))
         .orderBy("q_id", "rank")),
+    // ---- first-wins near-dup gate over LSH band keys ----
+    "q100_neardup_gate" -> ((s, dir) =>
+      graft.ops.Dedup.nearDupGate(t(s, dir, "documents"))
+        .orderBy("doc_id")),
     // ---- RAG/pretraining sliding-window chunking ----
     "q90_chunking" -> ((s, dir) =>
       graft.ops.TextOps.chunkDocs(t(s, dir, "documents"))
@@ -2063,6 +2067,33 @@ object SparkEntry {
         | END AS dup_ppm
         |FROM nt LEFT JOIN cd ON nt.doc_id = cd.doc_id
         |ORDER BY nt.doc_id""".stripMargin,
+    "q100_neardup_gate" ->
+      """WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM w),
+        | hh AS (SELECT doc_id,
+        |   ('0x'||substr(md5('a_'||shingle),1,15))::BIGINT AS h1,
+        |   ('0x'||substr(md5('b_'||shingle),1,15))::BIGINT AS h2 FROM sh),
+        | sig AS (SELECT doc_id, h,
+        |   min((h1 + h * h2) % 1152921504606846976) AS minhash
+        |   FROM hh, range(0,8) t(h) GROUP BY doc_id, h),
+        | bands AS (SELECT doc_id, h//2 AS band,
+        |   md5(string_agg(h||':'||minhash, ',' ORDER BY h||':'||minhash)) AS band_key
+        |   FROM sig GROUP BY doc_id, h//2),
+        | fst AS (SELECT band, band_key, min(doc_id) AS first_doc
+        |   FROM bands GROUP BY band, band_key),
+        | pd AS (SELECT b.doc_id, count(*)::BIGINT AS n_bands,
+        |   sum(CASE WHEN b.doc_id = f.first_doc THEN 1 ELSE 0 END)::BIGINT
+        |     AS n_first
+        |   FROM bands b JOIN fst f
+        |     ON f.band = b.band AND f.band_key = b.band_key
+        |   GROUP BY b.doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_bands, 0) AS n_bands,
+        | coalesce(pd.n_first, 0) AS n_first,
+        | CASE WHEN coalesce(pd.n_bands, 0) = coalesce(pd.n_first, 0)
+        |   THEN 1 ELSE 0 END::BIGINT AS kept
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q99_sq8_ann" ->
       """WITH mx AS (SELECT max(abs(CAST(e AS DOUBLE))) AS m FROM (
         |   SELECT unnest(embedding) AS e FROM embeddings)),

@@ -440,4 +440,79 @@ object Dedup {
           expr("(1000000L * n_dup_tokens) div n_tokens"))
           .otherwise(lit(0L)).as("dup_ppm"))
   }
+
+  /** First-wins near-dup GATE over LSH band keys: a doc is KEPT iff it
+    * is the first (min doc_id — any deterministic total order works)
+    * holder of EVERY one of its band keys, i.e. dropped as soon as ANY
+    * band collides with an earlier doc. This is the candidate-level
+    * gate a streaming ingest wants (no verify join, one aggregation +
+    * one equi-join over the shuffle-free band kernel): false-positive
+    * band collisions drop a non-duplicate at the documented LSH rate —
+    * compose with [[lshJaccardPairs]] when exactness matters.
+    * Total over the corpus: docs too short to shingle (< 3 words) have
+    * zero bands and are KEPT, with an explicit (0, 0) row.
+    * Output: (doc_id, n_bands, n_first, kept 1/0).
+    */
+  def nearDupGate(docs: DataFrame, bands: Int = 4, rows: Int = 2): DataFrame = {
+    val b = minhashBands(docs, bands, rows).localCheckpoint()
+    val first = b.groupBy("band", "band_key")
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = b.join(first, Seq("band", "band_key"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bands"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_first"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bands"), lit(0L)).as("n_bands"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"))
+      .withColumn("kept",
+        (col("n_bands") === col("n_first")).cast("long"))
+  }
+
+  private def nearDupPath(root: String) = s"$root/_neardup"
+
+  /** Streaming twin of [[nearDupGate]] — the near-dup counterpart of
+    * [[streamingExact]], run per micro-batch inside foreachBatch: a doc
+    * is kept iff none of its band keys appeared in ANY earlier batch's
+    * state NOR on a smaller doc_id within this batch; the batch's OWN
+    * band keys (all docs — the same "seen" semantics as the batch gate)
+    * are then appended as the immutable partition
+    * `_neardup/batch=<id>/`, so replays overwrite their own partition
+    * and reads prune to batches < id (exactly-once under retries, same
+    * layout as the quality sidecar). State is (band, band_key) rows —
+    * bands×docs, dictionary-shaped; at 10^12 docs put a bloom in front
+    * and bucket the state join like the triple store.
+    * Returns the KEPT subset of `docs`.
+    */
+  def nearDupGateBatch(spark: org.apache.spark.sql.SparkSession,
+                       root: String, batchId: Long, docs: DataFrame,
+                       bands: Int = 4, rows: Int = 2): DataFrame = {
+    val b = minhashBands(docs, bands, rows).localCheckpoint()
+    val seenBefore: Option[DataFrame] =
+      if (graft.store.Fs.exists(spark, nearDupPath(root)))
+        Some(spark.read.parquet(nearDupPath(root))
+          .where(col("batch") < batchId) // replay-safe: own partition excluded
+          .select("band", "band_key"))
+      else None
+    val first = b.groupBy("band", "band_key")
+      .agg(min(col("doc_id")).as("first_doc"))
+    val inBatchDup = b.join(first, Seq("band", "band_key"))
+      .where(col("doc_id") =!= col("first_doc")).select("doc_id")
+    val dropped = seenBefore match {
+      case Some(st) =>
+        b.join(st, Seq("band", "band_key"), "left_semi").select("doc_id")
+          .unionByName(inBatchDup).distinct()
+      case None => inBatchDup.distinct()
+    }
+    graft.store.LineageStore.withDynamicOverwrite(spark) {
+      b.select(col("band"), col("band_key")).distinct()
+        .withColumn("batch", lit(batchId))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("batch")
+        .parquet(nearDupPath(root))
+    }
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+  }
 }

@@ -186,6 +186,41 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS sdedup")
   }
 
+  test("streaming near-dup gate: batch-sequence equals the global gate; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_neardup").toString
+    // 60 docs over 3 id-ordered micro-batches; ids ≡ 0 (mod 3) repeat one
+    // of 7 texts (near-dup families spanning batches), the rest unique
+    val docs = spark.range(0, 60).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0,
+          concat(lit("alpha beta gamma delta shared text nr "), col("id") % 7))
+        .otherwise(concat(lit("unique words for document number "), col("id"),
+          lit(" tail"))).as("text"))
+      .localCheckpoint()
+    val batches = Seq(0L -> docs.where($"doc_id" < 20),
+      1L -> docs.where($"doc_id" >= 20 && $"doc_id" < 40),
+      2L -> docs.where($"doc_id" >= 40))
+    val streamed = batches.flatMap { case (id, b) =>
+      graft.ops.Dedup.nearDupGateBatch(spark, root, id, b)
+        .select("doc_id").collect().map(_.getLong(0))
+    }.toSet
+    val global = graft.ops.Dedup.nearDupGate(docs)
+      .where($"kept" === 1L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == global, s"streamed=$streamed global=$global")
+    assert(streamed.size < 60 && streamed.size > 7) // gate actually dropped
+    // replay of the LAST batch (retry after a crash): same kept set,
+    // state partition overwritten not duplicated
+    val replay = graft.ops.Dedup.nearDupGateBatch(spark, root, 2L,
+        batches(2)._2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val thirdKept = streamed.filter(_ >= 40)
+    assert(replay == thirdKept, s"replay=$replay expected=$thirdKept")
+    val state = spark.read.parquet(s"$root/_neardup")
+    assert(state.groupBy("batch", "band", "band_key").count()
+      .where($"count" > 1).isEmpty, "replay duplicated state rows")
+  }
+
   test("streaming windowed aggregation with watermark (events)") {
     // stream source must be a directory
     val evDir = Files.createTempDirectory("graft_events").toString
