@@ -506,7 +506,13 @@ object Dedup {
           .unionByName(inBatchDup).distinct()
       case None => inBatchDup.distinct()
     }
-    graft.store.LineageStore.withDynamicOverwrite(spark) {
+    // an all-short/empty batch has no bands: skip the write rather than
+    // leave a schema-less _neardup dir (only _SUCCESS, no parquet) that
+    // would fail schema inference on the NEXT batch's state read — the
+    // same first-empty-batch hazard the quality sidecar's marker solves,
+    // solved here by absence because empty state and no state are
+    // semantically identical for a band-key semi join
+    if (!b.isEmpty) graft.store.LineageStore.withDynamicOverwrite(spark) {
       b.select(col("band"), col("band_key")).distinct()
         .withColumn("batch", lit(batchId))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -219,6 +219,15 @@ class StreamingSpec extends AnyFunSuite {
     val state = spark.read.parquet(s"$root/_neardup")
     assert(state.groupBy("batch", "band", "band_key").count()
       .where($"count" > 1).isEmpty, "replay duplicated state rows")
+    // a FIRST batch with no shingleable docs must not poison the state
+    // dir (schema-less _neardup would fail the next batch's read)
+    val root2 = Files.createTempDirectory("graft_neardup2").toString
+    val short0 = Seq((1L, "too short")).toDF("doc_id", "text")
+    val k0 = graft.ops.Dedup.nearDupGateBatch(spark, root2, 0L, short0)
+    assert(k0.collect().map(_.getLong(0)).toSeq == Seq(1L)) // kept
+    val k1 = graft.ops.Dedup.nearDupGateBatch(spark, root2, 1L,
+      docs.where($"doc_id" < 10))
+    assert(k1.count() > 0) // state read after the empty batch works
   }
 
   test("streaming windowed aggregation with watermark (events)") {
