@@ -210,6 +210,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD"), p) // reads the checkpointed codes
   }
 
+  test("SQ8 search: broadcast query side, single top-k exchange") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.ops.Ann.sq8TopK(emb)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the nQueries-row side is broadcast; the corpus-side code scan is
+    // never shuffled — the only exchange is the per-query top-k window
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly 1 exchange (top-k window):\n$p")
+  }
+
+  test("near-dup gate: band kernel shuffle-free, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ops.Dedup.nearDupGate(docs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // bands come from the checkpointed one-pass kernel (ExistingRDD) —
+    // the signature mapPartitions never re-runs inside the gate's joins
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("MapPartitions"), s"band kernel recomputed:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"unbounded join:\n$p")
+  }
+
   test("duplicate-span coverage: semi-join mark, no cartesian/nested-loop") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.ops.Dedup.duplicateSpanCoverage(docs)
