@@ -694,9 +694,13 @@ object SparkEntry {
       graft.ops.Multimodal.resizePlan(
         graft.ops.Multimodal.decodeFeatures(s, media).toDF()).orderBy("doc_id")
     }),
+    // decode-verified: the payload is a GFV1 container of REAL PNG
+    // frames, every sampled frame is genuinely ImageIO-decoded, and the
+    // oracle predicts per-frame channel sums + mean-RGB (ppm) from
+    // md5(text) via the closed-form pixel rule
     "q38_mm_frames" -> ((s, dir) =>
-      graft.ops.Multimodal.frameSample(
-        graft.ops.Multimodal.mediaTable(t(s, dir, "documents")))
+      graft.ops.Multimodal.videoFrameFeatures(s,
+        graft.ops.Multimodal.vidMediaTable(t(s, dir, "documents"))).toDF()
         .orderBy("doc_id", "frame_idx")),
 
     // ---- KG pipeline stages: hash-compared against SEQUENTIAL golden
@@ -2311,11 +2315,34 @@ object SparkEntry {
         | CAST(floor(height*sc) AS BIGINT) AS out_h,
         | round(sc, 6) AS scale
         |FROM s ORDER BY doc_id""".stripMargin,
+    // seed rule: w = 16 + md5[0]&63, h = 16 + md5[1]&63,
+    // n_frames = 2 + md5[3]&7; pixels r = x+7f, g = y+11f, b = x+y+3f
+    // (all < 256), so sum_r = h*(w(w-1)/2 + 7fw), sum_g = w*(h(h-1)/2
+    // + 11fh), sum_b = h*w(w-1)/2 + w*h(h-1)/2 + 3f*wh; sums are
+    // non-negative so DuckDB's flooring // == the engine's truncating /
     "q38_mm_frames" ->
-      """SELECT doc_id, 'img://'||doc_id AS media_ref,
-        | CAST(f AS BIGINT) AS frame_idx, CAST(f*40 AS BIGINT) AS ts_ms
-        |FROM (SELECT doc_id, unnest(range(0, 4, 2)) AS f FROM documents)
-        |ORDER BY doc_id, frame_idx""".stripMargin,
+      """WITH p AS (SELECT doc_id,
+        |  16 + (('0x'||substr(md5(text),1,2))::BIGINT & 63) AS w,
+        |  16 + (('0x'||substr(md5(text),3,2))::BIGINT & 63) AS h,
+        |  2 + (('0x'||substr(md5(text),7,2))::BIGINT & 7) AS nf
+        | FROM documents),
+        | f AS (SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS fi FROM p),
+        | s AS (SELECT doc_id, w, h, fi,
+        |  h*((w*(w-1))//2 + 7*fi*w) AS sum_r,
+        |  w*((h*(h-1))//2 + 11*fi*h) AS sum_g,
+        |  h*((w*(w-1))//2) + w*((h*(h-1))//2) + 3*fi*w*h AS sum_b
+        | FROM f)
+        |SELECT doc_id, 'vid://'||doc_id AS media_ref,
+        | CAST(fi AS BIGINT) AS frame_idx,
+        | CAST((fi*1000)//25 AS BIGINT) AS ts_ms,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(w*h AS BIGINT) AS n_pixels,
+        | CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+        | CAST(sum_b AS BIGINT) AS sum_b,
+        | CAST((sum_r*1000000)//(w*h) AS BIGINT) AS mean_r_ppm,
+        | CAST((sum_g*1000000)//(w*h) AS BIGINT) AS mean_g_ppm,
+        | CAST((sum_b*1000000)//(w*h) AS BIGINT) AS mean_b_ppm
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
     // deterministic 4-corpus parser fixture — fully enumerated VALUES
     // oracle (semantics: conll.py:7-48, germeval.py:6-44,
     // europeana_historic.py:7-47, wikiner.py:6-45)

@@ -199,7 +199,10 @@ object Kmeans {
         merged(c) = (acc, cnt + n)
       }
       cents = merged.toSeq.sortBy(_._1).map { case (c, (s, n)) =>
-        (c, s.map(_ / n)) // truncating integer division, matches // and div
+        // FLOORING division (Math.floorDiv), matching DuckDB's `//` which
+        // the q97/q62 oracles replay — Scala '/' truncates toward zero and
+        // would diverge on a negative coordinate sum not divisible by n
+        (c, s.map(Math.floorDiv(_, n)))
       }
     }
     cents

@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * BATCHED `mapPartitions` (the Scala analog of a Pandas-UDF
   * `mapInPandas` stage — same batch shape, same schema contract).
   *
-  * Image decode is REAL: payloads of [[pngMediaTable]] are actual PNG
-  * images (encoded with the JDK's built-in ImageIO codec — no external
-  * jars) and [[decodePng]] decodes them back pixel-exactly (PNG is
-  * lossless). Only the VIDEO path stays synthetic: [[frameSample]]
-  * treats its payload as opaque fixed-size frames, because no video
-  * codec ships in the JDK — that boundary is the one remaining stub.
+  * All three modalities decode REAL payloads with JDK-built-in codecs
+  * (no external jars): images are actual PNGs ([[pngMediaTable]] /
+  * [[decodePng]] — pixel-exact, PNG is lossless), audio is actual
+  * RIFF/WAVE ([[wavMediaTable]] / [[decodeWav]] via javax.sound), and
+  * video is a length-prefixed container of real PNG frames
+  * ([[vidMediaTable]] / [[decodeVideoFrames]] — no video codec ships in
+  * the JDK, so the container IS the format; every frame is genuinely
+  * ImageIO-decoded). Only [[frameSample]] remains as a metadata-only
+  * fast path that never touches pixels.
   */
 object Multimodal {
 
@@ -311,10 +314,156 @@ object Multimodal {
       round(s, 6).as("scale"))
   }
 
+  // ---- video: REAL frame decode. The payload is a length-prefixed
+  //      container ("GFV1" magic, int32 frame count, then per frame an
+  //      int32 length + a genuine PNG) — the same move that graduated
+  //      audio from opaque bytes to RIFF/WAVE (decodeWav above): no video
+  //      codec ships in the JDK, but a frame CONTAINER of JDK-decodable
+  //      PNGs exercises the whole real pipeline shape — container parse,
+  //      per-frame image decode, per-frame feature extraction, bounded
+  //      fan-out. Frame pixels follow a closed form (r = x + 7f,
+  //      g = y + 11f, b = x + y + 3f — all < 256 so no byte wrap) whose
+  //      per-frame channel SUMS the DuckDB oracle computes from md5(text)
+  //      alone, while the decoder genuinely ImageIO-reads every pixel of
+  //      every frame. This closes the last opaque-payload boundary.
+
+  /** A real multi-frame video container seeded by md5(text):
+    * n_frames = 2 + (seed(3) & 7), every frame a PNG of the SAME
+    * dimensions as the image rule (w = 16 + seed(0)&0x3f,
+    * h = 16 + seed(1)&0x3f) with frame-dependent pixels.
+    */
+  def vidBytes(seed: Array[Byte]): Array[Byte] = {
+    val w = 16 + (seed(0) & 0x3f)
+    val h = 16 + (seed(1) & 0x3f)
+    val nFrames = 2 + (seed(3) & 0x07)
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(baos)
+    out.writeBytes("GFV1")
+    out.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // max values 141/177/183 — strictly < 256, so the closed-form
+          // sums below never hit a byte wrap and PNG round-trips exactly
+          val r = x + 7 * f
+          val g = y + 11 * f
+          val b = x + y + 3 * f
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val fb = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", fb)
+      val png = fb.toByteArray
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    baos.toByteArray
+  }
+
+  /** Media table with REAL video payloads (PNG-frame containers), one
+    * clip per document — the video twin of [[pngMediaTable]].
+    */
+  def vidMediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          md.reset()
+          val seed = md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (id, s"vid://$id", vidBytes(seed))
+        }
+      }
+      .toDF("doc_id", "media_ref", "payload")
+  }
+
+  /** Parse a GFV1 container and REALLY decode every frame through
+    * ImageIO, returning per-frame (frame_idx, width, height, sum_r,
+    * sum_g, sum_b) — integer channel sums over all pixels,
+    * bit-deterministic across JVMs. Fails loudly on a bad magic or a
+    * torn frame (a truncated payload must not silently yield fewer
+    * frames).
+    */
+  def decodeVideoFrames(payload: Array[Byte]): IndexedSeq[(Int, Int, Int, Long, Long, Long)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    require(new String(magic, java.nio.charset.StandardCharsets.US_ASCII) == "GFV1",
+      "payload is not a GFV1 video container")
+    val nFrames = in.readInt()
+    (0 until nFrames).map { f =>
+      val len = in.readInt()
+      val png = new Array[Byte](len)
+      in.readFully(png)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      require(img != null, s"frame $f is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (f, w, h, sr, sg, sb)
+    }
+  }
+
+  case class VideoFrame(
+      doc_id: Long, media_ref: String, frame_idx: Long, ts_ms: Long,
+      width: Long, height: Long, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      mean_r_ppm: Long, mean_g_ppm: Long, mean_b_ppm: Long)
+
+  /** Decode-verified frame sampling: parse the container, ImageIO-decode
+    * every frame, emit every `step`-th frame with its fps timestamp and
+    * per-frame mean RGB (integer parts-per-million — truncating division
+    * of non-negative sums, so floor == truncate and the SQL `//` oracle
+    * agrees exactly). Same batched mapPartitions shape as
+    * [[decodeFeatures]]; fan-out bounded by frames/step, no shuffle.
+    */
+  def videoFrameFeatures(spark: SparkSession, media: DataFrame,
+                         step: Int = 2, fps: Int = 25,
+                         batchSize: Int = 64): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.select("doc_id", "media_ref", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            decodeVideoFrames(r.payload).collect {
+              case (f, w, h, sr, sg, sb) if f % step == 0 =>
+                val np = w.toLong * h
+                VideoFrame(r.doc_id, r.media_ref, f.toLong,
+                  f.toLong * 1000 / fps, w.toLong, h.toLong, np,
+                  sr, sg, sb,
+                  sr * 1000000L / np, sg * 1000000L / np, sb * 1000000L / np)
+            }
+          }
+        }
+      }
+  }
+
   /** Frame sampling for video-typed payloads: the payload is treated as
     * frames of 4 bytes (stub codec), every `step`-th frame is emitted
     * with its 25fps timestamp — the row fan-out shape of a real
-    * frame-sampler (explode of a bounded sequence; no shuffle).
+    * frame-sampler (explode of a bounded sequence; no shuffle). Kept as
+    * the metadata-only fast path (no decode); the decode-verified path
+    * is [[videoFrameFeatures]].
     */
   def frameSample(media: DataFrame, step: Int = 2, fps: Int = 25): DataFrame = {
     val frames = (length(col("payload")) / 4).cast("int")

@@ -48,6 +48,11 @@ object DictStore {
   def canonPath(root: String, snapId: String) = s"${snapPath(root, snapId)}/canon"
   def aliasPath(root: String, snapId: String) = s"${snapPath(root, snapId)}/aliases"
 
+  // \u0001-joined: a control char cannot survive surface normalization, so
+  // field boundaries are unambiguous (surface 'a'+entity 'b1' must not hash
+  // like surface 'ab'+entity '1') -- same convention as applyDiff's keyCol;
+  // fingerprint and fingerprintLocal share this one definition so the
+  // distributed and driver-side fingerprints stay bit-identical
   private def rowKey(a: Alias): String =
     s"${a.surface_norm}${a.entity_id}${a.entity_type}${a.prior}"
 

@@ -260,6 +260,58 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("multimodal: REAL video containers — every PNG frame genuinely decoded") {
+    val d = docs((1, "hello world text", "s"), (2, "other doc", "s"))
+    val media = Multimodal.vidMediaTable(d)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    // payloads are genuine GFV1 containers whose frames are real PNGs
+    val payloads = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    for (p <- payloads.values) {
+      assert(new String(p, 0, 4, "US-ASCII") == "GFV1")
+      // first frame's PNG magic sits right after magic+count+len
+      assert((p(12) & 0xff) == 0x89 && p(13) == 'P' && p(14) == 'N' && p(15) == 'G')
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val texts = Map(1L -> "hello world text", 2L -> "other doc")
+    val rows = Multimodal.videoFrameFeatures(spark, media).collect()
+      .groupBy(_.doc_id)
+    for ((id, fs) <- rows) {
+      md.reset()
+      val seed = md.digest(texts(id).getBytes("UTF-8"))
+      val w = 16 + (seed(0) & 0x3f)
+      val h = 16 + (seed(1) & 0x3f)
+      val nf = 2 + (seed(3) & 0x07)
+      // every step-th frame emitted, ts at 25 fps
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until nf by 2).map(_.toLong))
+      for (f <- fs) {
+        assert(f.width == w && f.height == h && f.n_pixels == w.toLong * h)
+        assert(f.ts_ms == f.frame_idx * 1000 / 25)
+        // the decoder read every pixel: channel sums match the closed
+        // form the encoder planted (r = x+7f, g = y+11f, b = x+y+3f)
+        val fi = f.frame_idx
+        assert(f.sum_r == h.toLong * (w.toLong * (w - 1) / 2 + 7 * fi * w))
+        assert(f.sum_g == w.toLong * (h.toLong * (h - 1) / 2 + 11 * fi * h))
+        assert(f.sum_b == h.toLong * (w.toLong * (w - 1) / 2) +
+          w.toLong * (h.toLong * (h - 1) / 2) + 3 * fi * w * h)
+        assert(f.mean_r_ppm == f.sum_r * 1000000L / f.n_pixels)
+      }
+      // parity with a direct driver-side decode of the same container
+      val direct = Multimodal.decodeVideoFrames(payloads(id))
+      assert(direct.length == nf)
+      for (f <- fs) {
+        val (_, dw, dh, sr, sg, sb) = direct(f.frame_idx.toInt)
+        assert((dw.toLong, dh.toLong, sr, sg, sb) ==
+          (f.width, f.height, f.sum_r, f.sum_g, f.sum_b))
+      }
+    }
+    // a torn container fails loudly, not with fewer frames
+    val torn = payloads(1L).take(payloads(1L).length - 5)
+    assertThrows[java.io.EOFException](Multimodal.decodeVideoFrames(torn))
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeVideoFrames("nope".getBytes ++ new Array[Byte](8)))
+  }
 }
 
 class DenseTaggerSpec extends org.scalatest.funsuite.AnyFunSuite {
