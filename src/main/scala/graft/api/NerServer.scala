@@ -86,16 +86,45 @@ class NerServer(spark: SparkSession, registry: ModelRegistry, port: Int = 0) {
       }
     }
 
-  // the reference's entry redirect (app.py:161-163): "/" → /index.html.
-  // Registered on "/" so it also serves as the 404 fallback for paths no
-  // other context claims (HttpServer longest-prefix routing).
+  // the reference's entry redirect (app.py:161-163): "/" → /index.html,
+  // then the catch-all static route (app.py:320-322) serves the demo UI
+  // from embedded classpath resources under graft/static/. Registered on
+  // "/" so it also serves as the 404 fallback for paths no other context
+  // claims (HttpServer longest-prefix routing).
   server.createContext("/", (ex: HttpExchange) => safely(ex) {
     if (ex.getRequestURI.getPath == "/") {
       ex.getResponseHeaders.set("Location", "/index.html")
       ex.sendResponseHeaders(302, -1)
       ex.getResponseBody.close()
-    } else respond(ex, 404, """{"error":"not found"}""")
+    } else staticResource(ex.getRequestURI.getPath) match {
+      case Some((bytes, ctype)) => respondBytes(ex, 200, bytes, ctype)
+      case None => respond(ex, 404, """{"error":"not found"}""")
+    }
   })
+
+  /** Embedded static asset lookup. The path is allowlisted to simple
+    * `name.ext` segments (no '..', no '/', no encodings) BEFORE touching
+    * the classloader, so a traversal request cannot address arbitrary
+    * classpath entries — the server exposes exactly the files shipped
+    * under graft/static/.
+    */
+  private val staticSafe = java.util.regex.Pattern
+    .compile("/((?:[A-Za-z0-9_-]+/)*[A-Za-z0-9_-]+\\.[A-Za-z0-9]+)")
+  private def staticResource(path: String): Option[(Array[Byte], String)] = {
+    val m = staticSafe.matcher(path)
+    if (!m.matches()) None
+    else Option(getClass.getResourceAsStream(s"/graft/static/${m.group(1)}"))
+      .map { in =>
+        val bytes = try in.readAllBytes() finally in.close()
+        val ctype = path.substring(path.lastIndexOf('.') + 1) match {
+          case "html" => "text/html; charset=utf-8"
+          case "js" => "text/javascript; charset=utf-8"
+          case "css" => "text/css; charset=utf-8"
+          case _ => "application/octet-stream"
+        }
+        (bytes, ctype)
+      }
+  }
   server.createContext("/ner-bert-tokens", postEndpoint("/ner-bert-tokens", bertTokens))
   server.createContext("/tokenized", postEndpoint("/tokenized",
     (_, text) => tokenized(text)))
@@ -182,9 +211,13 @@ class NerServer(spark: SparkSession, registry: ModelRegistry, port: Int = 0) {
           s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
     }
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit =
+    respondBytes(ex, code, body.getBytes(StandardCharsets.UTF_8),
+      "application/json")
+
+  private def respondBytes(ex: HttpExchange, code: Int, bytes: Array[Byte],
+                           ctype: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", ctype)
     ex.sendResponseHeaders(code, bytes.length)
     val os = ex.getResponseBody
     os.write(bytes); os.close()

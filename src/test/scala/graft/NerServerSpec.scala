@@ -110,6 +110,28 @@ class NerServerSpec extends AnyFunSuite {
     }
   }
 
+  test("the redirect resolves: /index.html serves the embedded demo UI (app.py:320-322)") {
+    withServer { (_, port, client) =>
+      val r = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/index.html")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/html"))
+      // the page is the working demo: it POSTs to /ner and renders spans
+      assert(r.body().contains("graft NER demo"))
+      assert(r.body().contains("fetch(\"ner/\""))
+      // traversal-shaped paths never reach the classloader
+      for (bad <- Seq("/../app.conf", "/graft/static/../../secret.txt",
+                      "/%2e%2e/x.html", "/index.html/")) {
+        val b = client.send(HttpRequest.newBuilder(
+            URI.create(s"http://localhost:$port$bad")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(b.statusCode() == 404, s"$bad -> ${b.statusCode()}")
+      }
+    }
+  }
+
   test("request-hash memoization and warm-model swap semantics") {
     withServer { (srv, port, client) =>
       val url = s"http://localhost:$port/ner"
