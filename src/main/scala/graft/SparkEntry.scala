@@ -656,6 +656,27 @@ object SparkEntry {
     "q100_neardup_gate" -> ((s, dir) =>
       graft.ops.Dedup.nearDupGate(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // ---- triple-store subject point lookup over a compacted store:
+    //      build → compact (subj-sorted row groups, the zone-map rung) →
+    //      pushed-down equality scan; row-group pruning is metrics-
+    //      asserted in StoreLookupSpec, value parity is oracled here ----
+    "q101_subj_lookup" -> ((s, dir) => {
+      graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_subj_lookup_q").toString
+      val docs = CorpusGen.docs(s, 500, parts = 8)
+      graft.store.LineageStore.runResumable(s, root, "triples", docs,
+        ds => KgPipeline.run(s, ds, CorpusGen.aliases(s)),
+        KgPipeline.Config().buckets, "q101")
+      graft.store.LineageStore.compactTriples(s, root,
+        rowGroupBytes = Some(16L * 1024))
+      val subj = graft.store.LineageStore.readTriples(s, root)
+        .toDF().agg(min("subj")).head.getString(0)
+      graft.store.LineageStore.lookupBySubject(s, root, subj).toDF()
+        .select(col("subj"), col("pred"), col("obj"), col("doc_id"),
+          col("bucket").cast("long").as("bucket"), col("conf"))
+        .orderBy("doc_id", "pred", "obj")
+    }),
     // ---- RAG/pretraining sliding-window chunking ----
     "q90_chunking" -> ((s, dir) =>
       graft.ops.TextOps.chunkDocs(t(s, dir, "documents"))
@@ -2098,6 +2119,16 @@ object SparkEntry {
         |   THEN 1 ELSE 0 END::BIGINT AS kept
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // value parity for the compacted-store point lookup: the engine's
+    // pushed-down row-group-pruned scan must return exactly the golden
+    // triples of the min subject
+    "q101_subj_lookup" ->
+      s"""WITH t AS (SELECT subj, pred, obj, doc_id,
+        |   CAST(bucket AS BIGINT) AS bucket, conf
+        |  FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')),
+        | m AS (SELECT min(subj) AS s FROM t)
+        |SELECT t.* FROM t, m WHERE t.subj = m.s
+        |ORDER BY doc_id, pred, obj""".stripMargin,
     "q99_sq8_ann" ->
       """WITH mx AS (SELECT max(abs(CAST(e AS DOUBLE))) AS m FROM (
         |   SELECT unnest(embedding) AS e FROM embeddings)),

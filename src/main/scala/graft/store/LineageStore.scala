@@ -153,7 +153,8 @@ object LineageStore {
     * lineage (the resume source of truth) is untouched because no row
     * changes. Returns (files before, files after).
     */
-  def compactTriples(spark: SparkSession, root: String): (Long, Long) = {
+  def compactTriples(spark: SparkSession, root: String,
+                     rowGroupBytes: Option[Long] = None): (Long, Long) = {
     val path = triplesPath(root)
     def dataFiles(): Long = Fs.listFiles(spark, path)
       .count(_.endsWith(".parquet"))
@@ -162,11 +163,28 @@ object LineageStore {
     val tmp = path + "__compact_tmp"
     val old = path + "__compact_old"
     // hash-repartition on bucket: each bucket's rows land in exactly one
-    // task, so partitionBy(bucket) emits exactly one file per bucket
-    spark.read.parquet(path)
+    // task, so partitionBy(bucket) emits exactly one file per bucket.
+    // sortWithinPartitions(subj): the compacted file's parquet row groups
+    // carry NARROW subj min/max ranges (the Iceberg zone-map rung), so a
+    // subject point lookup ([[lookupBySubject]] — the access path every
+    // KG consumer hits first) prunes to ~one row group per bucket file
+    // instead of decoding the whole store. rowGroupBytes bounds the
+    // pruning granule (parquet.block.size; None = parquet's default —
+    // at 100 TB the default 128 MB granule over subj-sorted files is the
+    // right trade; tests shrink it to force many groups per file).
+    // sorted by (bucket, subj), NOT subj alone: FileFormatWriter requires
+    // each task's rows ordered by the partition columns and would inject
+    // its own non-stable sort on `bucket` otherwise — silently discarding
+    // the subj order. With bucket as the sort prefix the writer's
+    // requirement is already satisfied and the subj order survives into
+    // the file (verified by the row-group min/max assert in
+    // StoreLookupSpec).
+    val writer = spark.read.parquet(path)
       .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("subj"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
+    rowGroupBytes.fold(writer)(b => writer.option("parquet.block.size", b))
       .parquet(tmp)
     val staged = spark.read.parquet(tmp).count()
     require(staged == expected,
@@ -213,6 +231,17 @@ object LineageStore {
     // redundant once a live store exists.
     fs.delete(oldP, true)
   }
+
+  /** Subject point lookup — the entity-page / API access path. A plain
+    * pushed-down equality scan: after [[compactTriples]]'s
+    * sortWithinPartitions(subj), parquet row-group min/max statistics
+    * prune all but ~one group per bucket file (asserted with scan
+    * metrics in StoreLookupSpec), so the lookup cost is O(row group),
+    * not O(store).
+    */
+  def lookupBySubject(spark: SparkSession, root: String,
+                      subj: String): Dataset[Triple] =
+    readTriples(spark, root).filter(col("subj") === subj)
 
   def readTriples(spark: SparkSession, root: String): Dataset[Triple] = {
     import spark.implicits._
