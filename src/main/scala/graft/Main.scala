@@ -19,9 +19,11 @@ import org.apache.spark.sql.SparkSession
   *     masked-LM pre-training instance pregeneration (epoch JSONL files
   *     with sidecar metrics, seeded per-epoch shuffle)
   *   compact <outRoot>
-  *     triple-store maintenance: rewrite each bucket partition's
-  *     accumulated small files as one file per bucket (rows + lineage
-  *     unchanged).
+  *     store maintenance: rewrite each triple bucket partition's
+  *     accumulated small files as one subj-sorted file per bucket (rows
+  *     + lineage unchanged; subject lookups gain row-group pruning),
+  *     and merge near-dup gate state below the head batch into the
+  *     reserved batch=-1 partition.
   *   dict <aliasesParquetDir|gen> <storeRoot>
   *     scored-dictionary maintenance: bring the snapshot-keyed
   *     DictStore up to the given alias table — CDC delta from the
@@ -110,10 +112,18 @@ object Main {
 
     case Some("compact") =>
       val spark = session("graft-compact")
-      // heal a previous compaction killed between its two renames
-      LineageStore.recoverCompaction(spark, args(1))
-      val (before, after) = LineageStore.compactTriples(spark, args(1))
-      println(s"compacted ${LineageStore.triplesPath(args(1))}: $before -> $after data files")
+      if (graft.store.Fs.exists(spark, LineageStore.triplesPath(args(1)))) {
+        // heal a previous compaction killed between its two renames
+        LineageStore.recoverCompaction(spark, args(1))
+        val (before, after) = LineageStore.compactTriples(spark, args(1))
+        println(s"compacted ${LineageStore.triplesPath(args(1))}: $before -> $after data files")
+      }
+      // near-dup gate state: merge every batch below the head (the only
+      // batch foreachBatch may still retry) into the reserved batch=-1
+      graft.ops.Dedup.nearDupHeadBatch(spark, args(1)).foreach { head =>
+        val (b, a) = graft.ops.Dedup.nearDupCompact(spark, args(1), head)
+        println(s"compacted near-dup gate state: $b -> $a batch partition(s)")
+      }
       spark.stop()
 
     case Some("dict") =>

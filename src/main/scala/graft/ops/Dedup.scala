@@ -521,4 +521,69 @@ object Dedup {
     }
     docs.join(dropped, Seq("doc_id"), "left_anti")
   }
+
+  /** Gate-state COMPACTION: without it, `_neardup/batch=<id>/`
+    * partitions grow unboundedly with batch count and every state read
+    * fans out over all of them. Merges the distinct band keys of every
+    * batch `< beforeBatch` into the single reserved partition
+    * `batch=-1`, then drops the merged per-batch partitions.
+    *
+    * Replay safety is preserved by construction:
+    *  - gate reads prune to `batch < batchId`, and -1 sorts below every
+    *    real id, so compacted state stays visible to every future batch;
+    *  - a replayed batch overwrites only its OWN id partition, never -1;
+    *  - `beforeBatch` must not exceed a batch id that may still be
+    *    replayed (foreachBatch only ever retries the HEAD batch, so
+    *    `maxCommittedId` — keeping the head uncompacted — is the safe
+    *    operational choice, and what `Main compact` passes). Compacting
+    *    a batch that later replays would let the replay see its own
+    *    bands as prior state and drop every doc.
+    *
+    * Crash-safe without renames because band-key state is a SET under a
+    * semi join: the merged write is job-atomic (dynamic overwrite of
+    * partition -1 only — a superset of any previous -1 content), and a
+    * crash between the per-partition deletes merely leaves rows
+    * duplicated between -1 and not-yet-deleted partitions, which a
+    * rerun converges. Returns (partitions before, partitions after).
+    */
+  def nearDupCompact(spark: org.apache.spark.sql.SparkSession,
+                     root: String, beforeBatch: Long): (Long, Long) = {
+    val path = nearDupPath(root)
+    if (!graft.store.Fs.exists(spark, path)) return (0L, 0L)
+    def ids(): Seq[Long] = spark.read.parquet(path)
+      .select("batch").distinct().collect()
+      .map(r => r.get(0).toString.toLong).toSeq.sorted
+    val before = ids()
+    val toMerge = before.filter(_ < beforeBatch)
+    if (toMerge.size < 2) return (before.size.toLong, before.size.toLong)
+    graft.store.LineageStore.withDynamicOverwrite(spark) {
+      spark.read.parquet(path)
+        .where(col("batch") < beforeBatch)
+        .select(col("band"), col("band_key")).distinct()
+        .withColumn("batch", lit(-1L))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("batch")
+        .parquet(path)
+    }
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    toMerge.filter(_ != -1L).foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/batch=$id"), true)
+    }
+    (before.size.toLong, ids().size.toLong)
+  }
+
+  /** The max batch id present in a root's gate state (None when no
+    * state) — `Main compact` uses it to compact everything below the
+    * head, the only batch foreachBatch may still retry.
+    */
+  def nearDupHeadBatch(spark: org.apache.spark.sql.SparkSession,
+                       root: String): Option[Long] = {
+    val path = nearDupPath(root)
+    if (!graft.store.Fs.exists(spark, path)) None
+    else spark.read.parquet(path).agg(max(col("batch"))).head.get(0) match {
+      case null => None
+      case v => Some(v.toString.toLong)
+    }
+  }
 }

@@ -228,6 +228,38 @@ class StreamingSpec extends AnyFunSuite {
     val k1 = graft.ops.Dedup.nearDupGateBatch(spark, root2, 1L,
       docs.where($"doc_id" < 10))
     assert(k1.count() > 0) // state read after the empty batch works
+
+    // ---- state compaction: batches below the head merge into the
+    //      reserved batch=-1 partition; gate results are unchanged and
+    //      the head batch stays replay-idempotent ----
+    val head = graft.ops.Dedup.nearDupHeadBatch(spark, root)
+    assert(head.contains(2L))
+    val (pb, pa) = graft.ops.Dedup.nearDupCompact(spark, root, 2L)
+    assert(pb == 3L && pa == 2L, s"$pb -> $pa") // {0,1,2} -> {-1,2}
+    val partIds = spark.read.parquet(s"$root/_neardup")
+      .select("batch").distinct().collect().map(_.get(0).toString.toLong).toSet
+    assert(partIds == Set(-1L, 2L), partIds)
+    // replay of the head AFTER compaction: identical kept set (its own
+    // partition was not merged, so it cannot see its own bands as prior)
+    val replay2 = graft.ops.Dedup.nearDupGateBatch(spark, root, 2L,
+        batches(2)._2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(replay2 == thirdKept, s"post-compact replay=$replay2")
+    // the NEXT batch sees compacted state identically to an uncompacted
+    // twin root fed the same sequence
+    val rootU = Files.createTempDirectory("graft_neardup_u").toString
+    batches.foreach { case (id, b) =>
+      graft.ops.Dedup.nearDupGateBatch(spark, rootU, id, b).count()
+    }
+    val next = docs.select(($"doc_id" + 60).as("doc_id"), $"text")
+    val kC = graft.ops.Dedup.nearDupGateBatch(spark, root, 3L, next)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kU = graft.ops.Dedup.nearDupGateBatch(spark, rootU, 3L, next)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kC == kU, s"compacted=$kC uncompacted=$kU")
+    // compaction is idempotent / converges after a partial delete
+    val (pb2, pa2) = graft.ops.Dedup.nearDupCompact(spark, root, 3L)
+    assert(pa2 == 2L, s"$pb2 -> $pa2") // {-1,2,3} -> {-1,3}
   }
 
   test("streaming windowed aggregation with watermark (events)") {
