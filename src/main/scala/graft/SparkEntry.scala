@@ -656,6 +656,17 @@ object SparkEntry {
     "q100_neardup_gate" -> ((s, dir) =>
       graft.ops.Dedup.nearDupGate(t(s, dir, "documents"))
         .orderBy("doc_id")),
+    // ---- context-aware entity linking: co-mention anchors outrank
+    //      prior (below type match); planted so context FLIPS the
+    //      winner in B-anchored docs and degenerates to prior-only
+    //      elsewhere ----
+    "q102_ctx_linking" -> ((s, dir) => {
+      graft.gen.Goldens.writeCtxFixture(s, 400)
+      graft.kg.Linker.linkContextual(s,
+          CorpusGen.ctxMentions(s, 400, parts = 8),
+          CorpusGen.ctxAliases(s))
+        .orderBy("doc_id", "span_offset", "sentence_idx", "surface_norm")
+    }),
     // ---- triple-store subject point lookup over a compacted store:
     //      build → compact (subj-sorted row groups, the zone-map rung) →
     //      pushed-down equality scan; row-group pruning is metrics-
@@ -2119,6 +2130,34 @@ object SparkEntry {
         |   THEN 1 ELSE 0 END::BIGINT AS kept
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // independent SQL replay of the co-mention scoring chain: anchors =
+    // entities of single-candidate surfaces mentioned in the doc; pick
+    // order (type mismatch, context miss, prior DESC, raw id)
+    "q102_ctx_linking" ->
+      s"""WITH m AS (SELECT * FROM
+        |   read_parquet('${graft.gen.Goldens.root}/ctx_mentions/*.parquet')),
+        | a AS (SELECT * FROM
+        |   read_parquet('${graft.gen.Goldens.root}/ctx_aliases/*.parquet')),
+        | nc AS (SELECT surface_norm, count(DISTINCT entity_id) AS n_ents
+        |   FROM a GROUP BY surface_norm),
+        | anch AS (SELECT DISTINCT m.doc_id, a.entity_id
+        |   FROM m JOIN a USING (surface_norm) JOIN nc USING (surface_norm)
+        |   WHERE nc.n_ents = 1),
+        | cand AS (SELECT m.doc_id, m.span_offset, m.sentence_idx,
+        |   m.surface_norm, m.entity_type, a.entity_id, a.prior,
+        |   CASE WHEN a.entity_type = m.entity_type THEN 0 ELSE 1 END AS tmiss,
+        |   CASE WHEN EXISTS (SELECT 1 FROM anch
+        |     WHERE anch.doc_id = m.doc_id AND anch.entity_id = a.entity_id)
+        |    THEN 0 ELSE 1 END AS cmiss
+        |   FROM m JOIN a USING (surface_norm)),
+        | pick AS (SELECT *, row_number() OVER (
+        |   PARTITION BY doc_id, span_offset, sentence_idx, surface_norm,
+        |     entity_type
+        |   ORDER BY tmiss, cmiss, prior DESC, entity_id) AS rn FROM cand)
+        |SELECT doc_id, span_offset, sentence_idx, surface_norm, entity_type,
+        | entity_id, prior AS conf, CAST(1 - cmiss AS BIGINT) AS ctx_hit
+        |FROM pick WHERE rn = 1
+        |ORDER BY doc_id, span_offset, sentence_idx, surface_norm""".stripMargin,
     // value parity for the compacted-store point lookup: the engine's
     // pushed-down row-group-pruned scan must return exactly the golden
     // triples of the min subject

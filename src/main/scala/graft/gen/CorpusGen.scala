@@ -277,6 +277,68 @@ object CorpusGen {
     spark.createDataset(aliasDict)
   }
 
+  // ---- context-disambiguation fixture (for the co-mention linking
+  //      feature): a SELF-CONTAINED dictionary with genuinely ambiguous
+  //      surfaces. Deliberately separate from aliasDict: there every
+  //      surface belongs to one entity (shared surfaces are what folds an
+  //      entity's #0/#1 records into one connected component), so a
+  //      truly ambiguous surface would make CC merge two real entities.
+  //      Here entities are single-record and NO canonical map is used. ----
+
+  /** "neustadt" is held by two LOC entities (prior favors A); "franken"
+    * crosses types (ORG prior dominates, but type match outranks
+    * context and prior, so a LOC-typed mention still picks the LOC
+    * entity). "adlerburg"/"falkenburg"/"werra"/"franken werke" are
+    * unambiguous — their doc co-mentions are the context anchors.
+    */
+  def ctxAliasDict: Seq[Alias] = Seq(
+    Alias(normSurface("Neustadt"), "LOCX_A#0", "LOC", 0.9),
+    Alias(normSurface("Neustadt"), "LOCX_B#0", "LOC", 0.6),
+    Alias(normSurface("Adlerburg"), "LOCX_A#0", "LOC", 0.8),
+    Alias(normSurface("Falkenburg"), "LOCX_B#0", "LOC", 0.8),
+    Alias(normSurface("Werra"), "LOCX_C#0", "LOC", 0.5),
+    Alias(normSurface("Franken"), "ORGX_F#0", "ORG", 0.95),
+    Alias(normSurface("Franken"), "LOCX_F#0", "LOC", 0.55),
+    Alias(normSurface("Franken Werke"), "ORGX_F#0", "ORG", 0.8))
+
+  /** Deterministic mention stream over the ctx dictionary: every doc
+    * mentions the ambiguous "neustadt"; anchor mentions appear with
+    * fixed per-doc probabilities so ALL four outcomes occur (no anchor →
+    * prior winner A; B-anchor only → context FLIPS the winner to B;
+    * A-anchor / both → A; plus the cross-type "franken" case). Rows are
+    * (doc_id, span_offset, sentence_idx, surface_norm, entity_type).
+    */
+  def genCtxMentions(i: Long): Seq[(String, Int, Int, String, String)] = {
+    val rng = new Rng(i * 31 + 7) // distinct stream family from genDoc(i)
+    val id = docId(i)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, String, String)]
+    rows += ((id, 0, 0, normSurface("Neustadt"), "LOC"))
+    if (rng.nextDouble() < 0.35)
+      rows += ((id, 0, 1, normSurface("Falkenburg"), "LOC"))
+    if (rng.nextDouble() < 0.25)
+      rows += ((id, 0, 2, normSurface("Adlerburg"), "LOC"))
+    if (rng.nextDouble() < 0.3) {
+      rows += ((id, 1, 0, normSurface("Franken"), "LOC"))
+      if (rng.nextDouble() < 0.5)
+        rows += ((id, 1, 1, normSurface("Franken Werke"), "ORG"))
+    }
+    if (rng.nextDouble() < 0.4)
+      rows += ((id, 2, 0, normSurface("Werra"), "LOC"))
+    rows.toSeq
+  }
+
+  def ctxMentions(spark: SparkSession, n: Long, parts: Int = 32): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, parts).mapPartitions(_.flatMap(i => genCtxMentions(i)))
+      .toDF("doc_id", "span_offset", "sentence_idx", "surface_norm",
+        "entity_type")
+  }
+
+  def ctxAliases(spark: SparkSession): Dataset[Alias] = {
+    import spark.implicits._
+    spark.createDataset(ctxAliasDict)
+  }
+
   // ---- language-planted corpus (for evaluating language-ID with REAL
   //      signal — the driver's documents table has none, see q44 note) ----
 

@@ -172,6 +172,21 @@ object Goldens {
     write(spark, name, spark.createDataset(evalGolden(n)).toDF())
   }
 
+  /** Context-disambiguation INPUT fixtures (mention stream + the
+    * ambiguous dictionary), written sequentially on the driver so the
+    * DuckDB oracle re-derives the whole anchor/candidate scoring chain
+    * in SQL independently of the Spark plan under test.
+    */
+  def writeCtxFixture(spark: SparkSession, n: Int): Unit = {
+    import spark.implicits._
+    val ments = (0 until n).flatMap(i => CorpusGen.genCtxMentions(i.toLong))
+    write(spark, "ctx_mentions", spark.createDataset(ments)
+      .toDF("doc_id", "span_offset", "sentence_idx", "surface_norm",
+        "entity_type"))
+    write(spark, "ctx_aliases",
+      spark.createDataset(CorpusGen.ctxAliasDict).toDF())
+  }
+
   /** Language-planted INPUT corpus, written sequentially on the driver so
     * the DuckDB oracle can recompute the whole langid confusion matrix
     * from the text independently of the Spark plan under test.

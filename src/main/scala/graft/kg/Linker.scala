@@ -292,6 +292,83 @@ object Linker {
         picked.getField("prior").as("conf"): _*)
   }
 
+  /** CONTEXT-AWARE linking: candidate scoring gains a co-mention
+    * feature between type match and prior — a candidate whose
+    * (canonical) entity is independently ANCHORED in the same document
+    * outranks a higher-prior candidate that is not. Anchors are the
+    * entities of UNAMBIGUOUS mentions (surfaces whose dictionary
+    * candidates collapse to one canonical entity): the classic
+    * document-coherence signal, and exactly the prior-only ordering
+    * (type match, max prior, min raw id) whenever the doc has no
+    * anchors or no candidate is anchored — parity asserted in
+    * LinkerCtxSpec.
+    *
+    * Scale shape (the 100 TB contract): the candidate table is an
+    * O(dictionary) aggregation (one array row per surface, fan-out
+    * bounded by candidates-per-surface — dictionary-shaped, never
+    * corpus²); the mention side pays ONE surface-keyed join (salt/bloom
+    * composable exactly like [[linkSaltedCarry]]), one doc-keyed
+    * aggregation over the already-joined mentions (the detect cache's
+    * partitioning), and one co-partitioned doc-keyed join back. Best-
+    * candidate selection is a per-row `aggregate` higher-order function
+    * over the carried array — no re-shuffle on a wide mention key, no
+    * window.
+    *
+    * `m` carries (doc_id, span_offset, sentence_idx, surface_norm,
+    * entity_type); output adds (entity_id, conf, ctx_hit 1/0).
+    */
+  def linkContextual(spark: SparkSession, m: DataFrame,
+                     aliases: Dataset[Alias],
+                     canon: Option[DataFrame] = None): DataFrame = {
+    val aliasC = canon match {
+      case Some(c) =>
+        aliases.toDF().join(
+            c.select(col("entity_id"), col("canonical_id")), Seq("entity_id"),
+            "left")
+          .withColumn("out_id", coalesce(col("canonical_id"), col("entity_id")))
+      case None => aliases.toDF().withColumn("out_id", col("entity_id"))
+    }
+    // one array row per surface: every candidate + the canonical-entity
+    // ambiguity count (n_ents == 1 ⇒ mentions of this surface anchor)
+    val cands = aliasC.groupBy("surface_norm")
+      .agg(
+        collect_list(struct(
+          col("out_id").as("entity_id"), col("prior"),
+          col("entity_id").as("raw_id"),
+          col("entity_type").as("alias_type"))).as("cands"),
+        countDistinct(col("out_id")).as("n_ents"))
+    val joined = m.join(cands, Seq("surface_norm")) // inner: OOV drops,
+      // same semantics as every other link path
+    val anchors = joined.where(col("n_ents") === 1)
+      .select(col("doc_id"),
+        // n_ents == 1 ⇒ every candidate row shares one out_id
+        element_at(col("cands"), 1).getField("entity_id").as("aid"))
+      .groupBy("doc_id").agg(collect_set(col("aid")).as("anchors"))
+    val ctx = joined.join(anchors, Seq("doc_id"), "left")
+      .withColumn("anchors",
+        coalesce(col("anchors"), array().cast("array<string>")))
+    // lexicographic candidate key: (type mismatch, context miss,
+    // -prior, raw id) — struct comparison gives the total order; the
+    // prior-only key is the same struct minus the context slot, so
+    // absent context degenerates to it exactly
+    def key(c: org.apache.spark.sql.Column) = struct(
+      when(c.getField("alias_type") === col("entity_type"), lit(0))
+        .otherwise(lit(1)),
+      when(array_contains(col("anchors"), c.getField("entity_id")), lit(0))
+        .otherwise(lit(1)),
+      negate(c.getField("prior")),
+      c.getField("raw_id"))
+    val picked = ctx.withColumn("best",
+      aggregate(col("cands"), element_at(col("cands"), 1),
+        (acc, x) => when(key(x) < key(acc), x).otherwise(acc)))
+    picked.select(m.columns.map(col).toIndexedSeq :+
+      col("best").getField("entity_id").as("entity_id") :+
+      col("best").getField("prior").as("conf") :+
+      when(array_contains(col("anchors"),
+        col("best").getField("entity_id")), lit(1L)).otherwise(lit(0L))
+        .as("ctx_hit"): _*)
+  }
+
   /** [[inferSkewKeys]] over a pre-normalized mention projection. */
   def inferSkewKeysNorm(spark: SparkSession, m: DataFrame,
                         topK: Int = 20, sampleFraction: Double = 0.01): Seq[String] = {
