@@ -38,10 +38,35 @@ import org.apache.spark.sql.SparkSession
   *     operational snapshot of a stream/batch root: snapshot chain,
   *     per-batch stage metrics, current canonical-map size.
   *
+  * Every verb accepts `--limit N` (the reference's `--dry_run` analog,
+  * models/bert.py:165-169, 207-209): run/mlm cap their input docs,
+  * verify/bench cap every driver-table read — smoke runs only (oracle
+  * compares are not meaningful under a limit).
+  *
   * No master/config is set here: spark-submit supplies them (the local
   * test harnesses configure their own sessions).
   */
 object Main {
+
+  /** Strip a `--limit N` flag (any position) from the argv — the
+    * `--dry_run` analog (models/bert.py:165-169, 207-209): cap input
+    * docs/tables for smoke runs. Returns (limit, remaining args);
+    * rejects a malformed or missing N loudly rather than silently
+    * running the full job.
+    */
+  def parseLimit(args: Array[String]): (Option[Int], Array[String]) = {
+    val i = args.indexOf("--limit")
+    if (i < 0) (None, args)
+    else {
+      require(i + 1 < args.length && args(i + 1).toIntOption.exists(_ > 0),
+        "--limit requires a positive integer")
+      (Some(args(i + 1).toInt), args.patch(i, Nil, 2))
+    }
+  }
+
+  private def capped[T](ds: org.apache.spark.sql.Dataset[T],
+                        limit: Option[Int]): org.apache.spark.sql.Dataset[T] =
+    limit.fold(ds)(ds.limit)
 
   /** spark-submit supplies the master; SPARK_MASTER env enables local
     * smoke runs (e.g. SPARK_MASTER=local[8] sbt "runMain graft.Main ...").
@@ -57,15 +82,23 @@ object Main {
     s
   }
 
-  def main(args: Array[String]): Unit = args.headOption match {
+  def main(argv: Array[String]): Unit = {
+    val (limit, args) = parseLimit(argv)
+    // smoke cap for the verify/bench verbs: SparkEntry's table reads
+    // honor this property (oracle compares are not meaningful under it)
+    limit.foreach(n => sys.props("graft.limit") = n.toString)
+    dispatch(args, limit)
+  }
+
+  private def dispatch(args: Array[String], limit: Option[Int]): Unit = args.headOption match {
     case Some("run") =>
       val spark = session("graft-kg-run")
       import spark.implicits._
-      val docs: org.apache.spark.sql.Dataset[Doc] =
+      val docs: org.apache.spark.sql.Dataset[Doc] = capped(
         if (args(1).startsWith("gen:"))
           CorpusGen.docs(spark, args(1).stripPrefix("gen:").toLong,
             spark.sparkContext.defaultParallelism * 4)
-        else spark.read.parquet(args(1)).as[Doc]
+        else spark.read.parquet(args(1)).as[Doc], limit)
       val outRoot = args(2)
       val buckets = if (args.length > 3) args(3).toInt else 64
       val aliases = CorpusGen.aliases(spark)
@@ -96,7 +129,7 @@ object Main {
       // epochs differ by their seeded shuffle key, the columns are
       // deterministic per doc)
       val spark = session("graft-mlm-pregen")
-      val docs = spark.read.parquet(args(1))
+      val docs = capped(spark.read.parquet(args(1)), limit)
       val outDir = args(2)
       val epochs = if (args.length > 3) args(3).toInt else 3
       val pairs = graft.ops.MlmGen.nspPairs(docs)
@@ -184,7 +217,7 @@ object Main {
     case Some("verify") => Verify.main(args.drop(1))
     case Some("bench") => Bench.main(Array.empty)
     case _ =>
-      System.err.println("usage: graft.Main run|stream|mlm|compact|dict|serve|verify|bench|status ...")
+      System.err.println("usage: graft.Main run|stream|mlm|compact|dict|serve|verify|bench|status ... [--limit N]")
       sys.exit(2)
   }
 }

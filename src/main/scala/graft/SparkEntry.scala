@@ -16,8 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Smoke-run cap (the reference's `--dry_run` truncation,
+    * models/bert.py:165-169): when `graft.limit` is set (Main's
+    * `--limit N`), every driver-table read is capped to N rows — the
+    * whole query surface runs end-to-end on a sliver. Results under a
+    * limit are for smoke only (the DuckDB oracle reads full tables).
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    sys.props.get("graft.limit").fold(df)(n => df.limit(n.toInt))
+  }
 
   /** Flagship: the end-to-end KG construction pipeline on a generated
     * interleaved corpus (BASELINE.json north rule). Driver smoke-checks

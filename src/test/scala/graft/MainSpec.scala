@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `--limit N` smoke flag (the reference's `--dry_run` analog,
+  * models/bert.py:165-169): argv parsing + the driver-table cap it
+  * switches on.
+  */
+class MainSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+
+  test("--limit parses anywhere in argv and rejects malformed values") {
+    assert(Main.parseLimit(Array("run", "gen:100", "/o")) ==
+      ((None, Array("run", "gen:100", "/o").toSeq)) ||
+      Main.parseLimit(Array("run", "gen:100", "/o"))._1.isEmpty)
+    val (l1, rest1) = Main.parseLimit(Array("run", "--limit", "10", "gen:100", "/o"))
+    assert(l1.contains(10) && rest1.toSeq == Seq("run", "gen:100", "/o"))
+    val (l2, rest2) = Main.parseLimit(Array("verify", "/sf", "/out", "--limit", "3"))
+    assert(l2.contains(3) && rest2.toSeq == Seq("verify", "/sf", "/out"))
+    assertThrows[IllegalArgumentException](Main.parseLimit(Array("run", "--limit")))
+    assertThrows[IllegalArgumentException](
+      Main.parseLimit(Array("run", "--limit", "zero")))
+    assertThrows[IllegalArgumentException](
+      Main.parseLimit(Array("run", "--limit", "-4")))
+  }
+
+  test("graft.limit caps every driver-table read (smoke verify/bench)") {
+    val sf = "/root/testdata/sf0.001"
+    val full = SparkEntry.queries("q02_filter")(spark, sf).count()
+    sys.props("graft.limit") = "5"
+    try {
+      val capped = SparkEntry.queries("q02_filter")(spark, sf).count()
+      assert(capped <= 5L)
+      assert(full > capped) // the cap actually bit
+    } finally sys.props.remove("graft.limit")
+  }
+}
