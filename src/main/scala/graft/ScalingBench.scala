@@ -119,6 +119,92 @@ object ScalingBench {
       Files.writeString(Paths.get(out), json)
       println(json)
 
+    case "dedupscale" =>
+      // dedupscale <sfDir> <replicas> <cpus> <outJson> — scale-up +
+      // two-parallelism evidence for the dedup/similarity heavy hitters
+      // (q73 setsim, q98 span dedup, q92 novelty, q100 near-dup gate):
+      // the documents table replicated `replicas`× with deterministic id
+      // offsets (dup families of size `replicas` — the hot-key WORST
+      // case for every one of these operators: every dup gram/band/
+      // shingle-set is shared by the whole family). Input materialized
+      // outside the timed region; per-operator best-of-3 wall, output
+      // row count (asserted identical across parallelism levels by the
+      // report step) and the physical plan's exchange count (asserted
+      // identical across SCALES — plan stability is the 100 TB claim:
+      // more data must mean bigger shuffles, never new ones).
+      import org.apache.spark.sql.functions._
+      val sfDir = args(1); val reps = args(2).toInt
+      val cpus = args(3).toInt; val out = args(4)
+      val spark = Bench.session(cpus.toString)
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val docs = (0 until reps)
+        .map(i => docs0.select(
+          (col("doc_id") + lit(i * 1000000000L)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+        .repartition(256).localCheckpoint()
+      val nDocs = docs.count()
+      // optional 6th arg: comma-separated op filter — the short ops
+      // (gate) need a LARGER replica count than setsim (whose candidate
+      // pairs grow ~replicas² per dup family) before compute dominates
+      // fixed stage overhead, so pairs are measured per-op at the scale
+      // that suits the op
+      val opFilter: Option[Set[String]] =
+        if (args.length > 5) Some(args(5).split(",").toSet) else None
+      // fixed work units at BOTH parallelism levels (the kgRun protocol:
+      // identical shuffle partitioning, only thread count varies) — AND
+      // enough granules that AQE can balance the dup-family skew these
+      // replicated inputs deliberately maximize; the session default
+      // (partitions = cpus) leaves 2 coarse granules at local[2], which
+      // measures scheduling luck, not the operator
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "setsim" -> (() => graft.ops.Dedup.setSimJoinPrefix(docs, 700000L)),
+        // the documented hot-key mitigation, measured: exact dedup first
+        // collapses every exact-dup family to its keeper, so the
+        // quadratic per-family candidate blowup never reaches the
+        // set-sim join (Dedup.setSimJoinPrefix doc caveat)
+        "setsim_dedup_first" -> (() => {
+          val keep = graft.ops.Dedup.exact(docs)
+            .select(col("keep_doc_id").as("doc_id"))
+          graft.ops.Dedup.setSimJoinPrefix(
+            docs.join(keep, Seq("doc_id"), "left_semi"), 700000L)
+        }),
+        "dupspans" -> (() => graft.ops.Dedup.duplicateSpanCoverage(docs)),
+        "novelty" -> (() => graft.ops.TextOps.ngramNovelty(docs)),
+        "gate" -> (() => graft.ops.Dedup.nearDupGate(docs)))
+        .filter { case (n, _) => opFilter.forall(_.contains(n)) }
+      val results = ops.map { case (name, f) =>
+        f().count() // JIT warm-up
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val n = f().count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val (sec, n) = runs.minBy(_._1)
+        // plan signature: the SHUFFLE KEY FAMILIES are the scale-
+        // stability claim (more data must shuffle on the same keys,
+        // never new ones); raw exchange counts are NOT stable by design
+        // — Catalyst converts broadcast joins to shuffle joins as size
+        // estimates cross spark.sql.autoBroadcastJoinThreshold, which is
+        // exactly the physical choice a 100 TB plan needs
+        val plan = f().queryExecution.executedPlan.toString
+        val keys = "hashpartitioning\\(([A-Za-z_0-9]+)#".r
+          .findAllMatchIn(plan).map(_.group(1)).toSeq.distinct.sorted
+        val nShuffle = "Exchange hashpartitioning".r.findAllIn(plan).size
+        val nBcast = "BroadcastExchange".r.findAllIn(plan).size
+        (name, sec, n, keys, nShuffle, nBcast)
+      }
+      spark.stop()
+      val body = results.map { case (name, sec, n, keys, ns, nb) =>
+        val ks = keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+        f""""$name":{"sec":$sec%.3f,"rows":$n,"shuffles":$ns,"broadcasts":$nb,"shuffle_keys":$ks}"""
+      }.mkString(",")
+      val json =
+        s"""{"cpus":$cpus,"nDocs":$nDocs,"replicas":$reps,"mode":"dedupscale",$body}"""
+      Files.writeString(Paths.get(out), json)
+      println(json)
+
     case "recall" =>
       // recall <sfDir> <outJson> — the recall/cost sweep a production ANN
       // index is tuned with: mean recall@5 and best-of-3 wall time for
