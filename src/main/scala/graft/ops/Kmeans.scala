@@ -199,10 +199,12 @@ object Kmeans {
         merged(c) = (acc, cnt + n)
       }
       cents = merged.toSeq.sortBy(_._1).map { case (c, (s, n)) =>
-        // FLOORING division (Math.floorDiv), matching DuckDB's `//` which
-        // the q97/q62 oracles replay — Scala '/' truncates toward zero and
-        // would diverge on a negative coordinate sum not divisible by n
-        (c, s.map(Math.floorDiv(_, n)))
+        // TRUNCATING integer division (Scala '/'), deliberately: DuckDB's
+        // INTEGER `//` also truncates toward zero ((-7)::BIGINT // 2 = -3,
+        // verified — only FLOAT `//` floors), so this is the exact
+        // operation the q62/q67/q97 oracles replay. Math.floorDiv here
+        // breaks all three on any negative coordinate sum.
+        (c, s.map(_ / n))
       }
     }
     cents
