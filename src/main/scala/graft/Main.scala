@@ -29,6 +29,9 @@ import org.apache.spark.sql.SparkSession
   *     DictStore up to the given alias table — CDC delta from the
   *     CURRENT snapshot when possible, full build otherwise, no-op
   *     when already current — and advance the head pointer.
+  *   lookup <outRoot> <subject>
+  *     triple-store point read for one subject (row-group-pruned on a
+  *     compacted store).
   *   serve [port]
   *     HTTP NER surface (GET /models, POST /ner[/id]) over the built-in
   *     registry; blocks until killed.
@@ -170,6 +173,20 @@ object Main {
         graft.store.DictStore.snapPath(args(2), id))
       spark.stop()
 
+    case Some("lookup") =>
+      // lookup <outRoot> <subject> — the entity-page access path: a
+      // pushed-down point read served by row-group skipping when the
+      // store has been compacted (subj-sorted zone maps). Output is
+      // subject-degree-sized — bounded, safe to print.
+      val spark = session("graft-lookup")
+      val rows = graft.store.LineageStore
+        .lookupBySubject(spark, args(1), args(2))
+        .collect().sortBy(t => (t.doc_id, t.pred, t.obj))
+      rows.foreach(t => println(
+        s"${t.subj}\t${t.pred}\t${t.obj}\tdoc=${t.doc_id}\tconf=${t.conf}"))
+      println(s"${rows.length} triple(s) for subject ${args(2)}")
+      spark.stop()
+
     case Some("serve") =>
       // serve [port] — the reference's webapp surface (/models, /ner)
       // over the built-in gazetteer registry; blocks until killed
@@ -217,7 +234,7 @@ object Main {
     case Some("verify") => Verify.main(args.drop(1))
     case Some("bench") => Bench.main(Array.empty)
     case _ =>
-      System.err.println("usage: graft.Main run|stream|mlm|compact|dict|serve|verify|bench|status ... [--limit N]")
+      System.err.println("usage: graft.Main run|stream|mlm|compact|dict|lookup|serve|verify|bench|status ... [--limit N]")
       sys.exit(2)
   }
 }
