@@ -459,6 +459,111 @@ object Ann {
         col("nn_id"), col("adc_dist"))
   }
 
+  /** IVF-PQ: the composed FAISS IndexIVFPQ shape (public algorithm —
+    * Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search") joining the two rungs this engine already has: a COARSE
+    * integer k-means quantizer restricts each query to its nearest
+    * cell(s) ([[ivfSearchQuantized]]'s scale story — the scan touches
+    * one cell, not the corpus), and a PQ codebook over the RESIDUALS
+    * (vector − its cell centroid) compresses what remains to m small
+    * codes ranked by ADC table lookups ([[pqSearchAdc]]'s memory
+    * story). Residual PQ beats raw-vector PQ because residuals occupy
+    * a far smaller ball than the raw space, so the same k codes carry
+    * more precision — which is why FAISS composes them exactly this
+    * way.
+    *
+    * All arithmetic is long-integer (quantize → train → residual →
+    * encode → ADC), every tie-break is (distance, smaller id), and the
+    * centroid update is truncating division — the whole index build
+    * AND search replay bit-exact in DuckDB (the q62 coarse CTEs + the
+    * q97 per-subspace CTEs chained through a residual join).
+    *
+    * Scale shape: codebooks and query tables are fixed-size broadcasts;
+    * the corpus scan touches only (cell, m codes) per vector; cell
+    * restriction prunes candidates before any distance math; the only
+    * exchange is the per-query top-k.
+    */
+  def ivfPqSearch(emb: DataFrame, kc: Int = 4, m: Int = 2, k: Int = 4,
+                  updates: Int = 2, nQueries: Int = 8, topK: Int = 3,
+                  probes: Int = 1, scale: Int = 1000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = Kmeans.quantized(emb, scale).persist()
+    val qhead = q.orderBy("_1").limit(math.max(math.max(kc, k), nQueries))
+      .collect()
+    if (qhead.isEmpty) {
+      q.unpersist()
+      return spark.emptyDataset[(Long, Long, Long, Long, Long)]
+        .toDF("q_id", "rank", "nn_id", "cell", "adc_dist")
+    }
+    val d = qhead(0)._2.length
+    require(d % m == 0, s"embedding dim $d is not divisible by m=$m subspaces")
+    val sd = d / m
+    // coarse quantizer + per-vector (cell, residual) — one broadcast map
+    val cents = Kmeans.trainQuantizedCentroids(q, kc, updates)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val centOf = cents.toMap
+    val resid = q.map { case (id, v) =>
+      val (cell, _) = Kmeans.nearest(bcC.value, v)
+      val cv = bcC.value.find(_._1 == cell).get._2
+      (id, cell, Array.tabulate(d)(i => v(i) - cv(i)))
+    }.persist()
+    // per-subspace PQ books trained on RESIDUAL slices
+    val books: IndexedSeq[Seq[(Int, Array[Long])]] = (0 until m).map { s =>
+      Kmeans.trainQuantizedCentroids(
+        resid.map { case (id, _, r) => (id, r.slice(s * sd, s * sd + sd)) },
+        k, updates)
+    }
+    val bcB = spark.sparkContext.broadcast(books)
+    // the code index: (cell, m codes) per vector — all the scan reads
+    val codes = resid.map { case (id, cell, r) =>
+      val bs = bcB.value
+      (id, cell, Array.tabulate(m)(s =>
+        Kmeans.nearest(bs(s), r.slice(s * sd, s * sd + sd))._1))
+    }.toDF("vec_id", "cell", "codes").localCheckpoint()
+    resid.unpersist(); q.unpersist()
+    // per (query, probed cell): residual ADC table (Q·probes·m·k longs,
+    // driver-built from the bounded query head — never corpus-sized)
+    val tables: Array[(Long, Int, Array[Array[Long]])] =
+      qhead.take(nQueries).flatMap { case (qid, qv) =>
+        val probed = cents.map { case (c, cv) =>
+          var dist = 0L; var i = 0
+          while (i < d) { val t = qv(i) - cv(i); dist += t * t; i += 1 }
+          (dist, c)
+        }.sorted.take(probes).map(_._2)
+        probed.map { cell =>
+          val cv = centOf(cell)
+          val qr = Array.tabulate(d)(i => qv(i) - cv(i))
+          (qid, cell, Array.tabulate(m) { s =>
+            val row = Array.fill(k)(Long.MaxValue)
+            books(s).foreach { case (c, bv) =>
+              var dist = 0L; var i = 0
+              while (i < sd) { val t = qr(s * sd + i) - bv(i); dist += t * t; i += 1 }
+              row(c) = dist
+            }
+            row
+          })
+        }
+      }
+    val bcT = spark.sparkContext.broadcast(tables.groupBy(_._2))
+    val scored = codes.as[(Long, Int, Array[Int])].mapPartitions { it =>
+      val byCell = bcT.value
+      it.flatMap { case (id, cell, cs) =>
+        byCell.getOrElse(cell, Array.empty).iterator
+          .withFilter(_._1 != id).map { case (qid, _, t) =>
+            var dist = 0L; var s = 0
+            while (s < cs.length) { dist += t(s)(cs(s)); s += 1 }
+            (qid, id, cell, dist)
+          }
+      }
+    }.toDF("q_id", "nn_id", "cell", "adc_dist")
+    val w = Window.partitionBy("q_id").orderBy(asc("adc_dist"), asc("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("cell").cast("long").as("cell"), col("adc_dist"))
+  }
+
   /** Int8 scalar quantization + integer-L2 top-k — the SQ8 rung of the
     * embedding-compression ladder between raw floats and
     * [[pqSearchAdc]] (FAISS's ScalarQuantizer shape, public): ONE

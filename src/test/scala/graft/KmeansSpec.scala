@@ -153,6 +153,51 @@ class KmeansSpec extends AnyFunSuite {
     assert(e.count() == 0)
   }
 
+  test("IVF-PQ: cell restriction + residual codes recover planted structure") {
+    import spark.implicits._
+    // coarse structure G = i % 2 (bases +10 / -10, far apart) and a
+    // RESIDUAL variant V inside each coarse cluster (±1 in subspace 0).
+    // V(0) != V(1) so neither the coarse init (ids 0,1 — different G)
+    // nor the residual-book init (ids 0,1 — different V) collapses.
+    def v(i: Int): Int = (i + i / 2) % 2
+    val rows = (0 until 24).map { i =>
+      val g = i % 2
+      val base = if (g == 0) 10f else -10f
+      val vs = if (v(i) == 0) 1f else -1f
+      val w = (i / 4) * 0.01f
+      (i.toLong, Array(base + vs + w, base, base, base,
+        base + w, base, base, base))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.ops.Ann.ivfPqSearch(df, kc = 2, m = 2, k = 2,
+        updates = 2, nQueries = 4, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.length == 4 * 3)
+    for ((q, rank, nn, cell, _) <- got) {
+      assert(q != nn) // self excluded
+      // CELL RESTRICTION: every candidate lives in the query's probed
+      // coarse cell, i.e. shares the planted coarse cluster
+      assert(q % 2 == nn % 2, s"q=$q nn=$nn crossed coarse cells")
+      assert(cell >= 0)
+      // residual codes separate the in-cell variants: the top neighbour
+      // shares the query's variant too
+      if (rank == 1L) assert(v(q.toInt) == v(nn.toInt), s"q=$q nn=$nn")
+    }
+    // partitioning-invariant (the bit-exact q103 DuckDB replay's premise)
+    val got2 = graft.ops.Ann.ivfPqSearch(df.repartition(7), kc = 2, m = 2,
+        k = 2, updates = 2, nQueries = 4, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.sorted.sameElements(got2.sorted))
+    // empty input → empty result with the contract schema, no throw
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    val e = graft.ops.Ann.ivfPqSearch(empty)
+    assert(e.columns.toSeq == Seq("q_id", "rank", "nn_id", "cell", "adc_dist"))
+    assert(e.count() == 0)
+  }
+
   test("SQ8: planted recovery, repartition-invariant, degenerate-safe") {
     import spark.implicits._
     // two planted clusters around +1 and -1 with per-vector wiggle well
