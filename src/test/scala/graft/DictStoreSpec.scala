@@ -46,6 +46,15 @@ class DictStoreSpec extends AnyFunSuite {
       DictStore.fingerprintLocal(Seq(r, r, r)))
     assert(DictStore.fingerprintLocal(Seq(r, r)) !=
       DictStore.fingerprintLocal(Seq(r)))
+    // field boundaries are unambiguous (\u0001-joined rowKey): a
+    // boundary shift between adjacent fields must move the id — an
+    // unseparated concat would hash surface 'a' + entity 'b1'
+    // identically to surface 'ab' + entity '1' and a replacement of one
+    // by the other would silently skip a real refresh
+    assert(DictStore.fingerprintLocal(Seq(Alias("a", "b1", "LOC", 0.5))) !=
+      DictStore.fingerprintLocal(Seq(Alias("ab", "1", "LOC", 0.5))))
+    assert(DictStore.fingerprintLocal(Seq(Alias("a", "b", "XLOC", 0.5))) !=
+      DictStore.fingerprintLocal(Seq(Alias("a", "bX", "LOC", 0.5))))
   }
 
   test("broadcast path rejects a salted-only context instead of linking nothing") {
