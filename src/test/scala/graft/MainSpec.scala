@@ -10,9 +10,8 @@ class MainSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
 
   test("--limit parses anywhere in argv and rejects malformed values") {
-    assert(Main.parseLimit(Array("run", "gen:100", "/o")) ==
-      ((None, Array("run", "gen:100", "/o").toSeq)) ||
-      Main.parseLimit(Array("run", "gen:100", "/o"))._1.isEmpty)
+    val (l0, rest0) = Main.parseLimit(Array("run", "gen:100", "/o"))
+    assert(l0.isEmpty && rest0.toSeq == Seq("run", "gen:100", "/o"))
     val (l1, rest1) = Main.parseLimit(Array("run", "--limit", "10", "gen:100", "/o"))
     assert(l1.contains(10) && rest1.toSeq == Seq("run", "gen:100", "/o"))
     val (l2, rest2) = Main.parseLimit(Array("verify", "/sf", "/out", "--limit", "3"))
