@@ -501,11 +501,12 @@ object Ann {
     val sd = d / m
     // coarse quantizer + per-vector (cell, residual) — one broadcast map
     val cents = Kmeans.trainQuantizedCentroids(q, kc, updates)
-    val bcC = spark.sparkContext.broadcast(cents)
     val centOf = cents.toMap
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcCMap = spark.sparkContext.broadcast(centOf)
     val resid = q.map { case (id, v) =>
       val (cell, _) = Kmeans.nearest(bcC.value, v)
-      val cv = bcC.value.find(_._1 == cell).get._2
+      val cv = bcCMap.value(cell) // O(1) — kc can be thousands at scale
       (id, cell, Array.tabulate(d)(i => v(i) - cv(i)))
     }.persist()
     // per-subspace PQ books trained on RESIDUAL slices
