@@ -58,13 +58,19 @@ object Main {
     * running the full job.
     */
   def parseLimit(args: Array[String]): (Option[Int], Array[String]) = {
-    val i = args.indexOf("--limit")
-    if (i < 0) (None, args)
-    else {
-      require(i + 1 < args.length && args(i + 1).toIntOption.exists(_ > 0),
+    // strip EVERY occurrence (last value wins): a repeated flag must not
+    // leave its second pair in argv to be consumed as positional args
+    var rest = args
+    var limit: Option[Int] = None
+    var i = rest.indexOf("--limit")
+    while (i >= 0) {
+      require(i + 1 < rest.length && rest(i + 1).toIntOption.exists(_ > 0),
         "--limit requires a positive integer")
-      (Some(args(i + 1).toInt), args.patch(i, Nil, 2))
+      limit = Some(rest(i + 1).toInt)
+      rest = rest.patch(i, Nil, 2)
+      i = rest.indexOf("--limit")
     }
+    (limit, rest)
   }
 
   private def capped[T](ds: org.apache.spark.sql.Dataset[T],
@@ -93,7 +99,28 @@ object Main {
     dispatch(args, limit)
   }
 
-  private def dispatch(args: Array[String], limit: Option[Int]): Unit = args.headOption match {
+  /** Minimum argv length (verb included) per verb: a missing operand
+    * falls through to the usage message instead of surfacing as an
+    * ArrayIndexOutOfBoundsException from args(i).
+    */
+  private val minArgs = Map(
+    "run" -> 3, "stream" -> 4, "mlm" -> 3, "compact" -> 2, "dict" -> 3,
+    "lookup" -> 3, "serve" -> 1, "status" -> 2, "verify" -> 3,
+    "bench" -> 1, "cv" -> 2)
+
+  private def usage(): Nothing = {
+    System.err.println("usage: graft.Main run|stream|mlm|compact|dict|lookup|cv|serve|verify|bench|status ... [--limit N]")
+    sys.exit(2)
+  }
+
+  private def dispatch(args: Array[String], limit: Option[Int]): Unit = {
+    args.headOption.foreach { verb =>
+      if (minArgs.get(verb).exists(args.length < _)) usage()
+    }
+    dispatchChecked(args, limit)
+  }
+
+  private def dispatchChecked(args: Array[String], limit: Option[Int]): Unit = args.headOption match {
     case Some("run") =>
       val spark = session("graft-kg-run")
       import spark.implicits._
@@ -231,10 +258,47 @@ object Main {
       }
       spark.stop()
 
+    case Some("cv") =>
+      // cv <outDir> [nSents] [k] — grouped k-fold cross-validation over
+      // the synthetic GT relation (the reference's GroupKFold run,
+      // models/bert.py:440-500): per fold, re-tag to CV-TRAIN/CV-TEST,
+      // run the production detect stage (gazetteer tagger) on the TEST
+      // sentences, and score span-level P/R/F1 against gold; the
+      // per-fold metric frames are concatenated with a `split` key —
+      // the eval_results-shaped table of bert.py:489-500.
+      val spark = session("graft-cv")
+      import spark.implicits._
+      val outDir = args(1)
+      val nSents = if (args.length > 2) args(2).toLong else 300L
+      val k = if (args.length > 3) args(3).toInt else 5
+      val gt = capped(CorpusGen.gtTokens(spark, nSents, parts = 8), limit)
+      val results = graft.eval.CrossVal.run(spark, gt, k) { (fold, _) =>
+        val test = fold.toDF()
+          .where(org.apache.spark.sql.functions.col("dataset") === "CV-TEST")
+          .as[graft.model.GtToken]
+        val sents = graft.etl.Assembly.sentences(spark, test)
+        val pred = KgPipeline.detectMentions(spark, sents,
+          new graft.tag.GazetteerTagger(KgPipeline.defaultGazetteer))
+        val gold = sents.flatMap(sn =>
+          graft.decode.Decode.mentionsOf(sn.guid, sn.words, sn.tags))
+          .map(m => graft.model.GoldMention(m.doc_id, m.span_offset,
+            m.sentence_idx, m.start_word, m.end_word, m.surface,
+            m.entity_type, "E"))
+        graft.eval.SpanMetrics.evaluateMentions(spark, pred, gold).toDF()
+      }.orderBy("split", "slot")
+      results.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(outDir)
+      spark.read.parquet(outDir).orderBy("split", "slot").collect()
+        .foreach { r =>
+          println(f"fold ${r.getAs[Int]("split")}%d ${r.getAs[String]("slot")}%-5s " +
+            f"p=${r.getAs[Double]("precision")}%.4f r=${r.getAs[Double]("recall")}%.4f " +
+            f"f1=${r.getAs[Double]("f1")}%.4f tp=${r.getAs[Long]("tp")}%d " +
+            f"fp=${r.getAs[Long]("fp")}%d fn=${r.getAs[Long]("fn")}%d")
+        }
+      spark.stop()
+
     case Some("verify") => Verify.main(args.drop(1))
     case Some("bench") => Bench.main(Array.empty)
-    case _ =>
-      System.err.println("usage: graft.Main run|stream|mlm|compact|dict|lookup|serve|verify|bench|status ... [--limit N]")
-      sys.exit(2)
+    case _ => usage()
   }
 }

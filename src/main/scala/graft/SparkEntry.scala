@@ -27,9 +27,19 @@ object SparkEntry {
     sys.props.get("graft.limit").fold(df)(n => df.limit(n.toInt))
   }
 
-  /** q101's per-JVM store root (built+compacted once, lookups repeat). */
-  private val q101Store =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
+  /** q101's per-JVM store root (built+compacted once, lookups repeat).
+    * Guarded by a plain lock, NOT AtomicReference.updateAndGet: the
+    * update function of a CAS loop may run more than once under
+    * contention, and this one has side effects (store build + temp
+    * dir) that must happen exactly once.
+    */
+  private val q101Lock = new Object
+  @volatile private var q101Root: String = null
+
+  private def q101StoreRoot(build: () => String): String = q101Lock.synchronized {
+    if (q101Root == null) q101Root = build()
+    q101Root
+  }
 
   /** Flagship: the end-to-end KG construction pipeline on a generated
     * interleaved corpus (BASELINE.json north rule). Driver smoke-checks
@@ -696,19 +706,16 @@ object SparkEntry {
       // goldens): the query under test is the LOOKUP over a compacted
       // store — a bench iterating this entry must measure the read
       // path, not re-pay the store build every round
-      val root = q101Store.updateAndGet { r =>
-        if (r != null) r
-        else {
-          val dir0 = java.nio.file.Files
-            .createTempDirectory("graft_subj_lookup_q").toString
-          val docs = CorpusGen.docs(s, 500, parts = 8)
-          graft.store.LineageStore.runResumable(s, dir0, "triples", docs,
-            ds => KgPipeline.run(s, ds, CorpusGen.aliases(s)),
-            KgPipeline.Config().buckets, "q101")
-          graft.store.LineageStore.compactTriples(s, dir0,
-            rowGroupBytes = Some(16L * 1024))
-          dir0
-        }
+      val root = q101StoreRoot { () =>
+        val dir0 = java.nio.file.Files
+          .createTempDirectory("graft_subj_lookup_q").toString
+        val docs = CorpusGen.docs(s, 500, parts = 8)
+        graft.store.LineageStore.runResumable(s, dir0, "triples", docs,
+          ds => KgPipeline.run(s, ds, CorpusGen.aliases(s)),
+          KgPipeline.Config().buckets, "q101")
+        graft.store.LineageStore.compactTriples(s, dir0,
+          rowGroupBytes = Some(16L * 1024))
+        dir0
       }
       val subj = graft.store.LineageStore.readTriples(s, root)
         .toDF().agg(min("subj")).head.getString(0)

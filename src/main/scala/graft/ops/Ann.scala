@@ -407,15 +407,17 @@ object Ann {
         .toDF("q_id", "rank", "nn_id", "adc_dist")
     }
     val d = head(0)._2.length
-    require(d % m == 0, s"embedding dim $d is not divisible by m=$m subspaces")
-    val sd = d / m
-    // per-subspace codebooks — m tiny trainings over subvector slices
-    // (each round is one partial-aggregation pass, like the IVF trainer)
-    val books: IndexedSeq[Seq[(Int, Array[Long])]] = (0 until m).map { s =>
-      Kmeans.trainQuantizedCentroids(
-        q.map { case (id, v) => (id, v.slice(s * sd, s * sd + sd)) },
-        k, updates)
+    if (d % m != 0) {
+      q.unpersist() // don't leak the cached quantized set on misconfig
+      throw new IllegalArgumentException(
+        s"embedding dim $d is not divisible by m=$m subspaces")
     }
+    val sd = d / m
+    // per-subspace codebooks — ALL m books trained in one pass per
+    // round, keyed by (subspace, cell) ([[Kmeans.trainQuantizedBooks]]);
+    // bit-identical to m sequential slice trainings at 1/m the scans
+    val books: IndexedSeq[Seq[(Int, Array[Long])]] =
+      Kmeans.trainQuantizedBooks(q, m, k, updates)
     val bcBooks = spark.sparkContext.broadcast(books)
     // encode: vector → m codes; reused by every query, so cut once
     val codes = q.map { case (id, v) =>
@@ -497,7 +499,11 @@ object Ann {
         .toDF("q_id", "rank", "nn_id", "cell", "adc_dist")
     }
     val d = qhead(0)._2.length
-    require(d % m == 0, s"embedding dim $d is not divisible by m=$m subspaces")
+    if (d % m != 0) {
+      q.unpersist() // don't leak the cached quantized set on misconfig
+      throw new IllegalArgumentException(
+        s"embedding dim $d is not divisible by m=$m subspaces")
+    }
     val sd = d / m
     // coarse quantizer + per-vector (cell, residual) — one broadcast map
     val cents = Kmeans.trainQuantizedCentroids(q, kc, updates)
@@ -509,12 +515,12 @@ object Ann {
       val cv = bcCMap.value(cell) // O(1) — kc can be thousands at scale
       (id, cell, Array.tabulate(d)(i => v(i) - cv(i)))
     }.persist()
-    // per-subspace PQ books trained on RESIDUAL slices
-    val books: IndexedSeq[Seq[(Int, Array[Long])]] = (0 until m).map { s =>
-      Kmeans.trainQuantizedCentroids(
-        resid.map { case (id, _, r) => (id, r.slice(s * sd, s * sd + sd)) },
-        k, updates)
-    }
+    // per-subspace PQ books trained on RESIDUALS — all m books in one
+    // pass per round keyed by (subspace, cell), not m sequential scans
+    // of the persisted residual set ([[Kmeans.trainQuantizedBooks]])
+    val books: IndexedSeq[Seq[(Int, Array[Long])]] =
+      Kmeans.trainQuantizedBooks(
+        resid.map { case (id, _, r) => (id, r) }, m, k, updates)
     val bcB = spark.sparkContext.broadcast(books)
     // the code index: (cell, m codes) per vector — all the scan reads
     val codes = resid.map { case (id, cell, r) =>

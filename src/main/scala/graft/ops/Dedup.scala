@@ -490,6 +490,7 @@ object Dedup {
                        root: String, batchId: Long, docs: DataFrame,
                        bands: Int = 4, rows: Int = 2): DataFrame = {
     val b = minhashBands(docs, bands, rows).localCheckpoint()
+    nearDupRecover(spark, root) // heal a compaction killed mid-swap
     val seenBefore: Option[DataFrame] =
       if (graft.store.Fs.exists(spark, nearDupPath(root)))
         Some(spark.read.parquet(nearDupPath(root))
@@ -539,16 +540,23 @@ object Dedup {
     *    a batch that later replays would let the replay see its own
     *    bands as prior state and drop every doc.
     *
-    * Crash-safe without renames because band-key state is a SET under a
-    * semi join: the merged write is job-atomic (dynamic overwrite of
-    * partition -1 only — a superset of any previous -1 content), and a
-    * crash between the per-partition deletes merely leaves rows
-    * duplicated between -1 and not-yet-deleted partitions, which a
-    * rerun converges. Returns (partitions before, partitions after).
+    * Crash-safe via the [[graft.store.LineageStore.compactTriples]]
+    * rename pattern, NOT an in-place overwrite of batch=-1: a
+    * RE-compaction that rewrote -1 in place would, inside the
+    * overwrite's commit window (old -1 files deleted, staged files not
+    * yet moved), be the only copy of previously-compacted band keys —
+    * a crash there silently weakens the gate. Instead the merged set is
+    * written to a sibling staging dir, the old -1 is moved aside, the
+    * staging renamed in, and only then are the merged per-batch
+    * partitions deleted — at every instant a complete copy of every
+    * band key exists on storage ([[nearDupRecover]] rolls the only
+    * rename gap forward/back; gate reads invoke it at state-open).
+    * Returns (partitions before, partitions after).
     */
   def nearDupCompact(spark: org.apache.spark.sql.SparkSession,
                      root: String, beforeBatch: Long): (Long, Long) = {
     val path = nearDupPath(root)
+    nearDupRecover(spark, root) // heal a prior interrupted compaction
     if (!graft.store.Fs.exists(spark, path)) return (0L, 0L)
     def ids(): Seq[Long] = spark.read.parquet(path)
       .select("batch").distinct().collect()
@@ -556,21 +564,65 @@ object Dedup {
     val before = ids()
     val toMerge = before.filter(_ < beforeBatch)
     if (toMerge.size < 2) return (before.size.toLong, before.size.toLong)
-    graft.store.LineageStore.withDynamicOverwrite(spark) {
-      spark.read.parquet(path)
-        .where(col("batch") < beforeBatch)
-        .select(col("band"), col("band_key")).distinct()
-        .withColumn("batch", lit(-1L))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("batch")
-        .parquet(path)
-    }
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpP = new org.apache.hadoop.fs.Path(nearDupTmp(root))
+    val oldP = new org.apache.hadoop.fs.Path(nearDupOld(root))
+    val livP = new org.apache.hadoop.fs.Path(s"$path/batch=-1")
+    // stage the merged set OUTSIDE the partitioned dir (reads never see
+    // it); plain parquet files — the dir name supplies batch=-1 on read
+    spark.read.parquet(path)
+      .where(col("batch") < beforeBatch)
+      .select(col("band"), col("band_key")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmpP.toString)
+    // swap: move old -1 aside (if any), install staging, clean up. The
+    // per-batch source partitions are deleted LAST, so every pre-install
+    // crash leaves complete state and recovery is trivial.
+    if (fs.exists(livP)) require(fs.rename(livP, oldP),
+      s"could not move the live batch=-1 aside ($livP)")
+    require(fs.rename(tmpP, livP),
+      s"could not install the compacted gate state ($tmpP -> $livP)")
+    fs.delete(oldP, true)
     toMerge.filter(_ != -1L).foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/batch=$id"), true)
     }
     (before.size.toLong, ids().size.toLong)
+  }
+
+  private def nearDupTmp(root: String) = s"$root/_neardup__compact_tmp"
+  private def nearDupOld(root: String) = s"$root/_neardup__compact_old"
+
+  /** Roll an interrupted [[nearDupCompact]] forward/back. The only
+    * instant without a live batch=-1 during compaction is between its
+    * two renames; if -1 is missing, reinstall whichever complete copy
+    * exists — the staging (roll forward: it holds the FULL merged set,
+    * including keys whose source partitions were dropped by an earlier
+    * compaction) or the moved-aside original (roll back). When a live
+    * -1 exists, leftover side dirs are redundant (source partitions are
+    * only deleted after install) and are removed. Invoked by
+    * [[nearDupCompact]] and at every gate state read
+    * ([[nearDupGateBatch]]), so any verb heals the state.
+    */
+  def nearDupRecover(spark: org.apache.spark.sql.SparkSession,
+                     root: String): Unit = {
+    val path = nearDupPath(root)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpP = new org.apache.hadoop.fs.Path(nearDupTmp(root))
+    val oldP = new org.apache.hadoop.fs.Path(nearDupOld(root))
+    val livP = new org.apache.hadoop.fs.Path(s"$path/batch=-1")
+    val hadOld = fs.exists(oldP)
+    if ((hadOld || fs.exists(tmpP)) && !fs.exists(livP)) {
+      // -1 existed before (it was moved aside) or a merge was staged:
+      // reinstall the staging if complete, else the original
+      if (fs.exists(tmpP)) require(fs.rename(tmpP, livP),
+        s"recovery: could not roll the compacted gate state forward ($tmpP)")
+      else require(fs.rename(oldP, livP),
+        s"recovery: could not roll the original gate state back ($oldP)")
+    }
+    fs.delete(tmpP, true)
+    fs.delete(oldP, true)
   }
 
   /** The max batch id present in a root's gate state (None when no

@@ -210,6 +210,73 @@ object Kmeans {
     cents
   }
 
+  /** Train all `m` per-subspace PQ codebooks in ONE pass per update
+    * round — the partial aggregation is keyed by (subspace, cell)
+    * inside a single mapPartitions — instead of m sequential
+    * [[trainQuantizedCentroids]] calls over slice datasets (m × updates
+    * corpus scans; at production m = 16-64 that is dozens of scans of
+    * the persisted residual set). Bit-identical per subspace to the
+    * sequential form: the init is the k smallest vec_ids' subvector
+    * slices (one collect serves every subspace), assignment is the same
+    * [[nearest]] (ties to the smaller cell), the update is the same
+    * truncating division over long sums (order-independent), and empty
+    * cells are dropped — asserted against the sequential trainer in
+    * KmeansSpec.
+    */
+  def trainQuantizedBooks(q: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+                          m: Int, k: Int, updates: Int)
+      : IndexedSeq[Seq[(Int, Array[Long])]] = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val headRows = q.orderBy("_1").limit(k).collect()
+    if (headRows.isEmpty) return IndexedSeq.fill(m)(Seq.empty)
+    val d = headRows(0)._2.length
+    require(d % m == 0,
+      s"vector dim $d is not divisible by m=$m subspaces")
+    val sd = d / m
+    var books: IndexedSeq[Seq[(Int, Array[Long])]] = (0 until m).map { s =>
+      headRows.map(_._2.slice(s * sd, s * sd + sd)).zipWithIndex
+        .map { case (v, c) => (c, v) }.toSeq
+    }
+    for (_ <- 1 to updates) {
+      val bc = spark.sparkContext.broadcast(books)
+      val partials = q.mapPartitions { rows =>
+        val bs = bc.value
+        val nSub = bs.length
+        val sums = scala.collection.mutable.Map.empty[(Int, Int), Array[Long]]
+        val counts = scala.collection.mutable.Map.empty[(Int, Int), Long]
+        rows.foreach { case (_, v) =>
+          var s = 0
+          while (s < nSub) {
+            val sl = v.slice(s * sd, s * sd + sd)
+            val (cell, _) = nearest(bs(s), sl)
+            val acc = sums.getOrElseUpdate((s, cell), new Array[Long](sd))
+            var i = 0
+            while (i < sd) { acc(i) += sl(i); i += 1 }
+            counts((s, cell)) = counts.getOrElse((s, cell), 0L) + 1
+            s += 1
+          }
+        }
+        sums.iterator.map { case (key, sm) =>
+          (key._1, key._2, sm, counts(key)) }
+      }.collect()
+      val merged = scala.collection.mutable
+        .Map.empty[(Int, Int), (Array[Long], Long)]
+      partials.foreach { case (s, c, sm, n) =>
+        val (acc, cnt) = merged.getOrElseUpdate((s, c),
+          (new Array[Long](sd), 0L))
+        var i = 0
+        while (i < sd) { acc(i) += sm(i); i += 1 }
+        merged((s, c)) = (acc, cnt + n)
+      }
+      books = (0 until m).map { s =>
+        merged.iterator.filter(_._1._1 == s).toSeq.sortBy(_._1._2)
+          .map { case ((_, c), (sm, n)) => (c, sm.map(_ / n)) }
+      }
+    }
+    books
+  }
+
   /** End-to-end integer IVF ANN: train the quantized coarse quantizer
     * ([[trainQuantizedCentroids]]), assign every vector to its cell,
     * then for each of the `nQueries` smallest-vec_id query vectors rank

@@ -198,6 +198,30 @@ class KmeansSpec extends AnyFunSuite {
     assert(e.count() == 0)
   }
 
+  test("one-pass multi-book PQ trainer is bit-identical to m sequential slice trainings") {
+    val q = graft.ops.Kmeans.quantized(emb).persist()
+    try {
+      for ((m, k, updates) <- Seq((2, 4, 2), (4, 3, 3))) {
+        val onePass = graft.ops.Kmeans.trainQuantizedBooks(q, m, k, updates)
+        val d = q.head()._2.length
+        val sd = d / m
+        val sequential = (0 until m).map { s =>
+          graft.ops.Kmeans.trainQuantizedCentroids(
+            q.map { case (id, v) => (id, v.slice(s * sd, s * sd + sd)) }(
+              org.apache.spark.sql.Encoders.product[(Long, Array[Long])]),
+            k, updates)
+        }
+        assert(onePass.map(_.map { case (c, v) => (c, v.toSeq) }) ==
+          sequential.map(_.map { case (c, v) => (c, v.toSeq) }),
+          s"m=$m k=$k updates=$updates diverged")
+      }
+      // empty input: m empty books, no crash
+      val empty = graft.ops.Kmeans.trainQuantizedBooks(
+        q.filter(_ => false), 2, 4, 2)
+      assert(empty == IndexedSeq(Seq.empty, Seq.empty))
+    } finally q.unpersist()
+  }
+
   test("SQ8: planted recovery, repartition-invariant, degenerate-safe") {
     import spark.implicits._
     // two planted clusters around +1 and -1 with per-vector wiggle well

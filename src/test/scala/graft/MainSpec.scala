@@ -16,6 +16,10 @@ class MainSpec extends AnyFunSuite {
     assert(l1.contains(10) && rest1.toSeq == Seq("run", "gen:100", "/o"))
     val (l2, rest2) = Main.parseLimit(Array("verify", "/sf", "/out", "--limit", "3"))
     assert(l2.contains(3) && rest2.toSeq == Seq("verify", "/sf", "/out"))
+    // a REPEATED flag: every pair is stripped, the last value wins
+    val (l3, rest3) = Main.parseLimit(
+      Array("run", "--limit", "5", "gen:100", "--limit", "9", "/o"))
+    assert(l3.contains(9) && rest3.toSeq == Seq("run", "gen:100", "/o"))
     assertThrows[IllegalArgumentException](Main.parseLimit(Array("run", "--limit")))
     assertThrows[IllegalArgumentException](
       Main.parseLimit(Array("run", "--limit", "zero")))

@@ -262,6 +262,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(pa2 == 2L, s"$pb2 -> $pa2") // {-1,2,3} -> {-1,3}
   }
 
+  test("gate compaction killed mid-swap recovers without losing band keys") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_neardup_rec").toString
+    val docs = spark.range(0, 30).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0,
+          concat(lit("alpha beta gamma delta shared text nr "), col("id") % 5))
+        .otherwise(concat(lit("unique words for document number "), col("id"),
+          lit(" tail"))).as("text"))
+      .localCheckpoint()
+    Seq(0L -> docs.where($"doc_id" < 10),
+        1L -> docs.where($"doc_id" >= 10 && $"doc_id" < 20),
+        2L -> docs.where($"doc_id" >= 20)).foreach { case (id, b) =>
+      graft.ops.Dedup.nearDupGateBatch(spark, root, id, b).count()
+    }
+    // compact once: -1 now holds keys whose SOURCE partitions are gone —
+    // the rows a crashed in-place re-compaction would have lost
+    graft.ops.Dedup.nearDupCompact(spark, root, 2L)
+    val statePath = s"$root/_neardup"
+    val keysBefore = spark.read.parquet(statePath)
+      .select("band", "band_key").distinct().count()
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // simulate a re-compaction crash BETWEEN the two renames: staging
+    // written (full merged set), live -1 moved aside, install not done
+    spark.read.parquet(s"$statePath/batch=-1")
+      .write.parquet(s"$root/_neardup__compact_tmp")
+    assert(fs.rename(p(s"$statePath/batch=-1"), p(s"$root/_neardup__compact_old")))
+    // the next gate read heals the gap (rolls the staging forward) and
+    // sees every band key
+    val next = docs.select(($"doc_id" + 30).as("doc_id"), $"text")
+    graft.ops.Dedup.nearDupGateBatch(spark, root, 3L, next).count()
+    val keysAfter = spark.read.parquet(statePath)
+      .where($"batch" < 3L).select("band", "band_key").distinct().count()
+    assert(keysAfter == keysBefore, s"lost keys: $keysBefore -> $keysAfter")
+    assert(!fs.exists(p(s"$root/_neardup__compact_tmp")))
+    assert(!fs.exists(p(s"$root/_neardup__compact_old")))
+    // rollback window too: -1 moved aside, NO staging → recover restores it
+    assert(fs.rename(p(s"$statePath/batch=-1"), p(s"$root/_neardup__compact_old")))
+    graft.ops.Dedup.nearDupRecover(spark, root)
+    val keysRolled = spark.read.parquet(statePath)
+      .where($"batch" < 3L).select("band", "band_key").distinct().count()
+    assert(keysRolled == keysBefore)
+  }
+
   test("streaming windowed aggregation with watermark (events)") {
     // stream source must be a directory
     val evDir = Files.createTempDirectory("graft_events").toString
