@@ -160,16 +160,12 @@ object ScalingBench {
       spark.conf.set("spark.sql.shuffle.partitions", "256")
       val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
         "setsim" -> (() => graft.ops.Dedup.setSimJoinPrefix(docs, 700000L)),
-        // the documented hot-key mitigation, measured: exact dedup first
-        // collapses every exact-dup family to its keeper, so the
-        // quadratic per-family candidate blowup never reaches the
-        // set-sim join (Dedup.setSimJoinPrefix doc caveat)
-        "setsim_dedup_first" -> (() => {
-          val keep = graft.ops.Dedup.exact(docs)
-            .select(col("keep_doc_id").as("doc_id"))
-          graft.ops.Dedup.setSimJoinPrefix(
-            docs.join(keep, Seq("doc_id"), "left_semi"), 700000L)
-        }),
+        // the hot-key mitigation as an OPERATOR (round-7): exact dedup →
+        // keeper-only prefix join → family expansion, pair set equal to
+        // the raw join's (q104 oracle) — the composition that removes
+        // setsim's only super-linear regime
+        "setsim_dedup_first" -> (() =>
+          graft.ops.Dedup.setSimJoinDedupFirst(docs, 700000L)),
         "dupspans" -> (() => graft.ops.Dedup.duplicateSpanCoverage(docs)),
         "novelty" -> (() => graft.ops.TextOps.ngramNovelty(docs)),
         "gate" -> (() => graft.ops.Dedup.nearDupGate(docs)))

@@ -541,6 +541,20 @@ object SparkEntry {
       graft.ops.Dedup.setSimJoinPrefix(t(s, dir, "documents"),
           tPpm = 700000L)
         .orderBy("doc_a", "doc_b")),
+    // ---- dedup-first set-similarity join: exact-dup families collapse
+    //      to keepers BEFORE the prefix join, results expand back to
+    //      members — pair set must equal the naive all-pairs join over
+    //      the replicated corpus (every third doc gets an exact copy:
+    //      intra-family, cross-family and rep-pair paths all exercised) ----
+    "q104_setsim_dedup_first" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val copies = d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+      graft.ops.Dedup.setSimJoinDedupFirst(d.unionByName(copies),
+          tPpm = 700000L)
+        .orderBy("doc_a", "doc_b")
+    }),
     // ---- one BPE-trainer step: top-k adjacent char-pair merges over
     //      the word-frequency table ----
     "q74_bpe_merges" -> ((s, dir) =>
@@ -1760,6 +1774,29 @@ object SparkEntry {
         |ORDER BY a, b""".stripMargin,
     "q73_setsim_prefix" ->
       """WITH w AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
+        |     i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS g FROM w),
+        | sz AS (SELECT doc_id, count(*)::BIGINT AS s FROM sh GROUP BY 1),
+        | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   count(*)::BIGINT AS i
+        |   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | ((1000000::BIGINT * i) // (sa.s + sb.s - i))::BIGINT AS jacc_ppm
+        |FROM inter JOIN sz sa ON sa.doc_id = doc_a
+        |           JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE 1000000 * i >= 700000 * (sa.s + sb.s - i)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // the oracle is the NAIVE all-pairs join over the replicated corpus —
+    // the dedup-first composition must lose and invent nothing
+    "q104_setsim_dedup_first" ->
+      """WITH corpus AS (
+        |   SELECT doc_id::BIGINT AS doc_id, text FROM documents
+        |   UNION ALL
+        |   SELECT (doc_id + 1000000000)::BIGINT, text FROM documents
+        |   WHERE doc_id % 3 = 0),
+        | w AS (SELECT doc_id, str_split(text,' ') AS ws FROM corpus),
         | sh AS (SELECT DISTINCT doc_id,
         |   unnest(list_transform(range(1, greatest(len(ws)-2,0)+1),
         |     i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS g FROM w),

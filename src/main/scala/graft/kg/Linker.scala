@@ -320,6 +320,21 @@ object Linker {
   def linkContextual(spark: SparkSession, m: DataFrame,
                      aliases: Dataset[Alias],
                      canon: Option[DataFrame] = None): DataFrame = {
+    val cands = ctxCandidates(aliases, canon)
+    val joined = m.join(cands, Seq("surface_norm")) // inner: OOV drops,
+      // same semantics as every other link path
+    ctxPick(joined, m.columns.toIndexedSeq)
+  }
+
+  /** The dictionary side of contextual linking: one array row per
+    * surface — every candidate (canonicalized `entity_id`, the raw id
+    * for tie-breaks, prior, declared type) plus the canonical-entity
+    * ambiguity count (n_ents == 1 ⇒ mentions of this surface anchor).
+    * O(dictionary); shared by [[linkContextual]] and
+    * [[linkContextualSalted]].
+    */
+  private def ctxCandidates(aliases: Dataset[Alias],
+                            canon: Option[DataFrame]): DataFrame = {
     val aliasC = canon match {
       case Some(c) =>
         aliases.toDF().join(
@@ -328,17 +343,21 @@ object Linker {
           .withColumn("out_id", coalesce(col("canonical_id"), col("entity_id")))
       case None => aliases.toDF().withColumn("out_id", col("entity_id"))
     }
-    // one array row per surface: every candidate + the canonical-entity
-    // ambiguity count (n_ents == 1 ⇒ mentions of this surface anchor)
-    val cands = aliasC.groupBy("surface_norm")
+    aliasC.groupBy("surface_norm")
       .agg(
         collect_list(struct(
           col("out_id").as("entity_id"), col("prior"),
           col("entity_id").as("raw_id"),
           col("entity_type").as("alias_type"))).as("cands"),
         countDistinct(col("out_id")).as("n_ents"))
-    val joined = m.join(cands, Seq("surface_norm")) // inner: OOV drops,
-      // same semantics as every other link path
+  }
+
+  /** The doc-coherence selection over an already-joined m ⋈ candidates
+    * frame: anchor aggregation (doc-keyed), anchor join-back, and the
+    * per-row lexicographic best-candidate fold. Identical for the plain
+    * and salted join shapes — only the join above differs.
+    */
+  private def ctxPick(joined: DataFrame, mCols: Seq[String]): DataFrame = {
     val anchors = joined.where(col("n_ents") === 1)
       .select(col("doc_id"),
         // n_ents == 1 ⇒ every candidate row shares one out_id
@@ -361,12 +380,55 @@ object Linker {
     val picked = ctx.withColumn("best",
       aggregate(col("cands"), element_at(col("cands"), 1),
         (acc, x) => when(key(x) < key(acc), x).otherwise(acc)))
-    picked.select(m.columns.map(col).toIndexedSeq :+
+    picked.select(mCols.map(col).toIndexedSeq :+
       col("best").getField("entity_id").as("entity_id") :+
       col("best").getField("prior").as("conf") :+
       when(array_contains(col("anchors"),
         col("best").getField("entity_id")), lit(1L)).otherwise(lit(0L))
         .as("ctx_hit"): _*)
+  }
+
+  /** [[linkContextual]] routed through the salted-join machinery — the
+    * past-broadcast-threshold regime: the candidate table's head
+    * surfaces (Zipf skew) are replicated `saltBuckets`× exactly like
+    * [[linkSaltedCarry]]'s scored dictionary ([[explodeSalts]] /
+    * [[mentionSalt]] — one code path, they cannot drift), and the bloom
+    * prune keeps OOV mentions out of the shuffle. Anchor aggregation
+    * and the best-candidate fold are untouched ([[ctxPick]]): the
+    * anchors stay doc-keyed (the detect cache's partitioning), so the
+    * context feature costs no additional corpus-wide shuffle beyond the
+    * salted surface join itself. Result-identical to [[linkContextual]]
+    * (each mention row draws exactly one salt and the dictionary side
+    * carries that salt for its surface — parity asserted in
+    * LinkerCtxSpec; salt keys in the shuffle plan asserted in PlanSpec).
+    */
+  def linkContextualSalted(spark: SparkSession, m: DataFrame,
+                           aliases: Dataset[Alias], saltBuckets: Int = 8,
+                           skewKeys: Option[Seq[String]] = None,
+                           bloomPrune: Boolean = true,
+                           bloomBits: Option[Array[Long]] = None,
+                           canon: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val mIn =
+      if (!bloomPrune) m
+      else bloomBits match {
+        case Some(bits) =>
+          graft.ops.Bloom.pruneWithBits(m, "surface_norm", bits)
+        case None =>
+          graft.ops.Bloom.prune(m, "surface_norm",
+            aliases.select(col("surface_norm").cast("string")).distinct()
+              .as[String])
+      }
+    val skew = skewKeys.getOrElse(inferSkewKeysNorm(spark, mIn))
+    val skewArr = skewArray(skew)
+    // candidate table materialized once (dictionary-sized ×
+    // salts-on-heads): both the join and — through it — the anchor
+    // aggregation consume it
+    val cands = explodeSalts(ctxCandidates(aliases, canon), skewArr,
+      saltBuckets).localCheckpoint()
+    val salted = mIn.withColumn("salt", mentionSalt(skewArr, saltBuckets))
+    val joined = salted.join(cands, Seq("surface_norm", "salt")).drop("salt")
+    ctxPick(joined, m.columns.toIndexedSeq)
   }
 
   /** [[inferSkewKeys]] over a pre-normalized mention projection. */

@@ -381,6 +381,73 @@ object Dedup {
         expr("(1000000L * inter) div (s_a + s_b - inter)").as("jacc_ppm"))
   }
 
+  /** [[setSimJoinPrefix]] with the exact-duplicate pre-pass FOLDED INTO
+    * THE OPERATOR — the hot-family composition a replicated corpus
+    * needs. `setSimJoinPrefix` is lossless but pays the intrinsic
+    * ~|family|²/2 candidate pairs when the corpus carries exact-dup
+    * families (every member shares every prefix token): measured 13× on
+    * 16×-replicated families (BENCH/DEDUP_SF1.md) when exact dedup runs
+    * first. This operator makes that pipeline discipline structural:
+    *
+    *  1. exact dedup ([[exact]]): one hash aggregation groups identical
+    *     texts into families (keeper = min doc_id);
+    *  2. the prefix join runs over the KEEPERS ONLY — the quadratic
+    *     blowup never reaches it;
+    *  3. the result is expanded back to members: identical texts have
+    *     identical shingle sets, so a representative pair (ra, rb, j)
+    *     implies (a, b, j) for every a ∈ fam(ra), b ∈ fam(rb), and every
+    *     intra-family pair scores exactly 10^6 ppm (sets equal) — both
+    *     expansions are equi-joins against the family map, an
+    *     O(output) fan-out.
+    *
+    * The pair set is IDENTICAL to `setSimJoinPrefix` over the full
+    * corpus (oracled value-for-value by q104 against the naive
+    * all-pairs join on a replicated table; equivalence property in
+    * OpsSpec). Intra-family pairs exist only for docs that shingle at
+    * all (< 3 words ⇒ empty set ⇒ the naive join emits nothing), and
+    * only when tPpm ≤ 10^6.
+    *
+    * Scale shape: adds ONE content-hash aggregation and two
+    * output-sized equi-joins to the prefix join's plan — and removes
+    * its only super-linear regime.
+    */
+  def setSimJoinDedupFirst(docs: DataFrame, tPpm: Long = 700000L): DataFrame = {
+    val withHash = docs.select(col("doc_id"), col("text"),
+      md5(col("text")).as("content_hash"))
+    val keepers = withHash.groupBy("content_hash")
+      .agg(min("doc_id").as("rep"))
+    // family map: doc → representative (+ does-it-shingle flag, constant
+    // within a family); reused by the rep filter and both expansions
+    val members = withHash
+      .select(col("content_hash"), col("doc_id"),
+        (size(split(col("text"), " ")) >= 3).as("has_sh"))
+      .join(keepers, "content_hash")
+      .select(col("doc_id"), col("rep"), col("has_sh"))
+      .localCheckpoint()
+    val reps = docs.join(
+      members.where(col("doc_id") === col("rep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val repPairs = setSimJoinPrefix(reps, tPpm)
+    // cross-family expansion: every member pair inherits its reps' score
+    // (families are disjoint, so no pair is emitted twice)
+    val cross = repPairs
+      .join(members.select(col("rep").as("doc_a"), col("doc_id").as("a")),
+        "doc_a")
+      .join(members.select(col("rep").as("doc_b"), col("doc_id").as("b")),
+        "doc_b")
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("jacc_ppm"))
+    if (tPpm > 1000000L) cross
+    else {
+      val m = members.where(col("has_sh"))
+      val intra = m.as("x").join(m.as("y"),
+          col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(1000000L).as("jacc_ppm"))
+      cross.unionByName(intra)
+    }
+  }
+
   /** Embedding-cosine near-duplicates among a bounded candidate window
     * (same label — the pre-clustered analog of an LSH bucket). Cosine
     * runs through the native codegen'd kernel ([[Cosine6Expr]]).

@@ -38,7 +38,18 @@ object KgPipeline {
       // O(dictionary) canon+scoring slice per run — the amortization
       // every micro-batch / repeated job over the same dictionary
       // snapshot relies on at scale
-      dictStore: Option[String] = None)
+      dictStore: Option[String] = None,
+      // opt-in CONTEXT-AWARE linking on the salted path: the mention ↔
+      // candidate join runs through Linker.linkContextualSalted — same
+      // salt/bloom machinery, candidate scoring gains the co-mention
+      // anchor feature between type match and prior. Output is
+      // identical to the prior-only path whenever no surface is
+      // ambiguous after canonicalization (golden parity in
+      // PipelineSpec); the candidate table is built inline per run
+      // (the scored-dict store amortizes the PRIOR-ONLY table — a
+      // deployment running contextual steadily would materialize the
+      // ctx candidate table in the DictStore the same way)
+      contextualLink: Boolean = false)
 
   /** Build the standard tagger/encoder pair over the built-in vocab and
     * the generator's gazetteer (normalized surface → type).
@@ -394,9 +405,21 @@ object KgPipeline {
         val joinIn = mentionSide
           .unionByName(endpoint("s", "subj_norm", "subj_type"))
           .unionByName(endpoint("o", "obj_norm", "obj_type"))
-        val linked = Linker.linkSaltedCarry(spark, joinIn, aliases,
-          cfg.saltBuckets, Some(skew), bloomBits = ctx.flatMap(_.bloomBits),
-          canon = canonOpt, scored = scoredOpt)
+        val linked =
+          if (cfg.contextualLink) {
+            // contextual needs the raw candidate lists + the canon map
+            // (the scored table pre-collapses candidates); endpoints are
+            // genuine doc mentions, so they both contribute to and
+            // benefit from the anchor set
+            val canonCtx = canonOpt.getOrElse(graft.kg.ConnectedComponents
+              .canonicalMap(spark, aliases.toDF()))
+            Linker.linkContextualSalted(spark, joinIn, aliases,
+                cfg.saltBuckets, Some(skew),
+                bloomBits = ctx.flatMap(_.bloomBits), canon = Some(canonCtx))
+              .drop("ctx_hit")
+          } else Linker.linkSaltedCarry(spark, joinIn, aliases,
+            cfg.saltBuckets, Some(skew), bloomBits = ctx.flatMap(_.bloomBits),
+            canon = canonOpt, scored = scoredOpt)
         val mUnits = linked.where(col("role") === "m")
           .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
             col("entity_id"), col("conf"))

@@ -967,6 +967,38 @@ class SetSimJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got.values.exists(_ == 1000000L))
     assert(got.values.exists(v => v < 1000000L && v >= tPpm))
   }
+
+  test("setSimJoinDedupFirst emits the exact pair set of the raw prefix join") {
+    import org.apache.spark.sql.functions._
+    // reuse the dup-family corpus above + a THIRD exact copy of some
+    // bases (families of size 3) + shingle-less shorties (exact dups
+    // under 3 words must produce NO pair — the naive join sees no gram)
+    val vocab = Vector("rot", "blau", "gelb", "gruen", "weiss", "braun")
+    def text(seed: Int, mut: Boolean) = {
+      val ws = (0 until 8).map(i => vocab((seed * 7 + i * 3) % vocab.size))
+      val ws2 = if (mut) ws.updated(7, vocab((seed + 1) % vocab.size)) else ws
+      ws2.mkString(" ")
+    }
+    val docs = ((0 until 10).flatMap { s =>
+      Seq((s * 4L, text(s, false)), (s * 4L + 1, text(s, false)),
+        (s * 4L + 2, text(s, true))) ++
+        (if (s % 2 == 0) Seq((s * 4L + 3, text(s, false))) else Nil)
+    } ++ Seq((97L, "zu kurz"), (98L, "zu kurz"), (99L, "x")))
+      .toDF("doc_id", "text").repartition(5)
+    for (tPpm <- Seq(600000L, 1000000L)) {
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val raw = pairs(graft.ops.Dedup.setSimJoinPrefix(docs, tPpm))
+      val folded = pairs(graft.ops.Dedup.setSimJoinDedupFirst(docs, tPpm))
+      assert(folded == raw && raw.nonEmpty, s"tPpm=$tPpm: " +
+        s"missing=${(raw.keySet -- folded.keySet).take(5)} " +
+        s"extra=${(folded.keySet -- raw.keySet).take(5)}")
+      // the shingle-less exact dups never pair
+      assert(!folded.keySet.exists { case (a, b) => a >= 97L || b >= 97L })
+    }
+    // degenerate threshold above 10^6: no pair can qualify
+    assert(graft.ops.Dedup.setSimJoinDedupFirst(docs, 1000001L).count() == 0)
+  }
 }
 
 /** MinHash family on a STRING-keyed corpus (the KG doc table shape) —

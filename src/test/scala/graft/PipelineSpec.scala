@@ -156,6 +156,25 @@ class PipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("contextual linking stage: golden parity context-on vs context-off") {
+    // the generator's dictionary has no post-canonicalization ambiguity
+    // (shared surfaces merge under CC), so the co-mention feature must
+    // change NOTHING on the golden corpus — the prior-only ordering is
+    // the degenerate case of the contextual key (flip behavior itself is
+    // exercised on the planted ctx fixture in LinkerCtxSpec)
+    val docs = CorpusGen.docs(spark, N, parts = 4)
+    val aliases = CorpusGen.aliases(spark)
+    def rows(cfg: KgPipeline.Config) =
+      KgPipeline.run(spark, docs, aliases, cfg = cfg, ctx = None)
+        .map(t => (t.subj, t.pred, t.obj, t.doc_id, t.conf,
+          t.span_offset, t.sentence_idx)).collect().toSet
+    val ctxOn = rows(KgPipeline.Config(broadcastLink = false,
+      contextualLink = true))
+    val ctxOff = rows(KgPipeline.Config(broadcastLink = false))
+    assert(ctxOn == ctxOff && ctxOff.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("resume: kill-after-partial-commit yields identical final triples") {
     val root = java.nio.file.Files.createTempDirectory("graft_resume").toString
     val docs = CorpusGen.docs(spark, N, parts = 4)
