@@ -77,6 +77,44 @@ object Main {
                         limit: Option[Int]): org.apache.spark.sql.Dataset[T] =
     limit.fold(ds)(ds.limit)
 
+  /** The `cv` verb body: per fold, re-tag the GT to CV-TRAIN/CV-TEST
+    * (GroupKFold over contiguous sentence blocks, bert.py:452-468), run
+    * the production detect stage (gazetteer tagger) on the TEST
+    * sentences, score span-level P/R/F1 against gold, and concatenate
+    * the per-fold metric frames with a `split` key — the
+    * eval_results-shaped table of bert.py:489-500, written to `outDir`
+    * as parquet and printed. Returns the row count (k folds × slots).
+    */
+  def runCv(spark: SparkSession, outDir: String, nSents: Long, k: Int,
+            limit: Option[Int] = None): Long = {
+    import spark.implicits._
+    val gt = capped(CorpusGen.gtTokens(spark, nSents, parts = 8), limit)
+    val results = graft.eval.CrossVal.run(spark, gt, k) { (fold, _) =>
+      val test = fold.toDF()
+        .where(org.apache.spark.sql.functions.col("dataset") === "CV-TEST")
+        .as[graft.model.GtToken]
+      val sents = graft.etl.Assembly.sentences(spark, test)
+      val pred = KgPipeline.detectMentions(spark, sents,
+        new graft.tag.GazetteerTagger(KgPipeline.defaultGazetteer))
+      val gold = sents.flatMap(sn =>
+        graft.decode.Decode.mentionsOf(sn.guid, sn.words, sn.tags))
+        .map(m => graft.model.GoldMention(m.doc_id, m.span_offset,
+          m.sentence_idx, m.start_word, m.end_word, m.surface,
+          m.entity_type, "E"))
+      graft.eval.SpanMetrics.evaluateMentions(spark, pred, gold).toDF()
+    }.orderBy("split", "slot")
+    results.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(outDir)
+    val rows = spark.read.parquet(outDir).orderBy("split", "slot").collect()
+    rows.foreach { r =>
+      println(f"fold ${r.getAs[Int]("split")}%d ${r.getAs[String]("slot")}%-5s " +
+        f"p=${r.getAs[Double]("precision")}%.4f r=${r.getAs[Double]("recall")}%.4f " +
+        f"f1=${r.getAs[Double]("f1")}%.4f tp=${r.getAs[Long]("tp")}%d " +
+        f"fp=${r.getAs[Long]("fp")}%d fn=${r.getAs[Long]("fn")}%d")
+    }
+    rows.length.toLong
+  }
+
   /** spark-submit supplies the master; SPARK_MASTER env enables local
     * smoke runs (e.g. SPARK_MASTER=local[8] sbt "runMain graft.Main ...").
     */
@@ -201,13 +239,17 @@ object Main {
       spark.stop()
 
     case Some("lookup") =>
-      // lookup <outRoot> <subject> — the entity-page access path: a
-      // pushed-down point read served by row-group skipping when the
-      // store has been compacted (subj-sorted zone maps). Output is
-      // subject-degree-sized — bounded, safe to print.
+      // lookup <outRoot> <subject> [pred] — the entity-page access
+      // path: a pushed-down point read served by manifest file pruning
+      // + row-group skipping when the store has been compacted
+      // (subj-sorted zone maps); with a predicate, the composite
+      // (subj, pred) read. Output is subject-degree-sized — bounded,
+      // safe to print.
       val spark = session("graft-lookup")
-      val rows = graft.store.LineageStore
-        .lookupBySubject(spark, args(1), args(2))
+      val rows = (if (args.length > 3)
+        graft.store.LineageStore.lookupBySubjectPred(spark, args(1),
+          args(2), args(3))
+      else graft.store.LineageStore.lookupBySubject(spark, args(1), args(2)))
         .collect().sortBy(t => (t.doc_id, t.pred, t.obj))
       rows.foreach(t => println(
         s"${t.subj}\t${t.pred}\t${t.obj}\tdoc=${t.doc_id}\tconf=${t.conf}"))
@@ -261,40 +303,11 @@ object Main {
     case Some("cv") =>
       // cv <outDir> [nSents] [k] — grouped k-fold cross-validation over
       // the synthetic GT relation (the reference's GroupKFold run,
-      // models/bert.py:440-500): per fold, re-tag to CV-TRAIN/CV-TEST,
-      // run the production detect stage (gazetteer tagger) on the TEST
-      // sentences, and score span-level P/R/F1 against gold; the
-      // per-fold metric frames are concatenated with a `split` key —
-      // the eval_results-shaped table of bert.py:489-500.
+      // models/bert.py:440-500); see [[runCv]].
       val spark = session("graft-cv")
-      import spark.implicits._
-      val outDir = args(1)
-      val nSents = if (args.length > 2) args(2).toLong else 300L
-      val k = if (args.length > 3) args(3).toInt else 5
-      val gt = capped(CorpusGen.gtTokens(spark, nSents, parts = 8), limit)
-      val results = graft.eval.CrossVal.run(spark, gt, k) { (fold, _) =>
-        val test = fold.toDF()
-          .where(org.apache.spark.sql.functions.col("dataset") === "CV-TEST")
-          .as[graft.model.GtToken]
-        val sents = graft.etl.Assembly.sentences(spark, test)
-        val pred = KgPipeline.detectMentions(spark, sents,
-          new graft.tag.GazetteerTagger(KgPipeline.defaultGazetteer))
-        val gold = sents.flatMap(sn =>
-          graft.decode.Decode.mentionsOf(sn.guid, sn.words, sn.tags))
-          .map(m => graft.model.GoldMention(m.doc_id, m.span_offset,
-            m.sentence_idx, m.start_word, m.end_word, m.surface,
-            m.entity_type, "E"))
-        graft.eval.SpanMetrics.evaluateMentions(spark, pred, gold).toDF()
-      }.orderBy("split", "slot")
-      results.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(outDir)
-      spark.read.parquet(outDir).orderBy("split", "slot").collect()
-        .foreach { r =>
-          println(f"fold ${r.getAs[Int]("split")}%d ${r.getAs[String]("slot")}%-5s " +
-            f"p=${r.getAs[Double]("precision")}%.4f r=${r.getAs[Double]("recall")}%.4f " +
-            f"f1=${r.getAs[Double]("f1")}%.4f tp=${r.getAs[Long]("tp")}%d " +
-            f"fp=${r.getAs[Long]("fp")}%d fn=${r.getAs[Long]("fn")}%d")
-        }
+      runCv(spark, args(1),
+        if (args.length > 2) args(2).toLong else 300L,
+        if (args.length > 3) args(3).toInt else 5, limit)
       spark.stop()
 
     case Some("verify") => Verify.main(args.drop(1))

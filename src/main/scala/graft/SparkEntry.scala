@@ -41,6 +41,21 @@ object SparkEntry {
     q101Root
   }
 
+  /** The compacted lookup store q101/q105 read: golden corpus → lineage
+    * run → compaction (tiny row groups so pruning has granules to skip).
+    */
+  private def buildLookupStore(s: SparkSession): String = {
+    val dir0 = java.nio.file.Files
+      .createTempDirectory("graft_subj_lookup_q").toString
+    val docs = CorpusGen.docs(s, 500, parts = 8)
+    graft.store.LineageStore.runResumable(s, dir0, "triples", docs,
+      ds => KgPipeline.run(s, ds, CorpusGen.aliases(s)),
+      KgPipeline.Config().buckets, "q101")
+    graft.store.LineageStore.compactTriples(s, dir0,
+      rowGroupBytes = Some(16L * 1024), maxRecordsPerFile = Some(128L))
+    dir0
+  }
+
   /** Flagship: the end-to-end KG construction pipeline on a generated
     * interleaved corpus (BASELINE.json north rule). Driver smoke-checks
     * rows > 0.
@@ -720,23 +735,28 @@ object SparkEntry {
       // goldens): the query under test is the LOOKUP over a compacted
       // store — a bench iterating this entry must measure the read
       // path, not re-pay the store build every round
-      val root = q101StoreRoot { () =>
-        val dir0 = java.nio.file.Files
-          .createTempDirectory("graft_subj_lookup_q").toString
-        val docs = CorpusGen.docs(s, 500, parts = 8)
-        graft.store.LineageStore.runResumable(s, dir0, "triples", docs,
-          ds => KgPipeline.run(s, ds, CorpusGen.aliases(s)),
-          KgPipeline.Config().buckets, "q101")
-        graft.store.LineageStore.compactTriples(s, dir0,
-          rowGroupBytes = Some(16L * 1024))
-        dir0
-      }
+      val root = q101StoreRoot(() => buildLookupStore(s))
       val subj = graft.store.LineageStore.readTriples(s, root)
         .toDF().agg(min("subj")).head.getString(0)
       graft.store.LineageStore.lookupBySubject(s, root, subj).toDF()
         .select(col("subj"), col("pred"), col("obj"), col("doc_id"),
           col("bucket").cast("long").as("bucket"), col("conf"))
         .orderBy("doc_id", "pred", "obj")
+    }),
+    // ---- (subject, predicate) composite point lookup: manifest FILE
+    //      pruning + (subj, pred) row-group skipping over the same
+    //      compacted store; value parity vs the golden triples ----
+    "q105_spo_lookup" -> ((s, dir) => {
+      graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
+      val root = q101StoreRoot(() => buildLookupStore(s))
+      val subj = graft.store.LineageStore.readTriples(s, root)
+        .toDF().agg(min("subj")).head.getString(0)
+      val pred = graft.store.LineageStore.lookupBySubject(s, root, subj)
+        .toDF().agg(min("pred")).head.getString(0)
+      graft.store.LineageStore.lookupBySubjectPred(s, root, subj, pred).toDF()
+        .select(col("subj"), col("pred"), col("obj"), col("doc_id"),
+          col("bucket").cast("long").as("bucket"), col("conf"))
+        .orderBy("doc_id", "obj")
     }),
     // ---- RAG/pretraining sliding-window chunking ----
     "q90_chunking" -> ((s, dir) =>
@@ -2346,6 +2366,15 @@ object SparkEntry {
         | m AS (SELECT min(subj) AS s FROM t)
         |SELECT t.* FROM t, m WHERE t.subj = m.s
         |ORDER BY doc_id, pred, obj""".stripMargin,
+    // composite (subj, pred) point read: the min subject's min predicate
+    "q105_spo_lookup" ->
+      s"""WITH t AS (SELECT subj, pred, obj, doc_id,
+        |   CAST(bucket AS BIGINT) AS bucket, conf
+        |  FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')),
+        | m AS (SELECT min(subj) AS s FROM t),
+        | p AS (SELECT min(pred) AS p FROM t, m WHERE t.subj = m.s)
+        |SELECT t.* FROM t, m, p WHERE t.subj = m.s AND t.pred = p.p
+        |ORDER BY doc_id, obj""".stripMargin,
     "q99_sq8_ann" ->
       """WITH mx AS (SELECT max(abs(CAST(e AS DOUBLE))) AS m FROM (
         |   SELECT unnest(embedding) AS e FROM embeddings)),

@@ -14,6 +14,26 @@ object Fs {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Recursive listing of paths RELATIVE to `path` (e.g.
+    * "bucket=3/part-…parquet") — DFS-safe. Base names ALONE are not
+    * unique across partition dirs: one task writing several partitions
+    * reuses its part-file name in every partition dir it touches, so
+    * set comparisons must include the partition path.
+    */
+  def listFilesRelative(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val base = fs.makeQualified(p).toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val fp = fs.makeQualified(it.next().getPath).toString
+      out += fp.stripPrefix(base).stripPrefix("/")
+    }
+    out.toSeq
+  }
+
   /** Recursive file listing (names only) — DFS-safe like [[exists]]. */
   def listFiles(spark: SparkSession, path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -153,8 +153,20 @@ object LineageStore {
     * lineage (the resume source of truth) is untouched because no row
     * changes. Returns (files before, files after).
     */
+  /** `maxRecordsPerFile`, when set, splits each bucket's subj-sorted
+    * run into MULTIPLE successive files: the writer cuts the sorted
+    * stream every N records, so sibling files within a bucket cover
+    * DISJOINT subj ranges — which is what makes the file manifest's
+    * min/max actually selective (with one file per bucket, every file
+    * spans the whole subject alphabet because buckets hash doc_ids,
+    * and only row-group pruning can help). At 100 TB this is the
+    * mandatory shape — a bucket partition is terabytes, never one
+    * file; the local default (None → one file per bucket) keeps the
+    * small-file-compaction story.
+    */
   def compactTriples(spark: SparkSession, root: String,
-                     rowGroupBytes: Option[Long] = None): (Long, Long) = {
+                     rowGroupBytes: Option[Long] = None,
+                     maxRecordsPerFile: Option[Long] = None): (Long, Long) = {
     val path = triplesPath(root)
     def dataFiles(): Long = Fs.listFiles(spark, path)
       .count(_.endsWith(".parquet"))
@@ -181,10 +193,15 @@ object LineageStore {
     // StoreLookupSpec).
     val writer = spark.read.parquet(path)
       .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("subj"))
+      // pred as SECONDARY sort under subj: a (subj, pred) composite
+      // lookup ([[lookupBySubjectPred]]) then prunes row groups on BOTH
+      // stats when a hot subject spans groups; the subj-only order (and
+      // q101's hash) is unchanged
+      .sortWithinPartitions(col("bucket"), col("subj"), col("pred"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
-    rowGroupBytes.fold(writer)(b => writer.option("parquet.block.size", b))
+    val w1 = rowGroupBytes.fold(writer)(b => writer.option("parquet.block.size", b))
+    maxRecordsPerFile.fold(w1)(n => w1.option("maxRecordsPerFile", n))
       .parquet(tmp)
     val staged = spark.read.parquet(tmp).count()
     require(staged == expected,
@@ -198,7 +215,82 @@ object LineageStore {
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hp),
       s"could not install the compacted store ($tmp -> $path)")
     fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    writeFileManifest(spark, root)
     (before, dataFiles())
+  }
+
+  def fileManifestPath(root: String) = s"$root/_file_manifest"
+
+  /** Iceberg-style FILE manifest over the compacted store: one row per
+    * data file — (relative path, subj min/max, pred min/max, row
+    * count). [[lookupBySubject]] / [[lookupBySubjectPred]] prune FILES
+    * from this table before any parquet footer is opened — the rung
+    * ABOVE row-group zone maps, and at 100 TB the difference between
+    * reading one manifest and opening 10^5 footers. Written by
+    * [[compactTriples]] after the swap (one extra store read here; a
+    * production writer collects these stats in the commit protocol,
+    * Iceberg-manifest style). A crash between swap and manifest write —
+    * or any later non-compacting commit — leaves the manifest STALE;
+    * lookups detect that (file-set mismatch vs the live listing) and
+    * fall back to the full-path scan, so the manifest is a pure
+    * optimization that can never change results.
+    */
+  private def writeFileManifest(spark: SparkSession, root: String): Unit = {
+    val path = triplesPath(root)
+    spark.read.parquet(path)
+      .groupBy(substring_index(input_file_name(), "/triples/", -1).as("file"))
+      .agg(min(col("subj")).as("subj_min"), max(col("subj")).as("subj_max"),
+        min(col("pred")).as("pred_min"), max(col("pred")).as("pred_max"),
+        count(lit(1)).as("n_rows"))
+      .write.mode(SaveMode.Overwrite).parquet(fileManifestPath(root))
+  }
+
+  /** Data files (paths relative to the triples root) whose manifest
+    * ranges may contain (subj[, pred]) — None when no manifest exists
+    * or it is stale (its file set differs from the live listing):
+    * callers fall back to the full scan. The manifest is O(files) and
+    * tiny next to the store; at lookup time it is the ONLY thing read
+    * before the matched files' footers.
+    */
+  private def manifestPrunedFiles(spark: SparkSession, root: String,
+                                  subj: String, pred: Option[String])
+      : Option[Seq[String]] = {
+    val mp = fileManifestPath(root)
+    if (!Fs.exists(spark, mp)) return None
+    val rows = spark.read.parquet(mp)
+      .select("file", "subj_min", "subj_max", "pred_min", "pred_max")
+      .collect()
+    val live = Fs.listFilesRelative(spark, triplesPath(root))
+      .filter(_.endsWith(".parquet")).toSet
+    // staleness guard on RELATIVE paths (base names repeat across
+    // bucket dirs) — any commit since compaction invalidates the
+    // manifest and drops lookups back to the full scan
+    if (rows.map(_.getString(0)).toSet != live) return None
+    Some(rows.toSeq.filter { r =>
+      subj >= r.getString(1) && subj <= r.getString(2) &&
+        pred.forall(p => p >= r.getString(3) && p <= r.getString(4))
+    }.map(_.getString(0)))
+  }
+
+  /** The store reader for a point lookup: manifest-pruned file list
+    * when available (zero files touched when no range matches), full
+    * path otherwise. basePath keeps the bucket partition column.
+    */
+  private def lookupBase(spark: SparkSession, root: String, subj: String,
+                         pred: Option[String]): org.apache.spark.sql.DataFrame = {
+    val path = triplesPath(root)
+    manifestPrunedFiles(spark, root, subj, pred) match {
+      case Some(files) if files.isEmpty =>
+        // no file can match: answer from the manifest alone — zero
+        // parquet footers opened
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.Encoders.product[Triple].schema)
+      case Some(files) =>
+        spark.read.option("basePath", path)
+          .parquet(files.map(f => s"$path/$f"): _*)
+      case None => spark.read.parquet(path)
+    }
   }
 
   /** Roll an interrupted [[compactTriples]] forward/back: the only
@@ -232,16 +324,45 @@ object LineageStore {
     fs.delete(oldP, true)
   }
 
-  /** Subject point lookup — the entity-page / API access path. A plain
-    * pushed-down equality scan: after [[compactTriples]]'s
-    * sortWithinPartitions(subj), parquet row-group min/max statistics
-    * prune all but ~one group per bucket file (asserted with scan
-    * metrics in StoreLookupSpec), so the lookup cost is O(row group),
-    * not O(store).
+  /** Subject point lookup — the entity-page / API access path. Pruning
+    * rungs, outermost first: (1) FILE pruning from the compaction-time
+    * manifest — non-matching files' footers are never opened (asserted
+    * via inputFiles in StoreLookupSpec); (2) parquet row-group min/max
+    * skipping on the pushed EqualTo within surviving files (the
+    * compacted subj sort); so the lookup cost is O(row group), not
+    * O(store). The OBJ-side path (inbound edges of an entity) is served
+    * today by a full pushed-filter scan on `obj` — obj is unsorted, so
+    * only predicate pushdown applies; the scale answer is an inverted
+    * (obj → subj) twin store written by the same compaction (bucket by
+    * hash(obj), sort by (bucket, obj, pred)) — deliberately not
+    * duplicated here until a consumer needs it.
     */
   def lookupBySubject(spark: SparkSession, root: String,
-                      subj: String): Dataset[Triple] =
-    readTriples(spark, root).filter(col("subj") === subj)
+                      subj: String): Dataset[Triple] = {
+    import spark.implicits._
+    recoverCompaction(spark, root)
+    lookupBase(spark, root, subj, None)
+      .select("subj", "pred", "obj", "doc_id", "bucket", "conf",
+        "span_offset", "sentence_idx")
+      .as[Triple].filter(col("subj") === subj)
+  }
+
+  /** (subject, predicate) composite point lookup — the next consumer
+    * query after the entity page (one property of one entity). Same
+    * pruning rungs as [[lookupBySubject]]: manifest file pruning on
+    * BOTH ranges, then row-group skipping on the compacted
+    * (subj, pred) sort — pred stats prune further when a hot subject
+    * spans row groups.
+    */
+  def lookupBySubjectPred(spark: SparkSession, root: String,
+                          subj: String, pred: String): Dataset[Triple] = {
+    import spark.implicits._
+    recoverCompaction(spark, root)
+    lookupBase(spark, root, subj, Some(pred))
+      .select("subj", "pred", "obj", "doc_id", "bucket", "conf",
+        "span_offset", "sentence_idx")
+      .as[Triple].filter(col("subj") === subj && col("pred") === pred)
+  }
 
   def readTriples(spark: SparkSession, root: String): Dataset[Triple] = {
     import spark.implicits._

@@ -27,6 +27,24 @@ class MainSpec extends AnyFunSuite {
       Main.parseLimit(Array("run", "--limit", "-4")))
   }
 
+  test("cv verb: k folds x (per-type + ALL) metric rows, ALL row per fold") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cv").toString
+    val n = Main.runCv(spark, out, nSents = 120, k = 5)
+    val rows = spark.read.parquet(out).collect()
+    assert(n == rows.length.toLong)
+    val bySplit = rows.groupBy(_.getAs[Int]("split"))
+    assert(bySplit.keySet == (0 until 5).toSet)
+    // every fold carries the ALL row plus at least one per-type row,
+    // and the detect stage actually found spans (tp+fp+fn > 0)
+    bySplit.foreach { case (f, rs) =>
+      val slots = rs.map(_.getAs[String]("slot")).toSet
+      assert(slots.contains("ALL") && slots.size >= 2, s"fold $f: $slots")
+      val all = rs.find(_.getAs[String]("slot") == "ALL").get
+      assert(all.getAs[Long]("tp") + all.getAs[Long]("fp") +
+        all.getAs[Long]("fn") > 0L, s"fold $f empty")
+    }
+  }
+
   test("graft.limit caps every driver-table read (smoke verify/bench)") {
     val sf = "/root/testdata/sf0.001"
     val full = SparkEntry.queries("q02_filter")(spark, sf).count()
