@@ -60,7 +60,8 @@ object Bench {
       "q36_ann_recall", "q46_repetition", "q48_contamination",
       "q53_asof_join", "q60_percentiles", "q61_bloom_prune",
       "q62_kmeans_int", "q63_topk_pruned", "q70_hist_quantile",
-      "q71_fuzzy_tokens", "q73_setsim_prefix", "q74_bpe_merges",
+      "q71_fuzzy_tokens", "q73_setsim_prefix", "q104_setsim_dedup_first",
+      "q74_bpe_merges",
       "q76_snapshot_diff", "q77_salted_join", "q78_range_join",
       "q79_inverted_index", "q80_rollup", "q81_sliding_window",
       "q82_pivot", "q84_exists_subquery", "q85_set_ops",
@@ -132,12 +133,20 @@ object Bench {
     results("kg_pipeline") = kgSec
     val tps = nTriples / kgSec
 
+    // host-regime control (same JVM, same window): every query is also
+    // reported as wall / control so round-over-round movement separates
+    // code from host drift (see CpuProbe)
+    val control = CpuProbe.control(spark)
+
     val total = results.values.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val qsNorm = results.map { case (k, v) =>
+      "\"" + k + "\":" + f"${v / control}%.3f" }.mkString("{", ",", "}")
     val totalS = f"$total%.3f"
     val tpsS = f"$tps%.1f"
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$nDocs,"kg_triples":$nTriples,"triples_per_sec":$tpsS}""")
+    val ctrlS = f"$control%.3f"
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$nDocs,"kg_triples":$nTriples,"triples_per_sec":$tpsS,"control_sec":$ctrlS,"queries_norm":$qsNorm}""")
     spark.stop()
   }
 }

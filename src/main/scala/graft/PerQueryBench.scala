@@ -34,9 +34,12 @@ object PerQueryBench {
         }
         one() // JIT warm-up (C2 needs a full pass)
         val runs = (1 to 3).map(_ => one())
+        // host-regime control AFTER the measured runs, same JVM/window
+        // (CpuProbe): merge reports best/control alongside raw seconds
+        val ctl = CpuProbe.control(spark)
         spark.stop()
         val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-        val json = f"""{"query":"$q","best":${runs.min}%.3f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"cpus":"$cpus","sf":"$sfDir"}"""
+        val json = f"""{"query":"$q","best":${runs.min}%.3f,"runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"control_sec":$ctl%.3f,"cpus":"$cpus","sf":"$sfDir"}"""
         Files.writeString(Paths.get(out), json)
         println(json)
 
@@ -65,8 +68,20 @@ object PerQueryBench {
             case _ => "mixed:" + vs.mkString("|")
           }
         }
+        // per-query regime normalization: best / that JVM's own control
+        val qsNorm = entries.flatMap { e =>
+          for {
+            q <- "\"query\":\"([^\"]+)\"".r.findFirstMatchIn(e).map(_.group(1))
+            best <- "\"best\":([0-9.]+)".r.findFirstMatchIn(e).map(_.group(1).toDouble)
+            ctl <- "\"control_sec\":([0-9.]+)".r.findFirstMatchIn(e).map(_.group(1).toDouble)
+          } yield f""""$q":${best / ctl}%.3f"""
+        }
+        val ctls = entries.flatMap(e => "\"control_sec\":([0-9.]+)".r
+          .findFirstMatchIn(e).map(_.group(1).toDouble)).sorted
+        val ctlMedian =
+          if (ctls.isEmpty) "null" else f"${ctls(ctls.size / 2)}%.3f"
         val json =
-          f"""{"protocol":"fresh JVM per query, 1 warm-up + best-of-3, local[${meta("cpus", "?")}], ${meta("sf", "?")}","total_best":$total%.3f,"queries":{${qs.mkString(",")}},"detail":$detail}"""
+          f"""{"protocol":"fresh JVM per query, 1 warm-up + best-of-3, local[${meta("cpus", "?")}], ${meta("sf", "?")}","total_best":$total%.3f,"control_sec_median":$ctlMedian,"queries":{${qs.mkString(",")}},"queries_norm":{${qsNorm.mkString(",")}},"detail":$detail}"""
         val outP = Paths.get(out)
         if (outP.getParent != null) Files.createDirectories(outP.getParent)
         Files.writeString(outP, json)

@@ -78,8 +78,9 @@ object ScalingBench {
         Bench.kgRun(spark, nDocs, 256, ctx, cfg)
       }
       val (sec, n) = runs.minBy(_._1)
+      val ctl = CpuProbe.control(spark)
       spark.stop()
-      val json = f"""{"cpus":$cpus,"nDocs":$nDocs,"mode":"$mode","sec":$sec%.3f,"triples":$n,"tps":${n / sec}%.1f}"""
+      val json = f"""{"cpus":$cpus,"nDocs":$nDocs,"mode":"$mode","sec":$sec%.3f,"triples":$n,"tps":${n / sec}%.1f,"control_sec":$ctl%.3f}"""
       Files.writeString(Paths.get(out), json)
       println(json)
 
@@ -113,9 +114,10 @@ object ScalingBench {
       one() // JIT warm-up
       val runs2 = (1 to 3).map(_ => one())
       val (sec2, pairs) = runs2.minBy(_._1)
+      val ctl2 = CpuProbe.control(spark)
       spark.stop()
       val json =
-        f"""{"cpus":$cpus,"nDocs":$nDocs,"mode":"setsim","sec":$sec2%.3f,"triples":$pairs,"tps":${nDocs / sec2}%.1f}"""
+        f"""{"cpus":$cpus,"nDocs":$nDocs,"mode":"setsim","sec":$sec2%.3f,"triples":$pairs,"tps":${nDocs / sec2}%.1f,"control_sec":$ctl2%.3f}"""
       Files.writeString(Paths.get(out), json)
       println(json)
 
@@ -191,13 +193,14 @@ object ScalingBench {
         val nBcast = "BroadcastExchange".r.findAllIn(plan).size
         (name, sec, n, keys, nShuffle, nBcast)
       }
+      val ctl3 = CpuProbe.control(spark)
       spark.stop()
       val body = results.map { case (name, sec, n, keys, ns, nb) =>
         val ks = keys.map("\"" + _ + "\"").mkString("[", ",", "]")
         f""""$name":{"sec":$sec%.3f,"rows":$n,"shuffles":$ns,"broadcasts":$nb,"shuffle_keys":$ks}"""
       }.mkString(",")
       val json =
-        s"""{"cpus":$cpus,"nDocs":$nDocs,"replicas":$reps,"mode":"dedupscale",$body}"""
+        f"""{"cpus":$cpus,"nDocs":$nDocs,"replicas":$reps,"mode":"dedupscale","control_sec":$ctl3%.3f,$body}"""
       Files.writeString(Paths.get(out), json)
       println(json)
 
@@ -284,12 +287,81 @@ object ScalingBench {
         sweep("ivf_trained_p2",
           () => Ann.ivfTopKWithCentroids(emb, trained, 5, 2, queryMod)),
         sweep("ivf_trained_p4",
-          () => Ann.ivfTopKWithCentroids(emb, trained, 5, 4, queryMod)))
+          () => Ann.ivfTopKWithCentroids(emb, trained, 5, 4, queryMod)),
+        // the COMPOSED index: coarse cells + residual PQ codes, ranked
+        // by ADC — build AND search inside the timed region (the
+        // composed function trains its own books; unlike the
+        // trained-IVF rows the quantizer is not amortized out, so read
+        // these as index-build+search cost). kc matches the planted
+        // cluster count; m=8 subspaces of k=16 codes over 64 dims =
+        // 16× compression of the 4-byte-float column
+        sweep("ivfpq_m8k16_p1", () => Ann.ivfPqSearch(emb, kc = nClusters,
+          m = 8, k = 16, topK = 5, probes = 1, queryMod = Some(queryMod))),
+        sweep("ivfpq_m8k16_p2", () => Ann.ivfPqSearch(emb, kc = nClusters,
+          m = 8, k = 16, topK = 5, probes = 2, queryMod = Some(queryMod))),
+        sweep("ivfpq_m8k16_p4", () => Ann.ivfPqSearch(emb, kc = nClusters,
+          m = 8, k = 16, topK = 5, probes = 4, queryMod = Some(queryMod))))
       spark.stop()
       val json = s"""{"mode":"recall_sweep","k":5,"nVectors":$n,""" +
         s""""planted":${nVec > 0},"nClusters":$nClusters,""" +
         s""""queryMod":$queryMod,"nExactPairs":$nExact,""" +
         s""""entries":[${entries.mkString(",")}]}"""
+      Files.writeString(Paths.get(out), json)
+      println(json)
+
+    case "gatebench" =>
+      // gatebench <outJson> [nBatches] [docsPerBatch] [compactEvery] —
+      // measures what nearDupCompact BUYS: drive nBatches micro-batches
+      // through the streaming near-dup gate twice, once with no
+      // compaction (state partitions grow linearly; every state read
+      // fans out over all of them) and once compacting everything below
+      // the head every `compactEvery` batches. Reports per-batch gate
+      // wall for both runs + state partition counts: the compacted
+      // run's per-batch cost must stay flat where the uncompacted one
+      // grows with batch count.
+      import org.apache.spark.sql.functions._
+      val out = args(1)
+      val nBatches = if (args.length > 2) args(2).toInt else 100
+      val perBatch = if (args.length > 3) args(3).toLong else 400L
+      val every = if (args.length > 4) args(4).toInt else 1
+      val spark = Bench.session("8")
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      def batchDocs(b: Int) = spark.range(b * perBatch, (b + 1) * perBatch)
+        .select(col("id").as("doc_id"),
+          when(col("id") % 4 === 0, // cross-batch near-dup families
+            concat(lit("alpha beta gamma shared family text nr "), col("id") % 97))
+            .otherwise(concat(lit("unique document body number "), col("id"),
+              lit(" with trailing words here"))).as("text"))
+        .localCheckpoint()
+      val inputs = (0 until nBatches).map(batchDocs) // outside timed region
+      def drive(root: String, compactEvery: Option[Int]): (Seq[Double], Long) = {
+        val walls = inputs.zipWithIndex.map { case (docs, b) =>
+          val t0 = System.nanoTime()
+          graft.ops.Dedup.nearDupGateBatch(spark, root, b.toLong, docs).count()
+          val w = (System.nanoTime() - t0) / 1e9
+          compactEvery.foreach { e =>
+            if (b > 0 && b % e == 0)
+              graft.ops.Dedup.nearDupCompact(spark, root, b.toLong)
+          }
+          w
+        }
+        val parts = spark.read.parquet(s"$root/_neardup")
+          .select("batch").distinct().count()
+        (walls, parts)
+      }
+      val rootU = Files.createTempDirectory("graft_gate_u").toString
+      val rootC = Files.createTempDirectory("graft_gate_c").toString
+      drive(Files.createTempDirectory("graft_gate_w").toString, None) // JIT warm
+      val (wallsU, partsU) = drive(rootU, None)
+      val (wallsC, partsC) = drive(rootC, Some(every))
+      val ctl = CpuProbe.control(spark)
+      spark.stop()
+      def arr(ws: Seq[Double]) = ws.map(w => f"$w%.3f").mkString("[", ",", "]")
+      def mean(ws: Seq[Double]) = ws.sum / math.max(1, ws.size)
+      val json =
+        f"""{"mode":"gatebench","nBatches":$nBatches,"docsPerBatch":$perBatch,"compactEvery":$every,"control_sec":$ctl%.3f,""" +
+          f""""uncompacted":{"partitions":$partsU,"first10_mean":${mean(wallsU.take(10))}%.3f,"last10_mean":${mean(wallsU.takeRight(10))}%.3f,"walls":${arr(wallsU)}},""" +
+          f""""compacted":{"partitions":$partsC,"first10_mean":${mean(wallsC.take(10))}%.3f,"last10_mean":${mean(wallsC.takeRight(10))}%.3f,"walls":${arr(wallsC)}}}"""
       Files.writeString(Paths.get(out), json)
       println(json)
 

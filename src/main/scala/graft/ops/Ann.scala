@@ -485,9 +485,17 @@ object Ann {
     * restriction prunes candidates before any distance math; the only
     * exchange is the per-query top-k.
     */
+  /** `queryMod`, when set, replaces the smallest-`nQueries`-ids query
+    * set with every vec_id ≡ 0 (mod queryMod) — the query pattern the
+    * recall sweep's exact baseline uses, so IVF-PQ gets a
+    * recall@k-vs-cost row like every other index rung. The collected
+    * query set stays bounded (n / queryMod vectors); index build is
+    * untouched (default None → the oracled q103 behavior).
+    */
   def ivfPqSearch(emb: DataFrame, kc: Int = 4, m: Int = 2, k: Int = 4,
                   updates: Int = 2, nQueries: Int = 8, topK: Int = 3,
-                  probes: Int = 1, scale: Int = 1000): DataFrame = {
+                  probes: Int = 1, scale: Int = 1000,
+                  queryMod: Option[Int] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val q = Kmeans.quantized(emb, scale).persist()
@@ -528,11 +536,15 @@ object Ann {
       (id, cell, Array.tabulate(m)(s =>
         Kmeans.nearest(bs(s), r.slice(s * sd, s * sd + sd))._1))
     }.toDF("vec_id", "cell", "codes").localCheckpoint()
+    val queryVecs: Array[(Long, Array[Long])] = queryMod match {
+      case Some(qm) => q.filter(_._1 % qm == 0).collect()
+      case None => qhead.take(nQueries)
+    }
     resid.unpersist(); q.unpersist()
     // per (query, probed cell): residual ADC table (Q·probes·m·k longs,
-    // driver-built from the bounded query head — never corpus-sized)
+    // driver-built from the bounded query set — never corpus-sized)
     val tables: Array[(Long, Int, Array[Array[Long]])] =
-      qhead.take(nQueries).flatMap { case (qid, qv) =>
+      queryVecs.flatMap { case (qid, qv) =>
         val probed = cents.map { case (c, cv) =>
           var dist = 0L; var i = 0
           while (i < d) { val t = qv(i) - cv(i); dist += t * t; i += 1 }

@@ -198,6 +198,39 @@ class KmeansSpec extends AnyFunSuite {
     assert(e.count() == 0)
   }
 
+  test("IVF-PQ recall row: sweep-style query set, recall vs brute on planted clusters") {
+    import spark.implicits._
+    // planted unit-ish clusters (the recall sweep's generator shape):
+    // 8 well-separated centers, 240 points, 16 dims
+    import graft.gen.CorpusGen.mix64
+    val dim = 16; val nClusters = 8
+    def unit(seed: Long): Array[Double] = {
+      val v = Array.tabulate(dim)(d => mix64(seed * 31 + d).toDouble / Long.MaxValue)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.tabulate(nClusters)(c => unit(1000L + c))
+    val emb = spark.range(240).map { i =>
+      val c = centers((i % nClusters).toInt)
+      val noise = unit(777L + i)
+      (i, c.zip(noise).map { case (a, b) => (a + 0.15 * b).toFloat })
+    }.toDF("vec_id", "embedding")
+    val queryMod = 10
+    val exact = graft.ops.Ann.bruteTopK(emb, 5, queryMod)
+      .select("q_id", "nn_id")
+    val approx = graft.ops.Ann.ivfPqSearch(emb, kc = nClusters, m = 4,
+      k = 8, topK = 5, probes = 2, queryMod = Some(queryMod))
+    // the sweep contract: SAME query set as the exact baseline
+    val qsA = approx.select("q_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(qsA == (0L until 240L by queryMod.toLong).toSet)
+    val nExact = exact.count()
+    val hits = exact.join(approx.select("q_id", "nn_id"),
+      Seq("q_id", "nn_id"), "left_semi").count()
+    val recall = hits.toDouble / nExact
+    assert(recall >= 0.6, f"IVF-PQ recall@5 $recall%.3f on planted clusters")
+  }
+
   test("one-pass multi-book PQ trainer is bit-identical to m sequential slice trainings") {
     val q = graft.ops.Kmeans.quantized(emb).persist()
     try {
