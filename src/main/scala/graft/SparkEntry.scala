@@ -53,6 +53,10 @@ object SparkEntry {
       KgPipeline.Config().buckets, "q101")
     graft.store.LineageStore.compactTriples(s, dir0,
       rowGroupBytes = Some(16L * 1024), maxRecordsPerFile = Some(128L))
+    // the obj-side inverted twin (q106) — built at compaction time,
+    // exactly as a production compactor would
+    graft.store.LineageStore.buildObjIndex(s, dir0,
+      rowGroupBytes = Some(16L * 1024), maxRecordsPerFile = Some(128L))
     dir0
   }
 
@@ -714,6 +718,13 @@ object SparkEntry {
     "q103_ivf_pq" -> ((s, dir) =>
       graft.ops.Ann.ivfPqSearch(t(s, dir, "embeddings"))
         .orderBy("q_id", "rank")),
+    // ---- IVF-PQ + exact re-rank (FAISS IndexRefineFlat): the ADC
+    //      shortlist is a candidate generator; exact integer L2 over
+    //      the few survivors restores the ordering the m·log2(k)-bit
+    //      codes cannot carry ----
+    "q107_ivf_pq_refine" -> ((s, dir) =>
+      graft.ops.Ann.ivfPqRefine(t(s, dir, "embeddings"))
+        .orderBy("q_id", "rank")),
     // ---- context-aware entity linking: co-mention anchors outrank
     //      prior (below type match); planted so context FLIPS the
     //      winner in B-anchored docs and degenerates to prior-only
@@ -757,6 +768,20 @@ object SparkEntry {
         .select(col("subj"), col("pred"), col("obj"), col("doc_id"),
           col("bucket").cast("long").as("bucket"), col("conf"))
         .orderBy("doc_id", "obj")
+    }),
+    // ---- object point lookup (inbound edges) over the inverted
+    //      obj-side twin index: obj-manifest file pruning +
+    //      (obucket, obj, pred)-sorted row-group skipping; value
+    //      parity vs the golden triples ----
+    "q106_obj_lookup" -> ((s, dir) => {
+      graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
+      val root = q101StoreRoot(() => buildLookupStore(s))
+      val obj = graft.store.LineageStore.readTriples(s, root)
+        .toDF().agg(min("obj")).head.getString(0)
+      graft.store.LineageStore.lookupByObject(s, root, obj).toDF()
+        .select(col("subj"), col("pred"), col("obj"), col("doc_id"),
+          col("bucket").cast("long").as("bucket"), col("conf"))
+        .orderBy("doc_id", "subj", "pred")
     }),
     // ---- RAG/pretraining sliding-window chunking ----
     "q90_chunking" -> ((s, dir) =>
@@ -931,6 +956,108 @@ object SparkEntry {
   /** DuckDB-runnable oracles. Column names/aliases match the Spark side
     * exactly (driver compare sorts columns by name then hashes values).
     */
+  /** Shared CTE chain for the IVF-PQ oracles (q103 ADC top-k /
+    * q107 refine): coarse k-means (q62's unrolled CTEs) -> residuals
+    * vs the final coarse centroids -> per-subspace residual codebooks
+    * (q97's pattern over the residual table) -> probe the nearest
+    * cell -> residual ADC tables -> cell-restricted scoring into
+    * `scored`. Integer math + (dist, smaller id) tie-breaks +
+    * truncating // throughout, so both engines agree bit-for-bit.
+    */
+  private def ivfPqScoredCtes: String =
+    """WITH e AS (SELECT vec_id, j,
+        |   CAST(round(CAST(embedding[j+1] AS DOUBLE) * 1000) AS BIGINT) AS v
+        |   FROM embeddings, range(0, 64) t(j)),
+        | ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+        |   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        | cc0 AS (SELECT ids.cell, e.j, e.v FROM ids JOIN e USING (vec_id)),
+        | cd1 AS (SELECT e.vec_id, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cc0 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
+        | ca1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |   FROM cd1) WHERE rn = 1),
+        | cc1 AS (SELECT ca1.cell, e.j,
+        |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
+        |   FROM ca1 JOIN e USING (vec_id) GROUP BY ca1.cell, e.j),
+        | cd2 AS (SELECT e.vec_id, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cc1 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
+        | ca2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |   FROM cd2) WHERE rn = 1),
+        | cc2 AS (SELECT ca2.cell, e.j,
+        |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
+        |   FROM ca2 JOIN e USING (vec_id) GROUP BY ca2.cell, e.j),
+        | cd3 AS (SELECT e.vec_id, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cc2 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
+        | cellof AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |   FROM cd3) WHERE rn = 1),
+        | res AS (SELECT e.vec_id, co.cell, e.j // 32 AS sub, e.j % 32 AS sdim,
+        |   e.v - c2.v AS rv
+        |   FROM e JOIN cellof co USING (vec_id)
+        |   JOIN cc2 c2 ON c2.cell = co.cell AND c2.j = e.j),
+        | ids2 AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS bcell
+        |   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        | rc0 AS (SELECT r.sub, ids2.bcell, r.sdim, r.rv AS v
+        |   FROM ids2 JOIN res r USING (vec_id)),
+        | rd1 AS (SELECT r.vec_id, r.sub, c.bcell,
+        |   sum((r.rv - c.v)*(r.rv - c.v))::BIGINT AS dist
+        |   FROM res r JOIN rc0 c ON c.sub = r.sub AND c.sdim = r.sdim
+        |   GROUP BY r.vec_id, r.sub, c.bcell),
+        | ra1 AS (SELECT vec_id, sub, bcell FROM (SELECT vec_id, sub, bcell,
+        |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, bcell) AS rn
+        |   FROM rd1) WHERE rn = 1),
+        | rc1 AS (SELECT ra1.sub, ra1.bcell, r.sdim,
+        |   (sum(r.rv)::BIGINT // count(*))::BIGINT AS v
+        |   FROM ra1 JOIN res r ON r.vec_id = ra1.vec_id AND r.sub = ra1.sub
+        |   GROUP BY ra1.sub, ra1.bcell, r.sdim),
+        | rd2 AS (SELECT r.vec_id, r.sub, c.bcell,
+        |   sum((r.rv - c.v)*(r.rv - c.v))::BIGINT AS dist
+        |   FROM res r JOIN rc1 c ON c.sub = r.sub AND c.sdim = r.sdim
+        |   GROUP BY r.vec_id, r.sub, c.bcell),
+        | ra2 AS (SELECT vec_id, sub, bcell FROM (SELECT vec_id, sub, bcell,
+        |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, bcell) AS rn
+        |   FROM rd2) WHERE rn = 1),
+        | rc2 AS (SELECT ra2.sub, ra2.bcell, r.sdim,
+        |   (sum(r.rv)::BIGINT // count(*))::BIGINT AS v
+        |   FROM ra2 JOIN res r ON r.vec_id = ra2.vec_id AND r.sub = ra2.sub
+        |   GROUP BY ra2.sub, ra2.bcell, r.sdim),
+        | rd3 AS (SELECT r.vec_id, r.sub, c.bcell,
+        |   sum((r.rv - c.v)*(r.rv - c.v))::BIGINT AS dist
+        |   FROM res r JOIN rc2 c ON c.sub = r.sub AND c.sdim = r.sdim
+        |   GROUP BY r.vec_id, r.sub, c.bcell),
+        | rcodes AS (SELECT vec_id, sub, bcell AS code FROM (
+        |   SELECT vec_id, sub, bcell,
+        |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, bcell) AS rn
+        |   FROM rd3) WHERE rn = 1),
+        | qs AS (SELECT vec_id AS q_id FROM embeddings ORDER BY vec_id LIMIT 8),
+        | qcd AS (SELECT qs.q_id, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM qs JOIN e ON e.vec_id = qs.q_id
+        |   JOIN cc2 c ON c.j = e.j GROUP BY qs.q_id, c.cell),
+        | qprobe AS (SELECT q_id, cell FROM (SELECT q_id, cell,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) AS rn
+        |   FROM qcd) WHERE rn = 1),
+        | qres AS (SELECT qp.q_id, qp.cell, e.j // 32 AS sub, e.j % 32 AS sdim,
+        |   e.v - c2.v AS rv
+        |   FROM qprobe qp JOIN e ON e.vec_id = qp.q_id
+        |   JOIN cc2 c2 ON c2.cell = qp.cell AND c2.j = e.j),
+        | qtab AS (SELECT q.q_id, q.cell, c.sub, c.bcell,
+        |   sum((q.rv - c.v)*(q.rv - c.v))::BIGINT AS dist
+        |   FROM qres q JOIN rc2 c ON c.sub = q.sub AND c.sdim = q.sdim
+        |   GROUP BY q.q_id, q.cell, c.sub, c.bcell),
+        | scored AS (SELECT t.q_id, rc.vec_id AS nn_id, t.cell,
+        |   sum(t.dist)::BIGINT AS adc_dist
+        |   FROM rcodes rc
+        |   JOIN cellof co ON co.vec_id = rc.vec_id
+        |   JOIN qtab t ON t.cell = co.cell AND t.sub = rc.sub
+        |     AND t.bcell = rc.code
+        |   WHERE rc.vec_id <> t.q_id
+        |   GROUP BY t.q_id, rc.vec_id, t.cell)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -2229,105 +2356,35 @@ object SparkEntry {
     // nearest cell → residual ADC tables → cell-restricted scoring.
     // Integer math + (dist, smaller id) tie-breaks + truncating //
     // throughout, so both engines agree bit-for-bit.
-    "q103_ivf_pq" ->
-      """WITH e AS (SELECT vec_id, j,
-        |   CAST(round(CAST(embedding[j+1] AS DOUBLE) * 1000) AS BIGINT) AS v
-        |   FROM embeddings, range(0, 64) t(j)),
-        | ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
-        |   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
-        | cc0 AS (SELECT ids.cell, e.j, e.v FROM ids JOIN e USING (vec_id)),
-        | cd1 AS (SELECT e.vec_id, c.cell,
-        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
-        |   FROM e JOIN cc0 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
-        | ca1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        |   FROM cd1) WHERE rn = 1),
-        | cc1 AS (SELECT ca1.cell, e.j,
-        |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
-        |   FROM ca1 JOIN e USING (vec_id) GROUP BY ca1.cell, e.j),
-        | cd2 AS (SELECT e.vec_id, c.cell,
-        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
-        |   FROM e JOIN cc1 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
-        | ca2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        |   FROM cd2) WHERE rn = 1),
-        | cc2 AS (SELECT ca2.cell, e.j,
-        |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
-        |   FROM ca2 JOIN e USING (vec_id) GROUP BY ca2.cell, e.j),
-        | cd3 AS (SELECT e.vec_id, c.cell,
-        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
-        |   FROM e JOIN cc2 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
-        | cellof AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        |   FROM cd3) WHERE rn = 1),
-        | res AS (SELECT e.vec_id, co.cell, e.j // 32 AS sub, e.j % 32 AS sdim,
-        |   e.v - c2.v AS rv
-        |   FROM e JOIN cellof co USING (vec_id)
-        |   JOIN cc2 c2 ON c2.cell = co.cell AND c2.j = e.j),
-        | ids2 AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS bcell
-        |   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
-        | rc0 AS (SELECT r.sub, ids2.bcell, r.sdim, r.rv AS v
-        |   FROM ids2 JOIN res r USING (vec_id)),
-        | rd1 AS (SELECT r.vec_id, r.sub, c.bcell,
-        |   sum((r.rv - c.v)*(r.rv - c.v))::BIGINT AS dist
-        |   FROM res r JOIN rc0 c ON c.sub = r.sub AND c.sdim = r.sdim
-        |   GROUP BY r.vec_id, r.sub, c.bcell),
-        | ra1 AS (SELECT vec_id, sub, bcell FROM (SELECT vec_id, sub, bcell,
-        |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, bcell) AS rn
-        |   FROM rd1) WHERE rn = 1),
-        | rc1 AS (SELECT ra1.sub, ra1.bcell, r.sdim,
-        |   (sum(r.rv)::BIGINT // count(*))::BIGINT AS v
-        |   FROM ra1 JOIN res r ON r.vec_id = ra1.vec_id AND r.sub = ra1.sub
-        |   GROUP BY ra1.sub, ra1.bcell, r.sdim),
-        | rd2 AS (SELECT r.vec_id, r.sub, c.bcell,
-        |   sum((r.rv - c.v)*(r.rv - c.v))::BIGINT AS dist
-        |   FROM res r JOIN rc1 c ON c.sub = r.sub AND c.sdim = r.sdim
-        |   GROUP BY r.vec_id, r.sub, c.bcell),
-        | ra2 AS (SELECT vec_id, sub, bcell FROM (SELECT vec_id, sub, bcell,
-        |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, bcell) AS rn
-        |   FROM rd2) WHERE rn = 1),
-        | rc2 AS (SELECT ra2.sub, ra2.bcell, r.sdim,
-        |   (sum(r.rv)::BIGINT // count(*))::BIGINT AS v
-        |   FROM ra2 JOIN res r ON r.vec_id = ra2.vec_id AND r.sub = ra2.sub
-        |   GROUP BY ra2.sub, ra2.bcell, r.sdim),
-        | rd3 AS (SELECT r.vec_id, r.sub, c.bcell,
-        |   sum((r.rv - c.v)*(r.rv - c.v))::BIGINT AS dist
-        |   FROM res r JOIN rc2 c ON c.sub = r.sub AND c.sdim = r.sdim
-        |   GROUP BY r.vec_id, r.sub, c.bcell),
-        | rcodes AS (SELECT vec_id, sub, bcell AS code FROM (
-        |   SELECT vec_id, sub, bcell,
-        |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, bcell) AS rn
-        |   FROM rd3) WHERE rn = 1),
-        | qs AS (SELECT vec_id AS q_id FROM embeddings ORDER BY vec_id LIMIT 8),
-        | qcd AS (SELECT qs.q_id, c.cell,
-        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
-        |   FROM qs JOIN e ON e.vec_id = qs.q_id
-        |   JOIN cc2 c ON c.j = e.j GROUP BY qs.q_id, c.cell),
-        | qprobe AS (SELECT q_id, cell FROM (SELECT q_id, cell,
-        |   row_number() OVER (PARTITION BY q_id ORDER BY dist, cell) AS rn
-        |   FROM qcd) WHERE rn = 1),
-        | qres AS (SELECT qp.q_id, qp.cell, e.j // 32 AS sub, e.j % 32 AS sdim,
-        |   e.v - c2.v AS rv
-        |   FROM qprobe qp JOIN e ON e.vec_id = qp.q_id
-        |   JOIN cc2 c2 ON c2.cell = qp.cell AND c2.j = e.j),
-        | qtab AS (SELECT q.q_id, q.cell, c.sub, c.bcell,
-        |   sum((q.rv - c.v)*(q.rv - c.v))::BIGINT AS dist
-        |   FROM qres q JOIN rc2 c ON c.sub = q.sub AND c.sdim = q.sdim
-        |   GROUP BY q.q_id, q.cell, c.sub, c.bcell),
-        | scored AS (SELECT t.q_id, rc.vec_id AS nn_id, t.cell,
-        |   sum(t.dist)::BIGINT AS adc_dist
-        |   FROM rcodes rc
-        |   JOIN cellof co ON co.vec_id = rc.vec_id
-        |   JOIN qtab t ON t.cell = co.cell AND t.sub = rc.sub
-        |     AND t.bcell = rc.code
-        |   WHERE rc.vec_id <> t.q_id
-        |   GROUP BY t.q_id, rc.vec_id, t.cell)
+    "q103_ivf_pq" -> (ivfPqScoredCtes +
+      """
         |SELECT q_id, rank::BIGINT AS rank, nn_id,
         | CAST(cell AS BIGINT) AS cell, adc_dist FROM (
         |  SELECT q_id, nn_id, cell, adc_dist,
         |    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, nn_id)
         |      AS rank
-        |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+        |  FROM scored) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+    // the refine rung on top of the same chain: deterministic ADC
+    // shortlist cut (rn <= 8, tie-broken (adc_dist, nn_id)), then exact
+    // integer L2 on the original quantized vectors re-ranks the few
+    // survivors — FAISS IndexRefineFlat
+    "q107_ivf_pq_refine" -> (ivfPqScoredCtes +
+      """,
+        | shortl AS (SELECT q_id, nn_id FROM (
+        |   SELECT q_id, nn_id,
+        |     row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, nn_id)
+        |       AS rn
+        |   FROM scored) WHERE rn <= 8),
+        | exact AS (SELECT s.q_id, s.nn_id,
+        |   sum((eq.v - ec.v)*(eq.v - ec.v))::BIGINT AS dist
+        |   FROM shortl s JOIN e eq ON eq.vec_id = s.q_id
+        |   JOIN e ec ON ec.vec_id = s.nn_id AND ec.j = eq.j
+        |   GROUP BY s.q_id, s.nn_id)
+        |SELECT q_id, rank::BIGINT AS rank, nn_id, dist FROM (
+        |  SELECT q_id, nn_id, dist,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dist, nn_id)
+        |      AS rank
+        |  FROM exact) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
     // independent SQL replay of the co-mention scoring chain: anchors =
     // entities of single-candidate surfaces mentioned in the doc; pick
     // order (type mismatch, context miss, prior DESC, raw id)
@@ -2375,6 +2432,16 @@ object SparkEntry {
         | p AS (SELECT min(pred) AS p FROM t, m WHERE t.subj = m.s)
         |SELECT t.* FROM t, m, p WHERE t.subj = m.s AND t.pred = p.p
         |ORDER BY doc_id, obj""".stripMargin,
+    // value parity for the obj-side inverted lookup: the engine's
+    // manifest-pruned scan of the obj index must return exactly the
+    // golden triples with the smallest obj
+    "q106_obj_lookup" ->
+      s"""WITH t AS (SELECT subj, pred, obj, doc_id,
+        |   CAST(bucket AS BIGINT) AS bucket, conf
+        |  FROM read_parquet('${graft.gen.Goldens.root}/kg_triples/*.parquet')),
+        | m AS (SELECT min(obj) AS o FROM t)
+        |SELECT t.* FROM t, m WHERE t.obj = m.o
+        |ORDER BY doc_id, subj, pred""".stripMargin,
     "q99_sq8_ann" ->
       """WITH mx AS (SELECT max(abs(CAST(e AS DOUBLE))) AS m FROM (
         |   SELECT unnest(embedding) AS e FROM embeddings)),

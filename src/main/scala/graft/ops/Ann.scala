@@ -583,6 +583,61 @@ object Ann {
         col("nn_id"), col("cell").cast("long").as("cell"), col("adc_dist"))
   }
 
+  /** IVF-PQ with exact re-ranking — the FAISS IndexRefineFlat shape
+    * (public): the ADC pass is a CANDIDATE GENERATOR, not a final
+    * ranker — at m·log2(k) bits per vector it cannot order neighbors
+    * whose true distances differ by less than the quantization error
+    * (measured: recall@5 0.12 on 200k planted clusters where every
+    * in-cluster neighbor is noise-separated, `BENCH/recall_sweep_r7
+    * .json`). Refinement takes the top-`shortlist` by ADC
+    * ([[ivfPqSearch]], tie-broken (adc_dist, nn_id) so the cut is
+    * deterministic) and re-ranks those few candidates by EXACT integer
+    * L2 on the original quantized vectors.
+    *
+    * Scale shape: the shortlist is Q·shortlist rows — a broadcast — so
+    * the re-rank is one corpus scan with a broadcast join (production
+    * stores fetch the shortlist's full vectors by key instead); the
+    * exact-distance pass touches only shortlist candidates, and the
+    * final top-k exchange moves Q·shortlist rows, not the corpus.
+    * Everything stays long-integer, so build + search replay bit-exact
+    * in DuckDB (the full q103 CTE chain + a shortlist cut + one exact
+    * re-rank join — q107).
+    */
+  def ivfPqRefine(emb: DataFrame, kc: Int = 4, m: Int = 2, k: Int = 4,
+                  updates: Int = 2, nQueries: Int = 8, topK: Int = 3,
+                  shortlist: Int = 8, probes: Int = 1, scale: Int = 1000,
+                  queryMod: Option[Int] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sl = ivfPqSearch(emb, kc, m, k, updates, nQueries, shortlist,
+      probes, scale, queryMod).select("q_id", "nn_id")
+    val q = Kmeans.quantized(emb, scale)
+    // the bounded query set (same selection rule as the ADC pass) — a
+    // broadcast map, never corpus-sized
+    val queryVecs: Map[Long, Array[Long]] = (queryMod match {
+      case Some(qm) => q.filter(_._1 % qm == 0).collect()
+      case None => q.orderBy("_1").limit(nQueries).collect()
+    }).toMap
+    if (queryVecs.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long, Long)]
+        .toDF("q_id", "rank", "nn_id", "dist")
+    val bcQ = spark.sparkContext.broadcast(queryVecs)
+    val exact = q.toDF("nn_id", "v").join(broadcast(sl), Seq("nn_id"))
+      .select(col("q_id"), col("nn_id"), col("v"))
+      .as[(Long, Long, Array[Long])]
+      .map { case (qid, nid, v) =>
+        val qv = bcQ.value(qid)
+        var dist = 0L; var i = 0
+        while (i < v.length) { val t = qv(i) - v(i); dist += t * t; i += 1 }
+        (qid, nid, dist)
+      }.toDF("q_id", "nn_id", "dist")
+    val w = Window.partitionBy("q_id").orderBy(asc("dist"), asc("nn_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("dist"))
+  }
+
   /** Int8 scalar quantization + integer-L2 top-k — the SQ8 rung of the
     * embedding-compression ladder between raw floats and
     * [[pqSearchAdc]] (FAISS's ScalarQuantizer shape, public): ONE

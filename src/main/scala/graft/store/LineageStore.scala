@@ -245,41 +245,50 @@ object LineageStore {
       .write.mode(SaveMode.Overwrite).parquet(fileManifestPath(root))
   }
 
-  /** Data files (paths relative to the triples root) whose manifest
-    * ranges may contain (subj[, pred]) — None when no manifest exists
-    * or it is stale (its file set differs from the live listing):
-    * callers fall back to the full scan. The manifest is O(files) and
-    * tiny next to the store; at lookup time it is the ONLY thing read
-    * before the matched files' footers.
+  /** Data files (paths relative to `dataPath`) whose manifest ranges
+    * may contain (key[, pred]) — None when no manifest exists at
+    * `manifestPath` or it is stale (its file set differs from the live
+    * listing): callers fall back to the full scan. The manifest is
+    * O(files) and tiny next to the store; at lookup time it is the
+    * ONLY thing read before the matched files' footers. `keyCols` are
+    * the manifest's (min, max) column names for the sorted key — the
+    * subj-side and obj-side manifests share this machinery.
     */
-  private def manifestPrunedFiles(spark: SparkSession, root: String,
-                                  subj: String, pred: Option[String])
+  private def manifestPrunedFilesAt(spark: SparkSession, manifestPath: String,
+                                    dataPath: String,
+                                    keyCols: (String, String),
+                                    key: String, pred: Option[String])
       : Option[Seq[String]] = {
-    val mp = fileManifestPath(root)
-    if (!Fs.exists(spark, mp)) return None
-    val rows = spark.read.parquet(mp)
-      .select("file", "subj_min", "subj_max", "pred_min", "pred_max")
+    if (!Fs.exists(spark, manifestPath)) return None
+    val rows = spark.read.parquet(manifestPath)
+      .select("file", keyCols._1, keyCols._2, "pred_min", "pred_max")
       .collect()
-    val live = Fs.listFilesRelative(spark, triplesPath(root))
+    val live = Fs.listFilesRelative(spark, dataPath)
       .filter(_.endsWith(".parquet")).toSet
     // staleness guard on RELATIVE paths (base names repeat across
     // bucket dirs) — any commit since compaction invalidates the
     // manifest and drops lookups back to the full scan
     if (rows.map(_.getString(0)).toSet != live) return None
     Some(rows.toSeq.filter { r =>
-      subj >= r.getString(1) && subj <= r.getString(2) &&
+      key >= r.getString(1) && key <= r.getString(2) &&
         pred.forall(p => p >= r.getString(3) && p <= r.getString(4))
     }.map(_.getString(0)))
   }
 
+  private def manifestPrunedFiles(spark: SparkSession, root: String,
+                                  subj: String, pred: Option[String])
+      : Option[Seq[String]] =
+    manifestPrunedFilesAt(spark, fileManifestPath(root), triplesPath(root),
+      ("subj_min", "subj_max"), subj, pred)
+
   /** The store reader for a point lookup: manifest-pruned file list
     * when available (zero files touched when no range matches), full
-    * path otherwise. basePath keeps the bucket partition column.
+    * path otherwise. basePath keeps the partition column.
     */
-  private def lookupBase(spark: SparkSession, root: String, subj: String,
-                         pred: Option[String]): org.apache.spark.sql.DataFrame = {
-    val path = triplesPath(root)
-    manifestPrunedFiles(spark, root, subj, pred) match {
+  private def lookupBaseAt(spark: SparkSession, path: String,
+                           pruned: Option[Seq[String]])
+      : org.apache.spark.sql.DataFrame = {
+    pruned match {
       case Some(files) if files.isEmpty =>
         // no file can match: answer from the manifest alone — zero
         // parquet footers opened
@@ -292,6 +301,11 @@ object LineageStore {
       case None => spark.read.parquet(path)
     }
   }
+
+  private def lookupBase(spark: SparkSession, root: String, subj: String,
+                         pred: Option[String]): org.apache.spark.sql.DataFrame =
+    lookupBaseAt(spark, triplesPath(root),
+      manifestPrunedFiles(spark, root, subj, pred))
 
   /** Roll an interrupted [[compactTriples]] forward/back: the only
     * non-durable instant is between the two renames (live moved to
@@ -330,12 +344,9 @@ object LineageStore {
     * via inputFiles in StoreLookupSpec); (2) parquet row-group min/max
     * skipping on the pushed EqualTo within surviving files (the
     * compacted subj sort); so the lookup cost is O(row group), not
-    * O(store). The OBJ-side path (inbound edges of an entity) is served
-    * today by a full pushed-filter scan on `obj` — obj is unsorted, so
-    * only predicate pushdown applies; the scale answer is an inverted
-    * (obj → subj) twin store written by the same compaction (bucket by
-    * hash(obj), sort by (bucket, obj, pred)) — deliberately not
-    * duplicated here until a consumer needs it.
+    * O(store). The OBJ-side path (inbound edges of an entity) gets the
+    * same rungs from the inverted twin index — [[buildObjIndex]] /
+    * [[lookupByObject]].
     */
   def lookupBySubject(spark: SparkSession, root: String,
                       subj: String): Dataset[Triple] = {
@@ -362,6 +373,84 @@ object LineageStore {
       .select("subj", "pred", "obj", "doc_id", "bucket", "conf",
         "span_offset", "sentence_idx")
       .as[Triple].filter(col("subj") === subj && col("pred") === pred)
+  }
+
+  def objIndexPath(root: String) = s"$root/obj_index"
+  def objManifestPath(root: String) = s"$root/_obj_file_manifest"
+
+  /** Build (or rebuild) the inverted obj-side twin of the triple store —
+    * the index behind "inbound edges of an entity" (who links TO X?),
+    * the second KG consumer query after the entity page. Same shape as
+    * the subj-side compaction, inverted: rows bucketed by hash(obj)
+    * (`obucket`, pmod so it is never negative), sorted
+    * (obucket, obj, pred) — obucket prefixes the sort for the
+    * FileFormatWriter requirement exactly like compactTriples — with
+    * its own file manifest for manifest-level pruning. DERIVED data:
+    * the subj store stays the source of truth, and the build is an
+    * idempotent full rewrite via the same two-rename swap (a crash
+    * mid-build leaves either the old index or none; [[lookupByObject]]
+    * falls back to a full pushed-filter scan of the PRIMARY store when
+    * the index is absent or its manifest is stale, so results never
+    * depend on index freshness). At 100 TB this is the standard
+    * secondary-index trade: one extra store-sized write at compaction
+    * time buys O(row group) inbound-edge lookups forever after.
+    */
+  def buildObjIndex(spark: SparkSession, root: String, nBuckets: Int = 8,
+                    rowGroupBytes: Option[Long] = None,
+                    maxRecordsPerFile: Option[Long] = None): Unit = {
+    val path = objIndexPath(root)
+    val tmp = path + "__build_tmp"
+    val old = path + "__build_old"
+    val writer = readTriples(spark, root).toDF()
+      .withColumn("obucket", pmod(hash(col("obj")), lit(nBuckets)))
+      .repartition(col("obucket"))
+      .sortWithinPartitions(col("obucket"), col("obj"), col("pred"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("obucket")
+    val w1 = rowGroupBytes.fold(writer)(b => writer.option("parquet.block.size", b))
+    maxRecordsPerFile.fold(w1)(n => w1.option("maxRecordsPerFile", n))
+      .parquet(tmp)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    if (fs.exists(hp)) require(fs.rename(hp, new org.apache.hadoop.fs.Path(old)),
+      s"could not move the live obj index aside ($path)")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hp),
+      s"could not install the obj index ($tmp -> $path)")
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    spark.read.parquet(path)
+      .groupBy(substring_index(input_file_name(), "/obj_index/", -1).as("file"))
+      .agg(min(col("obj")).as("obj_min"), max(col("obj")).as("obj_max"),
+        min(col("pred")).as("pred_min"), max(col("pred")).as("pred_max"),
+        count(lit(1)).as("n_rows"))
+      .write.mode(SaveMode.Overwrite).parquet(objManifestPath(root))
+  }
+
+  /** Object point lookup — inbound edges of an entity. Pruning rungs
+    * when the obj index exists with a fresh manifest: (1) FILE pruning
+    * from the obj manifest; (2) row-group min/max skipping on the
+    * pushed EqualTo within surviving files (the (obucket, obj, pred)
+    * sort). Absent or stale index → full pushed-filter scan of the
+    * PRIMARY store (correct, just unpruned), so the index can never
+    * change results.
+    */
+  def lookupByObject(spark: SparkSession, root: String,
+                     obj: String): Dataset[Triple] = {
+    import spark.implicits._
+    recoverCompaction(spark, root)
+    val idx = objIndexPath(root)
+    val base =
+      if (Fs.exists(spark, idx))
+        manifestPrunedFilesAt(spark, objManifestPath(root), idx,
+          ("obj_min", "obj_max"), obj, None) match {
+          case Some(files) => lookupBaseAt(spark, idx, Some(files))
+          case None => spark.read.parquet(triplesPath(root)) // stale index
+        }
+      else spark.read.parquet(triplesPath(root))
+    base
+      .select("subj", "pred", "obj", "doc_id", "bucket", "conf",
+        "span_offset", "sentence_idx")
+      .as[Triple].filter(col("obj") === obj)
   }
 
   def readTriples(spark: SparkSession, root: String): Dataset[Triple] = {

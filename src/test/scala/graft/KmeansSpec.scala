@@ -229,6 +229,22 @@ class KmeansSpec extends AnyFunSuite {
       Seq("q_id", "nn_id"), "left_semi").count()
     val recall = hits.toDouble / nExact
     assert(recall >= 0.6, f"IVF-PQ recall@5 $recall%.3f on planted clusters")
+    // the refine rung: exact re-rank of the ADC shortlist (50 >> topK 5
+    // within the probed cells) must dominate raw ADC. Not asserted at
+    // 1.0: the brute baseline ranks by cosine over raw floats while
+    // refine ranks by integer L2 over [[Kmeans.quantized]] vectors —
+    // near-ties between the 5th/6th neighbor of a tight cluster can
+    // flip across the two metrics (measured 0.85 here vs raw ADC's
+    // quantization-bound recall)
+    val refined = graft.ops.Ann.ivfPqRefine(emb, kc = nClusters, m = 4,
+      k = 8, topK = 5, shortlist = 50, probes = 2,
+      queryMod = Some(queryMod))
+    val hitsR = exact.join(refined.select("q_id", "nn_id"),
+      Seq("q_id", "nn_id"), "left_semi").count()
+    val recallR = hitsR.toDouble / nExact
+    assert(recallR >= recall,
+      f"refine recall $recallR%.3f fell below raw ADC $recall%.3f")
+    assert(recallR >= 0.8, f"refine recall@5 $recallR%.3f on planted clusters")
   }
 
   test("one-pass multi-book PQ trainer is bit-identical to m sequential slice trainings") {
