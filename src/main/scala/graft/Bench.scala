@@ -68,7 +68,8 @@ object Bench {
       "q86_split_assign", "q87_bm25", "q88_cms_grouped", "q89_raw_ner",
       "q90_chunking", "q92_novelty", "q93_pii_redact", "q94_kmv_windowed",
       "q95_audio_stats", "q97_pq_adc", "q98_dup_spans", "q99_sq8_ann",
-      "q102_ctx_linking", "q103_ivf_pq")
+      "q101_subj_lookup", "q105_spo_lookup", "q106_obj_lookup",
+      "q102_ctx_linking", "q103_ivf_pq", "q107_ivf_pq_refine")
     headline.foreach { q => SparkEntry.queries(q)(spark, sfDir).count() }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { q =>

@@ -300,7 +300,27 @@ object ScalingBench {
         sweep("ivfpq_m8k16_p2", () => Ann.ivfPqSearch(emb, kc = nClusters,
           m = 8, k = 16, topK = 5, probes = 2, queryMod = Some(queryMod))),
         sweep("ivfpq_m8k16_p4", () => Ann.ivfPqSearch(emb, kc = nClusters,
-          m = 8, k = 16, topK = 5, probes = 4, queryMod = Some(queryMod))))
+          m = 8, k = 16, topK = 5, probes = 4, queryMod = Some(queryMod))),
+        // the refine rung (FAISS IndexRefineFlat): ADC shortlist of 50,
+        // exact integer L2 over the survivors — what restores recall
+        // when m·log2(k) bits cannot order noise-separated in-cluster
+        // neighbors (the raw ADC rows above)
+        sweep("ivfpq_refine_s50_p1", () => Ann.ivfPqRefine(emb,
+          kc = nClusters, m = 8, k = 16, topK = 5, shortlist = 50,
+          probes = 1, queryMod = Some(queryMod))),
+        sweep("ivfpq_refine_s50_p2", () => Ann.ivfPqRefine(emb,
+          kc = nClusters, m = 8, k = 16, topK = 5, shortlist = 50,
+          probes = 2, queryMod = Some(queryMod))),
+        // shortlist is THE recall knob of the refine rung: the exact
+        // re-rank recovers whatever the ADC shortlist retains, so
+        // recall climbs with shortlist size at near-constant cost (the
+        // re-rank stays a broadcast-joined corpus scan regardless)
+        sweep("ivfpq_refine_s200_p1", () => Ann.ivfPqRefine(emb,
+          kc = nClusters, m = 8, k = 16, topK = 5, shortlist = 200,
+          probes = 1, queryMod = Some(queryMod))),
+        sweep("ivfpq_refine_s800_p1", () => Ann.ivfPqRefine(emb,
+          kc = nClusters, m = 8, k = 16, topK = 5, shortlist = 800,
+          probes = 1, queryMod = Some(queryMod))))
       spark.stop()
       val json = s"""{"mode":"recall_sweep","k":5,"nVectors":$n,""" +
         s""""planted":${nVec > 0},"nClusters":$nClusters,""" +
