@@ -574,6 +574,19 @@ object SparkEntry {
           tPpm = 700000L)
         .orderBy("doc_a", "doc_b")
     }),
+    // ---- SemDeDup semantic dedup: integer k-means cells, within-cell
+    //      first-wins cosine pruning (every fifth vector gets an exact
+    //      copy — same cell by construction, cosine exactly 1.0, so
+    //      each copy must flag is_dup while random pairs stay well
+    //      below the 0.95 threshold) ----
+    "q108_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val copies = emb.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      graft.ops.Dedup.semanticDedup(emb.unionByName(copies))
+        .orderBy("vec_id")
+    }),
     // ---- one BPE-trainer step: top-k adjacent char-pair merges over
     //      the word-frequency table ----
     "q74_bpe_merges" -> ((s, dir) =>
@@ -1958,6 +1971,58 @@ object SparkEntry {
         |           JOIN sz sb ON sb.doc_id = doc_b
         |WHERE 1000000 * i >= 700000 * (sa.s + sb.s - i)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q108_semantic_dedup" ->
+      """WITH planted AS (
+        |   SELECT vec_id::BIGINT AS vec_id, embedding FROM embeddings
+        |   UNION ALL
+        |   SELECT (vec_id + 1000000)::BIGINT, embedding FROM embeddings
+        |   WHERE vec_id % 5 = 0),
+        | e AS (SELECT vec_id, j,
+        |   CAST(round(CAST(embedding[j+1] AS DOUBLE) * 100) AS BIGINT) AS v
+        |   FROM planted, range(0, 64) t(j)),
+        | ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+        |   FROM (SELECT vec_id FROM planted ORDER BY vec_id LIMIT 4)),
+        | cc0 AS (SELECT ids.cell, e.j, e.v FROM ids JOIN e USING (vec_id)),
+        | cd1 AS (SELECT e.vec_id, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cc0 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
+        | ca1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |   FROM cd1) WHERE rn = 1),
+        | cc1 AS (SELECT ca1.cell, e.j,
+        |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
+        |   FROM ca1 JOIN e USING (vec_id) GROUP BY ca1.cell, e.j),
+        | cd2 AS (SELECT e.vec_id, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cc1 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
+        | ca2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |   FROM cd2) WHERE rn = 1),
+        | cc2 AS (SELECT ca2.cell, e.j,
+        |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
+        |   FROM ca2 JOIN e USING (vec_id) GROUP BY ca2.cell, e.j),
+        | cd3 AS (SELECT e.vec_id, c.cell,
+        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+        |   FROM e JOIN cc2 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
+        | cellof AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        |   FROM cd3) WHERE rn = 1),
+        | n2 AS (SELECT vec_id, sum(v*v)::BIGINT AS nn FROM e GROUP BY vec_id),
+        | dotp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |   sum(a.v*b.v)::BIGINT AS dot
+        |   FROM e a JOIN e b ON a.j = b.j AND a.vec_id < b.vec_id
+        |   JOIN cellof ca ON ca.vec_id = a.vec_id
+        |   JOIN cellof cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+        |   GROUP BY 1, 2),
+        | dups AS (SELECT DISTINCT d.vb AS vec_id
+        |   FROM dotp d JOIN n2 na ON na.vec_id = d.va
+        |   JOIN n2 nb ON nb.vec_id = d.vb
+        |   WHERE d.dot > 0
+        |     AND 1000000 * d.dot * d.dot >= 950*950 * na.nn * nb.nn)
+        |SELECT c.vec_id, c.cell::BIGINT AS cell,
+        | (CASE WHEN dups.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_dup
+        |FROM cellof c LEFT JOIN dups USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
     "q74_bpe_merges" ->
       """WITH c AS (SELECT word, count(*)::BIGINT AS f FROM (
         |   SELECT unnest(str_split(text,' ')) AS word FROM documents)

@@ -464,6 +464,57 @@ object Dedup {
       .where(col("cosine") >= minCos)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * data-efficient learning at web-scale through semantic
+    * deduplication" — public algorithm family): embeddings are
+    * k-means-clustered ([[Kmeans.assignQuantized]], integer-exact) and
+    * near-duplicate pruning compares pairs ONLY within a cluster — the
+    * property that makes semantic dedup tractable at corpus scale: k
+    * grows with N so cluster size stays bounded, per-cluster pairwise
+    * work stays constant, and `cell` is the one shuffle key (never a
+    * corpus² join — the same bounded-candidate-window discipline as
+    * [[embeddingNearDup]], with the window LEARNED instead of given).
+    * First-wins semantics: a vector is a duplicate iff some SMALLER
+    * vec_id in its cluster clears cosine ≥ tPm/1000, so the keeper set
+    * has exactly one representative per similar group (like
+    * [[nearDupGate]]). Cross-cluster near-dups are missed by design —
+    * SemDeDup's stated trade (centroids separate them only when they
+    * are far apart in embedding space).
+    *
+    * All integer math so DuckDB replays bit-for-bit: vectors quantize
+    * to round(x·scale) and cos ≥ t is evaluated square-free as
+    * dot > 0 ∧ 10⁶·dot² ≥ tPm²·|a|²·|b|². Long-safe for 64-dim
+    * unit-ball vectors at scale=100: |dot| ≤ 64·100² = 6.4e5, so
+    * 10⁶·dot² ≤ 4.1e17 and tPm²·|a|²·|b|² ≤ 4.1e17 < 2⁶³. Zero-norm
+    * vectors never match (dot > 0 is required).
+    *
+    * Returns one row per input vector: (vec_id, cell, is_dup) —
+    * explicit zeros, the same totality contract as
+    * [[duplicateSpanCoverage]].
+    */
+  def semanticDedup(emb: DataFrame, k: Int = 4, updates: Int = 2,
+                    tPm: Long = 950L, scale: Int = 100): DataFrame = {
+    require(scale <= 100 && tPm <= 1000L,
+      s"scale=$scale/tPm=$tPm can overflow the Long-safe predicate bound")
+    val cells = Kmeans.assignQuantized(emb, k, updates, scale)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val v = Kmeans.quantized(emb, scale).toDF("vec_id", "v")
+      .join(cells, Seq("vec_id"))
+    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    def n2(side: String) =
+      aggregate(transform(col(s"$side.v"), x => x * x),
+        lit(0L), (acc, x) => acc + x)
+    val dups = v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .where(dot > 0 &&
+        dot * dot * lit(1000000L) >= lit(tPm * tPm) * n2("a") * n2("b"))
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    cells.join(dups.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+  }
+
   /** Exact SUBSTRING-level duplication coverage (Lee, Ippolito et al.
     * 2022, "Deduplicating training data makes language models better" —
     * public algorithm family): a token position is DUPLICATED if some

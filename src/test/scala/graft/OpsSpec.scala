@@ -999,6 +999,42 @@ class SetSimJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     // degenerate threshold above 10^6: no pair can qualify
     assert(graft.ops.Dedup.setSimJoinDedupFirst(docs, 1000001L).count() == 0)
   }
+
+  test("semanticDedup: within-cell first-wins pruning, totality, repartition-invariant") {
+    import org.apache.spark.sql.functions._
+    def vec(parts: (Int, Double)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a
+    }
+    // ids 0-3 seed 4 well-separated cells (+x, -x, +y, -y); 4/5/7 are
+    // near/exact copies (cos ≥ 0.95 with a smaller-id cell-mate → dup),
+    // 6 shares a cell with 0 at cos 0.8 (kept)
+    val rows = Seq(
+      0L -> vec(0 -> 1.0), 1L -> vec(0 -> -1.0),
+      2L -> vec(1 -> 1.0), 3L -> vec(1 -> -1.0),
+      4L -> vec(0 -> 0.99, 1 -> 0.01), 5L -> vec(0 -> -1.0),
+      6L -> vec(0 -> 0.8, 1 -> 0.6), 7L -> vec(1 -> -0.98, 2 -> 0.02))
+    val emb = rows.toDF("vec_id", "embedding")
+    def result(df: org.apache.spark.sql.DataFrame) =
+      Dedup.semanticDedup(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val r = result(emb)
+    assert(r.size == 8) // totality: every vector gets a row
+    assert(r.filter(_._2._2 == 1L).keySet == Set(4L, 5L, 7L),
+      s"dups=${r.filter(_._2._2 == 1L).keySet}")
+    // first-wins: the smaller-id partner of each dup is kept, same cell
+    for ((dup, keeper) <- Seq(4L -> 0L, 5L -> 1L, 7L -> 3L)) {
+      assert(r(keeper)._2 == 0L)
+      assert(r(dup)._1 == r(keeper)._1, s"$dup not co-clustered with $keeper")
+    }
+    // partitioning must not change the result
+    assert(result(emb.repartition(7)) == r)
+    // at tPm = 1000 only an EXACT copy (cos = 1.0 on the quantized
+    // grid) qualifies: id 5 stays flagged, the near-copies drop out
+    assert(Dedup.semanticDedup(emb, tPm = 1000L)
+      .where(col("is_dup") === 1L).count() == 1)
+  }
 }
 
 /** MinHash family on a STRING-keyed corpus (the KG doc table shape) —
