@@ -587,6 +587,12 @@ object SparkEntry {
       graft.ops.Dedup.semanticDedup(emb.unionByName(copies))
         .orderBy("vec_id")
     }),
+    // ---- DSIR importance-resampling selection: hashed-unigram
+    //      target/raw distributions (target = lang='en'), fixed-point
+    //      log2 importance weights, deterministic top-k ----
+    "q109_dsir_select" -> ((s, dir) =>
+      graft.ops.Filters.dsirSelect(t(s, dir, "documents"),
+        col("lang") === "en", nBuckets = 64, topDocs = 50)),
     // ---- one BPE-trainer step: top-k adjacent char-pair merges over
     //      the word-frequency table ----
     "q74_bpe_merges" -> ((s, dir) =>
@@ -2023,6 +2029,36 @@ object SparkEntry {
         | (CASE WHEN dups.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_dup
         |FROM cellof c LEFT JOIN dups USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
+    "q109_dsir_select" ->
+      """WITH toks AS (SELECT doc_id, is_tgt,
+        |   ('0x'||substr(md5(w),1,15))::BIGINT % 64 AS bucket FROM (
+        |   SELECT doc_id, (lang = 'en') AS is_tgt,
+        |     unnest(str_split(text,' ')) AS w FROM documents)
+        |   WHERE w <> ''),
+        | bc AS (SELECT bucket, count(*)::BIGINT AS raw_b,
+        |   sum(CASE WHEN is_tgt THEN 1 ELSE 0 END)::BIGINT AS tgt_b
+        |   FROM toks GROUP BY bucket),
+        | tot AS (SELECT sum(raw_b)::BIGINT AS rr, sum(tgt_b)::BIGINT AS tt
+        |   FROM bc),
+        | wt AS (SELECT bucket,
+        |     ((length(bin(tgt_b+1))-1)*65536
+        |       + ((tgt_b+1)*65536) // (1::BIGINT << (length(bin(tgt_b+1))-1))
+        |       - 65536)
+        |   - ((length(bin(tt+1))-1)*65536
+        |       + ((tt+1)*65536) // (1::BIGINT << (length(bin(tt+1))-1))
+        |       - 65536)
+        |   - ((length(bin(raw_b+1))-1)*65536
+        |       + ((raw_b+1)*65536) // (1::BIGINT << (length(bin(raw_b+1))-1))
+        |       - 65536)
+        |   + ((length(bin(rr+1))-1)*65536
+        |       + ((rr+1)*65536) // (1::BIGINT << (length(bin(rr+1))-1))
+        |       - 65536) AS w_fp16
+        |   FROM bc CROSS JOIN tot)
+        |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+        | sum(w.w_fp16)::BIGINT AS dsir_fp16
+        |FROM toks t JOIN wt w USING (bucket)
+        |GROUP BY t.doc_id
+        |ORDER BY dsir_fp16 DESC, doc_id LIMIT 50""".stripMargin,
     "q74_bpe_merges" ->
       """WITH c AS (SELECT word, count(*)::BIGINT AS f FROM (
         |   SELECT unnest(str_split(text,' ')) AS word FROM documents)

@@ -162,4 +162,55 @@ object Filters {
         md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
           phoneRe, "<PHONE>")).as("redacted_md5"))
   }
+
+  /** DSIR-style data selection via hashed-n-gram importance weights
+    * (Xie et al. 2023, "Data selection for language models via
+    * importance resampling" — public algorithm family): token features
+    * hash into `nBuckets` buckets, a target bag-of-buckets distribution
+    * p̂ is fit on the `isTarget` docs and a raw distribution q̂ on the
+    * whole corpus, and each doc scores its importance log-ratio
+    * Σ_tokens [log₂ p̂(bucket) − log₂ q̂(bucket)]; the `topDocs` best
+    * (score desc, doc_id asc) are the selected training subset — docs
+    * RESEMBLING the target distribution rank high whether or not they
+    * were in the target set, which is the point of importance
+    * resampling. Deterministic top-k stands in for DSIR's gumbel
+    * resampling step so both engines agree exactly.
+    *
+    * Everything is FIXED-POINT INTEGER (the BM25/PageRank micro-unit
+    * discipline): bucket = h60(word) mod nBuckets, counts get +1
+    * smoothing, and log₂ is [[VocabOps.bm25]]'s linear-mantissa
+    * log2_fp16 (exact at powers of two, ≤ 0.086 bits between them,
+    * replayable via `bin`/shift in any SQL engine). log₂ p̂ − log₂ q̂
+    * expands to [lg(tgt_b+1) − lg(T+1)] − [lg(raw_b+1) − lg(R+1)], all
+    * Long-safe to ~10¹² tokens (x·2¹⁶ < 2⁶³).
+    *
+    * Scale shape: ONE token-keyed aggregation with map-side combine
+    * (each partition emits ≤ nBuckets rows, so the 64-key shuffle moves
+    * O(partitions·nBuckets), not O(tokens)); the weight table is an
+    * O(nBuckets) broadcast; scoring is one doc-keyed aggregation; the
+    * top-k is TakeOrderedAndProject, never a global sort.
+    */
+  def dsirSelect(docs: DataFrame, isTarget: Column, nBuckets: Int = 64,
+                 topDocs: Int = 50): DataFrame = {
+    val toks = docs.select(col("doc_id"), isTarget.as("is_tgt"),
+        explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("doc_id"), col("is_tgt"),
+        pmod(hexInt(col("w")), lit(nBuckets.toLong)).as("bucket"))
+    val bc = toks.groupBy("bucket").agg(
+      count(lit(1)).as("raw_b"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_b"))
+    val tot = bc.agg(sum("raw_b").as("rr"), sum("tgt_b").as("tt"))
+    def lg(x: String) =
+      s"((length(bin($x)) - 1) * 65536 + (($x) * 65536) div " +
+        s"shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1) - 65536)"
+    val wt = bc.crossJoin(broadcast(tot)).selectExpr("bucket",
+      s"${lg("tgt_b + 1")} - ${lg("tt + 1")} - ${lg("raw_b + 1")} + " +
+        s"${lg("rr + 1")} AS w_fp16")
+    toks.join(broadcast(wt), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w_fp16").as("dsir_fp16"))
+      .orderBy(desc("dsir_fp16"), asc("doc_id"))
+      .limit(topDocs)
+  }
 }

@@ -97,6 +97,31 @@ class OpsSpec extends AnyFunSuite {
     assert(r2 == r.map { case (k, v) => k -> v.getLong(3) })
   }
 
+  test("dsirSelect: unflagged target-like docs outrank off-distribution docs") {
+    import graft.ops.Filters
+    // two disjoint vocabularies; only HALF of the A-vocab docs are
+    // flagged as target — importance resampling must still rank the
+    // UNFLAGGED A-vocab docs above every B-vocab doc
+    val vocabA = Vector("alpha", "beta", "gamma", "delta")
+    val vocabB = Vector("omega", "sigma", "theta", "kappa")
+    def text(v: Vector[String], seed: Long) =
+      (0 until 12).map(i => v(((seed + i) % v.size).toInt)).mkString(" ")
+    val rows = (0L until 10L).map(i => (i, text(vocabA, i), "s")) ++
+      (10L until 30L).map(i => (i, text(vocabB, i), "s"))
+    val d = docs(rows: _*)
+    val top = Filters.dsirSelect(d, col("doc_id") < 5, topDocs = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == (0L until 10L).toSet, s"top10=$top")
+    // every A doc scores strictly above every B doc
+    val all = Filters.dsirSelect(d, col("doc_id") < 5, topDocs = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((0L until 10L).map(all).min > (10L until 30L).map(all).max)
+    // partitioning must not change scores
+    val rep = Filters.dsirSelect(d.repartition(7), col("doc_id") < 5,
+      topDocs = 30).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rep == all)
+  }
+
   test("contamination: planted benchmark overlap detected, clean docs zero") {
     import graft.ops.Filters
     val benchText = (1 to 12).map(i => s"b$i").mkString(" ")
