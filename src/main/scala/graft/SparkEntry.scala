@@ -593,6 +593,33 @@ object SparkEntry {
     "q109_dsir_select" -> ((s, dir) =>
       graft.ops.Filters.dsirSelect(t(s, dir, "documents"),
         col("lang") === "en", nBuckets = 64, topDocs = 50)),
+    // ---- CCNet/RedPajama curation cascade with first-fail accounting:
+    //      planted German prefixes (15%), planted contact lines (30%,
+    //      the q93 recipe) and exact copies (doc_id % 7) give every
+    //      stage real drops; dedup keepers are computed among the
+    //      survivors of the earlier stages only ----
+    "q110_curation_funnel" -> ((s, dir) => {
+      import graft.ops.TextOps.hexInt
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val planted = d.select(col("doc_id"),
+          when(pmod(hexInt(concat(col("doc_id").cast("string"),
+              lit("_lang"))), lit(100)) < 15,
+            concat(lit("der und das der und das der und das der und das " +
+              "der und das der und das "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          when(pmod(hexInt(concat(col("doc_id").cast("string"),
+              lit("_pii"))), lit(100)) < 30,
+            concat(col("text"), lit(" kontakt nutzer"),
+              pmod(col("doc_id"), lit(97)), lit("@beispiel.de tel +4930"),
+              pmod(col("doc_id"), lit(100000)) + 1000000))
+            .otherwise(col("text")).as("text"))
+      val corpus = planted.unionByName(
+        planted.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      graft.ops.Filters.curationFunnel(corpus).orderBy("doc_id")
+    }),
     // ---- one BPE-trainer step: top-k adjacent char-pair merges over
     //      the word-frequency table ----
     "q74_bpe_merges" -> ((s, dir) =>
@@ -2059,6 +2086,63 @@ object SparkEntry {
         |FROM toks t JOIN wt w USING (bucket)
         |GROUP BY t.doc_id
         |ORDER BY dsir_fp16 DESC, doc_id LIMIT 50""".stripMargin,
+    "q110_curation_funnel" ->
+      """WITH p0 AS (SELECT doc_id::BIGINT AS doc_id,
+        |   CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR||'_lang'),1,15))::BIGINT
+        |       % 100 < 15
+        |     THEN 'der und das der und das der und das der und das ' ||
+        |       'der und das der und das ' || text
+        |     ELSE text END AS text FROM documents),
+        | p1 AS (SELECT doc_id,
+        |   CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR||'_pii'),1,15))::BIGINT
+        |       % 100 < 30
+        |     THEN text || ' kontakt nutzer' || (doc_id % 97)::VARCHAR
+        |       || '@beispiel.de tel +4930'
+        |       || (doc_id % 100000 + 1000000)::VARCHAR
+        |     ELSE text END AS text FROM p0),
+        | corpus AS (SELECT * FROM p1 UNION ALL
+        |   SELECT doc_id + 1000000000, text FROM p1 WHERE doc_id % 7 = 0),
+        | lp AS (SELECT doc_id, text,
+        |   len(list_filter(str_split(text,' '), w -> w = 'the'))
+        |   + len(list_filter(str_split(text,' '), w -> w = 'and'))
+        |   + len(list_filter(str_split(text,' '), w -> w = 'is')) AS s_en,
+        |   len(list_filter(str_split(text,' '), w -> w = 'der'))
+        |   + len(list_filter(str_split(text,' '), w -> w = 'und'))
+        |   + len(list_filter(str_split(text,' '), w -> w = 'das')) AS s_de,
+        |   len(list_filter(str_split(text,' '), w -> w = 'le'))
+        |   + len(list_filter(str_split(text,' '), w -> w = 'et'))
+        |   + len(list_filter(str_split(text,' '), w -> w = 'la')) AS s_fr,
+        |   len(list_filter(str_split(text,' '), w -> w = 'el'))
+        |   + len(list_filter(str_split(text,' '), w -> w = 'y'))
+        |   + len(list_filter(str_split(text,' '), w -> w = 'la')) AS s_es
+        |   FROM corpus),
+        | staged AS (SELECT doc_id, md5(text) AS content_hash,
+        |   CASE
+        |     WHEN (CASE WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+        |       WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+        |       WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+        |       ELSE 'es' END) <> 'en' THEN 'lang'
+        |     WHEN len(list_filter(str_split(text,' '), w -> w <> '')) < 20
+        |       THEN 'length'
+        |     WHEN (len(list_filter(str_split(text,' '), w -> w <> ''))
+        |         - len(list_distinct(list_filter(str_split(text,' '),
+        |             w -> w <> '')))) * 1000000
+        |       > 700000 * len(list_filter(str_split(text,' '), w -> w <> ''))
+        |       THEN 'repetition'
+        |     WHEN len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |       + len(regexp_extract_all(text, '\+[0-9]{7,14}')) > 0
+        |       THEN 'pii'
+        |     ELSE NULL END AS early_drop
+        |   FROM lp),
+        | keepers AS (SELECT content_hash, min(doc_id) AS keep_doc_id
+        |   FROM staged WHERE early_drop IS NULL GROUP BY content_hash)
+        |SELECT s.doc_id,
+        | coalesce(s.early_drop,
+        |   CASE WHEN s.doc_id <> k.keep_doc_id THEN 'duplicate'
+        |     ELSE 'kept' END) AS drop_stage
+        |FROM staged s LEFT JOIN keepers k USING (content_hash)
+        |ORDER BY s.doc_id""".stripMargin,
     "q74_bpe_merges" ->
       """WITH c AS (SELECT word, count(*)::BIGINT AS f FROM (
         |   SELECT unnest(str_split(text,' ')) AS word FROM documents)

@@ -144,9 +144,14 @@ object Filters {
     * evaluate them identically; the redacted text is emitted as its md5
     * (compact, and a hash match proves byte-identical redaction).
     */
+  /** RE2-safe PII patterns (no lookaround/backrefs — Java and DuckDB
+    * evaluate them identically); shared by [[piiRedact]] and
+    * [[curationFunnel]].
+    */
+  private[ops] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val phoneRe = "\\+[0-9]{7,14}"
+
   def piiRedact(docs: DataFrame): DataFrame = {
-    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phoneRe = "\\+[0-9]{7,14}"
     val seeded = docs.select(col("doc_id"),
       when(pmod(hexInt(concat(col("doc_id").cast("string"), lit("_pii"))),
         lit(100)) < 30,
@@ -212,5 +217,50 @@ object Filters {
       .agg(count(lit(1)).as("n_tokens"), sum("w_fp16").as("dsir_fp16"))
       .orderBy(desc("dsir_fp16"), asc("doc_id"))
       .limit(topDocs)
+  }
+
+  /** CCNet/RedPajama-style curation cascade (Wenzek et al. 2020 /
+    * Together 2023 — public pipeline families) with first-fail
+    * accounting: every doc gets exactly one row tagged with the FIRST
+    * stage that drops it (`lang` → `length` → `repetition` → `pii` →
+    * `duplicate`) or `kept` — the per-stage funnel a production corpus
+    * pipeline reports, derivable by one group-by over the output.
+    * Stage rules reuse the already-oracled components and are
+    * integer/string-exact (no float thresholds): language =
+    * [[TextOps.langId]]'s argmax vote; length = whitespace token floor;
+    * repetition = duplicate-word ppm (10⁶·(n−distinct) > dupPpmMax·n);
+    * PII = the shared RE2-safe email/phone patterns fire at all;
+    * dedup = exact content-md5 first-wins AMONG SURVIVORS of the
+    * earlier stages (a dropped doc never holds a keeper slot — the
+    * cascade order a real pipeline applies).
+    *
+    * Scale shape: one typed pass per row for the first four stages
+    * (zero shuffle), then ONE content-hash aggregation over survivors
+    * and a co-keyed join back — at 100 TB the cascade drops the bulk
+    * of the corpus BEFORE the only shuffle, which is the reason
+    * production pipelines order cheap row-local filters first.
+    */
+  def curationFunnel(docs: DataFrame, lang: String = "en",
+                     minWords: Long = 20,
+                     dupPpmMax: Long = 700000L): DataFrame = {
+    val ws = filter(split(col("text"), " "), w => w =!= "")
+    val staged = docs
+      .select(col("doc_id"), md5(col("text")).as("content_hash"),
+        when(TextOps.langPredCol(col("text")) =!= lang, "lang")
+          .when(size(ws).cast("long") < minWords, "length")
+          .when((size(ws) - size(array_distinct(ws))).cast("long")
+              * 1000000L > lit(dupPpmMax) * size(ws).cast("long"),
+            "repetition")
+          .when(size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+              + size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+              > 0, "pii")
+          .as("early_drop"))
+    val keepers = staged.where(col("early_drop").isNull)
+      .groupBy("content_hash").agg(min("doc_id").as("keep_doc_id"))
+    staged.join(keepers, Seq("content_hash"), "left")
+      .select(col("doc_id"),
+        coalesce(col("early_drop"),
+          when(col("doc_id") =!= col("keep_doc_id"), "duplicate")
+            .otherwise("kept")).as("drop_stage"))
   }
 }

@@ -69,6 +69,19 @@ object TextOps {
     "fr" -> Seq("le", "et", "la"),
     "es" -> Seq("el", "y", "la"))
 
+  /** Row-local language vote over a text column — the argmax CASE of
+    * [[langId]] as a single Column, so cascades ([[Filters
+    * .curationFunnel]]) can evaluate it inline without a join back.
+    */
+  def langPredCol(text: Column): Column = {
+    def score(l: String) = markers(l).map(w => wordCount(text, w)).reduce(_ + _)
+    val best = greatest(markers.keys.toSeq.sorted.map(score): _*)
+    when(score("en") === best, "en")
+      .when(score("de") === best, "de")
+      .when(score("fr") === best, "fr")
+      .otherwise("es")
+  }
+
   /** Heuristic language-ID: marker-word occurrence scores, argmax with
     * fixed tie order en > de > fr > es.
     */
@@ -77,14 +90,10 @@ object TextOps {
       df.withColumn(s"score_$lang",
         ws.map(w => wordCount(col("text"), w)).reduce(_ + _))
     }
-    val best = greatest(markers.keys.toSeq.sorted.map(l => col(s"score_$l")): _*)
     scored.select(
       col("doc_id"),
       col("score_en"), col("score_de"), col("score_fr"), col("score_es"),
-      when(col("score_en") === best, "en")
-        .when(col("score_de") === best, "de")
-        .when(col("score_fr") === best, "fr")
-        .otherwise("es").as("lang_pred"))
+      langPredCol(col("text")).as("lang_pred"))
   }
 
   /** Stopword list shared with the DuckDB oracle (en + de heads). */

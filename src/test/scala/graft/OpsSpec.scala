@@ -122,6 +122,34 @@ class OpsSpec extends AnyFunSuite {
     assert(rep == all)
   }
 
+  test("curationFunnel: first-fail stages, dedup keepers among survivors only") {
+    import graft.ops.Filters
+    val en20 = (0 until 20).map(i => s"word$i").mkString(" ") + " the and is"
+    val rows = Seq(
+      1L -> en20,                                   // kept
+      2L -> "der und das der und das der und das",  // lang
+      3L -> "the and is tiny",                      // length (< 20 words)
+      4L -> (("spam " * 24).trim + " the and is"),  // repetition (dup > 0.7)
+      5L -> (en20 + " mail me a@b.de"),             // pii
+      6L -> en20,                                   // duplicate of 1
+      // keeper-slot test: 7 fails pii, 8 shares 7's text WITHOUT pii —
+      // 8 must be KEPT (7 never holds the keeper slot), and a second
+      // clean copy 9 must be 'duplicate' with keeper 8
+      7L -> (en20 + " extra a@b.de"),
+      8L -> (en20 + " extra"),
+      9L -> (en20 + " extra"))
+    val d = rows.map { case (id, t) => (id, t, "s") }.toDF("doc_id", "text", "source")
+    val r = Filters.curationFunnel(d).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "kept", 2L -> "lang", 3L -> "length",
+      4L -> "repetition", 5L -> "pii", 6L -> "duplicate",
+      7L -> "pii", 8L -> "kept", 9L -> "duplicate"), s"got $r")
+    // partitioning must not change the verdicts
+    val rep = Filters.curationFunnel(d.repartition(5)).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(rep == r)
+  }
+
   test("contamination: planted benchmark overlap detected, clean docs zero") {
     import graft.ops.Filters
     val benchText = (1 to 12).map(i => s"b$i").mkString(" ")
