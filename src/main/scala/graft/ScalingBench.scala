@@ -121,6 +121,88 @@ object ScalingBench {
       Files.writeString(Paths.get(out), json)
       println(json)
 
+    case "miscscale" =>
+      // miscscale <sfDir> <replicas> <cpus> <outJson> [opFilter] —
+      // dedupscale's protocol for the curation additions: semantic
+      // dedup over the embeddings table replicated `replicas`×
+      // (every vector gains replicas-1 EXACT copies that land in the
+      // same k-means cell by construction — the hot-cell worst case),
+      // DSIR selection and the curation funnel over the documents
+      // table replicated likewise (dup families stress the funnel's
+      // survivor dedup; DSIR's bucket agg is replica-invariant work
+      // per token). Fixed 256 shuffle partitions at both levels,
+      // inputs localCheckpoint'd outside the timed region, per-op
+      // best-of-3 + shuffle-key families + CpuProbe control.
+      import org.apache.spark.sql.functions._
+      val sfDir = args(1); val reps = args(2).toInt
+      val cpus = args(3).toInt; val out = args(4)
+      val opFilter: Option[Set[String]] =
+        if (args.length > 5) Some(args(5).split(",").toSet) else None
+      val spark = Bench.session(cpus.toString)
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      def repl(df: org.apache.spark.sql.DataFrame, idCol: String) =
+        (0 until reps).map(i => df.withColumn(idCol,
+            col(idCol) + lit(i * 1000000000L)))
+          .reduce(_ unionByName _).repartition(256).localCheckpoint()
+      val needDocs = opFilter.forall(f => f("dsir") || f("funnel"))
+      val needEmb = opFilter.forall(_.contains("semdedup"))
+      val docs = if (needDocs) repl(spark.read
+          .parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+            col("lang")), "doc_id")
+        else spark.emptyDataFrame
+      val emb = if (needEmb) repl(spark.read
+          .parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("embedding")), "vec_id")
+        else spark.emptyDataFrame
+      val n = if (needDocs) docs.count() else 0L
+      val nE = if (needEmb) emb.count() else 0L
+      val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        // k scales with N (the SemDeDup discipline: bounded cell size)
+        "semdedup" -> (() => graft.ops.Dedup.semanticDedup(emb,
+          k = math.max(4, (nE / 1250L).toInt))),
+        "dsir" -> (() => graft.ops.Filters.dsirSelect(docs,
+          col("lang") === "en", topDocs = 100)),
+        "funnel" -> (() => graft.ops.Filters.curationFunnel(docs)))
+        .filter { case (name, _) => opFilter.forall(_.contains(name)) }
+      // force EVERY output column: a bare count() lets Catalyst prune
+      // the per-row projection (and can drop a provably-unique-key
+      // outer join entirely), timing the harness instead of the op —
+      // the checksum also asserts value-identity across parallelism
+      // levels, stronger than a row count
+      def force(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.select(xxhash64(df.columns.map(col): _*).as("xh"))
+          .selectExpr("count(1) AS c", "coalesce(bit_xor(xh), 0L) AS h")
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val results = ops.map { case (name, f) =>
+        force(f()) // JIT warm-up
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val (c, h) = force(f())
+          ((System.nanoTime() - t0) / 1e9, c, h)
+        }
+        val (sec, c, h) = runs.minBy(_._1)
+        val plan = f().queryExecution.executedPlan.toString
+        val keys = "hashpartitioning\\(([A-Za-z_0-9]+)#".r
+          .findAllMatchIn(plan).map(_.group(1)).toSeq.distinct.sorted
+        val nShuffle = "Exchange hashpartitioning".r.findAllIn(plan).size
+        val nBcast = "BroadcastExchange".r.findAllIn(plan).size
+        (name, sec, c, h, keys, nShuffle, nBcast)
+      }
+      val ctlM = CpuProbe.control(spark)
+      spark.stop()
+      val bodyM = results.map { case (name, sec, c, h, keys, ns, nb) =>
+        val ks = keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+        f""""$name":{"sec":$sec%.3f,"rows":$c,"checksum":$h,"shuffles":$ns,"broadcasts":$nb,"shuffle_keys":$ks}"""
+      }.mkString(",")
+      val jsonM =
+        f"""{"cpus":$cpus,"nDocs":$n,"nVecs":$nE,"replicas":$reps,"mode":"miscscale","control_sec":$ctlM%.3f,$bodyM}"""
+      Files.writeString(Paths.get(out), jsonM)
+      println(jsonM)
+
     case "dedupscale" =>
       // dedupscale <sfDir> <replicas> <cpus> <outJson> — scale-up +
       // two-parallelism evidence for the dedup/similarity heavy hitters

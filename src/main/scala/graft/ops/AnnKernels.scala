@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native codegen'd kernels for the vector math of the ANN family.
   *
@@ -60,6 +60,21 @@ object AnnKernels {
     round6(dot)
   }
 
+  /** Exact integer dot product over quantized (long) vectors — the
+    * codegen'd hot kernel of [[Dedup.semanticDedup]]'s within-cell
+    * pair predicate (an `aggregate(zip_with(...))` fold allocates a
+    * zipped array per pair; this reads both UnsafeArrayData in place).
+    */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"dotLong: vector length mismatch $n vs ${b.numElements()}")
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += a.getLong(i) * b.getLong(i); i += 1 }
+    dot
+  }
+
   private def registerOne(spark: SparkSession, name: String,
                           build: (Expression, Expression) => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -68,6 +83,7 @@ object AnnKernels {
   def register(spark: SparkSession): Unit = {
     registerOne(spark, "cosine6", Cosine6Expr(_, _))
     registerOne(spark, "dot6", Dot6Expr(_, _))
+    registerOne(spark, "dot_long", DotLongExpr(_, _))
   }
 
   def cosine6Col(spark: SparkSession, a: Column, b: Column): Column = {
@@ -78,6 +94,11 @@ object AnnKernels {
   def dot6Col(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("dot6", a, b)
+  }
+
+  def dotLongCol(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("dot_long", a, b)
   }
 }
 
@@ -102,5 +123,17 @@ case class Dot6Expr(left: Expression, right: Expression) extends BinaryExpressio
     defineCodeGen(ctx, ev, (a, b) => s"graft.ops.AnnKernels.dot6($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Dot6Expr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    AnnKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.AnnKernels.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLongExpr =
     copy(left = newLeft, right = newRight)
 }

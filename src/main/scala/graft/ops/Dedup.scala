@@ -496,20 +496,27 @@ object Dedup {
                     tPm: Long = 950L, scale: Int = 100): DataFrame = {
     require(scale <= 100 && tPm <= 1000L,
       s"scale=$scale/tPm=$tPm can overflow the Long-safe predicate bound")
+    val spark = emb.sparkSession
     val cells = Kmeans.assignQuantized(emb, k, updates, scale)
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    // per-VECTOR norm once (not per pair); the per-PAIR dot runs
+    // through the codegen'd [[AnnKernels.dotLong]] kernel — the HOF
+    // fold evaluates interpreted per boxed element and dominates the
+    // within-cell O(pairs·d) work otherwise
     val v = Kmeans.quantized(emb, scale).toDF("vec_id", "v")
       .join(cells, Seq("vec_id"))
-    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
-    def n2(side: String) =
-      aggregate(transform(col(s"$side.v"), x => x * x),
-        lit(0L), (acc, x) => acc + x)
+      .withColumn("n2",
+        aggregate(transform(col("v"), x => x * x),
+          lit(0L), (acc, x) => acc + x))
+    val dot = AnnKernels.dotLongCol(spark, col("a.v"), col("b.v"))
     val dups = v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .where(dot > 0 &&
-        dot * dot * lit(1000000L) >= lit(tPm * tPm) * n2("a") * n2("b"))
-      .select(col("b.vec_id").as("vec_id")).distinct()
+      .select(col("b.vec_id").as("vec_id"), dot.as("dot"),
+        col("a.n2").as("na2"), col("b.n2").as("nb2"))
+      .where(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(1000000L) >=
+          lit(tPm * tPm) * col("na2") * col("nb2"))
+      .select("vec_id").distinct()
     cells.join(dups.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("is_dup"), lit(0L)).as("is_dup"))
