@@ -452,6 +452,28 @@ class AnnKernelSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.toLowerCase.contains("cosine6"), plan)
     assert(plan.contains("*("), plan)
   }
+
+  test("dot_long matches the integer HOF fold; ragged vectors fail loudly") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = graft.ops.Kmeans.quantized(emb, 100).toDF("vec_id", "v")
+    val pairs = q.as("a").join(q.as("b"),
+      col("a.vec_id") % 5 === col("b.vec_id") % 5 &&
+        col("a.vec_id") < col("b.vec_id"))
+    val both = pairs.select(
+      graft.ops.AnnKernels.dotLongCol(spark, col("a.v"), col("b.v"))
+        .as("native"),
+      aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 100)
+    val ragged = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      ragged.select(graft.ops.AnnKernels.dotLongCol(spark,
+        col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
 
 /** Distributed as-of join: ≤-tie semantics, carry-forward, no-match nulls. */
