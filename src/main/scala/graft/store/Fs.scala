@@ -34,6 +34,27 @@ object Fs {
     out.toSeq
   }
 
+  /** Content signature of a directory: relative path + length + mtime
+    * of every file, sorted — pure namenode metadata, no Spark job; it
+    * changes whenever any file under `path` is rewritten. Keys the
+    * manifest memoization in [[LineageStore]].
+    */
+  def signature(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return ""
+    val base = fs.makeQualified(p).toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = fs.makeQualified(s.getPath).toString
+        .stripPrefix(base).stripPrefix("/")
+      out += s"$rel:${s.getLen}:${s.getModificationTime}"
+    }
+    out.sorted.mkString("|")
+  }
+
   /** Recursive file listing (names only) — DFS-safe like [[exists]]. */
   def listFiles(spark: SparkSession, path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -254,25 +254,48 @@ object LineageStore {
     * the manifest's (min, max) column names for the sorted key — the
     * subj-side and obj-side manifests share this machinery.
     */
+  private case class ManifestRow(file: String, kMin: String, kMax: String,
+                                 pMin: String, pMax: String)
+  // per-JVM manifest memo keyed by the manifest DIR's metadata
+  // signature (Fs.signature: names+lengths+mtimes, no Spark job) — a
+  // point lookup otherwise pays a full parquet-read Spark job per call
+  // for a table that only changes at compaction time. The liveness
+  // guard below stays PER CALL: memoizing the manifest rows is safe
+  // (signature changes when the manifest is rewritten), memoizing the
+  // live data listing would not be (any commit invalidates it).
+  private val manifestMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[ManifestRow])]()
+  /** Actual manifest parquet reads — observable by tests asserting the
+    * memo (and reset-able between scenarios). */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def manifestPrunedFilesAt(spark: SparkSession, manifestPath: String,
                                     dataPath: String,
                                     keyCols: (String, String),
                                     key: String, pred: Option[String])
       : Option[Seq[String]] = {
     if (!Fs.exists(spark, manifestPath)) return None
-    val rows = spark.read.parquet(manifestPath)
-      .select("file", keyCols._1, keyCols._2, "pred_min", "pred_max")
-      .collect()
+    val sig = Fs.signature(spark, manifestPath)
+    val rows = Option(manifestMemo.get(manifestPath))
+      .filter(_._1 == sig).map(_._2).getOrElse {
+        manifestReads.incrementAndGet()
+        val r = spark.read.parquet(manifestPath)
+          .select("file", keyCols._1, keyCols._2, "pred_min", "pred_max")
+          .collect().toSeq.map(x => ManifestRow(x.getString(0),
+            x.getString(1), x.getString(2), x.getString(3), x.getString(4)))
+        manifestMemo.put(manifestPath, (sig, r))
+        r
+      }
     val live = Fs.listFilesRelative(spark, dataPath)
       .filter(_.endsWith(".parquet")).toSet
     // staleness guard on RELATIVE paths (base names repeat across
     // bucket dirs) — any commit since compaction invalidates the
     // manifest and drops lookups back to the full scan
-    if (rows.map(_.getString(0)).toSet != live) return None
-    Some(rows.toSeq.filter { r =>
-      key >= r.getString(1) && key <= r.getString(2) &&
-        pred.forall(p => p >= r.getString(3) && p <= r.getString(4))
-    }.map(_.getString(0)))
+    if (rows.map(_.file).toSet != live) return None
+    Some(rows.filter { r =>
+      key >= r.kMin && key <= r.kMax &&
+        pred.forall(p => p >= r.pMin && p <= r.pMax)
+    }.map(_.file))
   }
 
   private def manifestPrunedFiles(spark: SparkSession, root: String,

@@ -115,6 +115,16 @@ class StoreLookupSpec extends AnyFunSuite {
       .collect().map(t => (t.pred, t.obj, t.doc_id)).sorted.toSeq
     assert(gotSP == expect.filter(_._1 == pred) && gotSP.nonEmpty)
 
+    // ---- manifest memo: repeat lookups must NOT re-read the manifest
+    //      parquet (a Spark job per point lookup otherwise); the memo
+    //      key is the manifest dir's metadata signature, so the
+    //      in-place rewrite below must invalidate it ----
+    val readsBefore = LineageStore.manifestReads.get()
+    LineageStore.lookupBySubject(spark, root, subj).collect()
+    LineageStore.lookupBySubjectPred(spark, root, subj, pred).collect()
+    assert(LineageStore.manifestReads.get() == readsBefore,
+      "repeat lookups re-read the manifest despite the memo")
+
     // ---- STALE manifest (file set drifted since compaction): lookups
     //      must detect the mismatch and fall back to the full scan ----
     val mPath = LineageStore.fileManifestPath(root)
@@ -129,6 +139,9 @@ class StoreLookupSpec extends AnyFunSuite {
     assert(gotStale == expect)
     assert(dfStale.inputFiles.map(rel).toSet == allFiles,
       "stale manifest was trusted instead of falling back to the full scan")
+    // the rewrite changed the manifest signature → exactly one re-read
+    assert(LineageStore.manifestReads.get() == readsBefore + 1,
+      "manifest rewrite did not invalidate the memo (or re-read more than once)")
   }
 
   test("object lookup over the inverted twin index: file + row-group pruning, fallback when absent or stale") {
