@@ -49,7 +49,40 @@ object KgPipeline {
       // (the scored-dict store amortizes the PRIOR-ONLY table — a
       // deployment running contextual steadily would materialize the
       // ctx candidate table in the DictStore the same way)
-      contextualLink: Boolean = false)
+      contextualLink: Boolean = false,
+      // opt-in ingest CURATION gate: documents whose concatenated text
+      // spans fail [[graft.ops.Filters.curationFunnel]] (target
+      // language, token floor, repetition ppm, PII, exact-dup
+      // first-wins) never reach the detect stage — the production
+      // order: row-local filters drop the bulk of a web crawl BEFORE
+      // the pipeline's shuffles. None = gate off (exact legacy path).
+      curate: Option[CurateCfg] = None)
+
+  /** Thresholds for the [[Config.curate]] ingest gate. The corpus
+    * generator plants GERMAN sentences, hence lang="de"; minWords
+    * defaults low because KG docs are sentence-granular, not web pages.
+    */
+  case class CurateCfg(lang: String = "de", minWords: Long = 5,
+                       dupPpmMax: Long = 700000L)
+
+  /** The [[Config.curate]] gate: keep exactly the docs the funnel tags
+    * `kept`, judged on the concatenated text spans (media spans carry
+    * no text signal). Semi join back on doc_id so the Doc rows pass
+    * through untouched.
+    */
+  def curationKeep(spark: SparkSession, docs: Dataset[Doc],
+                   c: CurateCfg): Dataset[Doc] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val txt = docs.map(d => (d.doc_id,
+        d.spans.filter(_.kind == "text").sortBy(_.offset)
+          .map(_.text).mkString(" ")))
+      .toDF("doc_id", "text")
+    val keep = graft.ops.Filters
+      .curationFunnel(txt, c.lang, c.minWords, c.dupPpmMax)
+      .where(col("drop_stage") === "kept").select("doc_id")
+    docs.join(keep, Seq("doc_id"), "left_semi").as[Doc]
+  }
 
   /** Build the standard tagger/encoder pair over the built-in vocab and
     * the generator's gazetteer (normalized surface → type).
@@ -279,7 +312,9 @@ object KgPipeline {
     import spark.implicits._
     import org.apache.spark.sql.functions.{coalesce, col, concat_ws, element_at, lit, max, split, when}
     import graft.kg.Triples.{DocUnit, SlimMention, SlimRelation}
-    val sents = sentences(spark, docs)
+    val inDocs = cfg.curate.map(c => curationKeep(spark, docs, c))
+      .getOrElse(docs)
+    val sents = sentences(spark, inDocs)
     val units: Dataset[DocUnit] =
       if (cfg.broadcastLink) {
         // broadcast regime: the dictionary fits in memory by premise, so
@@ -446,7 +481,7 @@ object KgPipeline {
           }
         mUnits.unionByName(rUnits)
       }
-    Triples.buildUnits(spark, units, mediaSpans(spark, docs), cfg.buckets)
+    Triples.buildUnits(spark, units, mediaSpans(spark, inDocs), cfg.buckets)
   }
 
   /** Per-row span-sequence invariant (BASELINE.json input_hint; the

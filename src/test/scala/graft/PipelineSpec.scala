@@ -175,6 +175,56 @@ class PipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("curation gate: prefilter equivalence, junk docs never reach the KG") {
+    val docs = CorpusGen.docs(spark, N, parts = 4)
+    val aliases = CorpusGen.aliases(spark)
+    // junk a real crawl would carry: a contact-bearing doc (pii stage;
+    // German markers + enough words so earlier stages pass) and an
+    // EXACT copy of a real doc (duplicate stage — the copy's id sorts
+    // after every generated id, so the original stays the keeper)
+    val base = docs.collect()
+    val piiDoc = Doc("zz_pii", Array(Span("text",
+      "das Haus und der Garten waren heute gut mail me x@y.de wieder da",
+      "", 0)))
+    // copy a doc the gate KEEPS (its text must vote 'de' — a
+    // marker-less doc ties to 'en' and exits at the lang stage before
+    // the duplicate stage can see the copy)
+    val keepable = base.find { d =>
+      val t = d.spans.filter(_.kind == "text").map(_.text).mkString(" ")
+      val ws = t.split(" ")
+      Seq("der", "und", "das").map(m => ws.count(_ == m)).sum >
+        Seq("le", "et", "la", "el", "y").map(m => ws.count(_ == m)).sum &&
+        ws.count(_.nonEmpty) >= 5 && !t.contains("@")
+    }.getOrElse(fail("no de-voting base doc in the fixture"))
+    val copyDoc = Doc("zz_copy", keepable.spans.filter(_.kind == "text")
+      .map(sp => Span("text", sp.text, "", sp.offset)))
+    val all = spark.createDataset(base.toSeq :+ piiDoc :+ copyDoc)(
+      org.apache.spark.sql.Encoders.product[Doc]).repartition(4)
+    val c = KgPipeline.CurateCfg()
+    def rows(ds: org.apache.spark.sql.Dataset[Doc], cfg: KgPipeline.Config) =
+      KgPipeline.run(spark, ds, aliases, cfg = cfg)
+        .map(t => (t.subj, t.pred, t.obj, t.doc_id, t.conf,
+          t.span_offset, t.sentence_idx)).collect().toSet
+    // the gate must equal manual prefilter + ungated run
+    val gated = rows(all, KgPipeline.Config(curate = Some(c)))
+    val manual = rows(KgPipeline.curationKeep(spark, all, c),
+      KgPipeline.Config())
+    assert(gated == manual && gated.nonEmpty)
+    // the junk never reaches the KG; the funnel actually dropped it
+    // (not a detect-stage miss): both ids are tagged with their stage
+    assert(!gated.exists(r => r._4 == "zz_pii" || r._4 == "zz_copy"))
+    import org.apache.spark.sql.functions.col
+    val verdicts = graft.ops.Filters.curationFunnel(
+        all.map(d => (d.doc_id, d.spans.filter(_.kind == "text")
+          .sortBy(_.offset).map(_.text).mkString(" ")))
+          .toDF("doc_id", "text"), c.lang, c.minWords, c.dupPpmMax)
+      .where(col("doc_id").startsWith("zz_"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(verdicts == Map("zz_pii" -> "pii", "zz_copy" -> "duplicate"),
+      s"got $verdicts")
+    spark.catalog.clearCache()
+  }
+
   test("resume: kill-after-partial-commit yields identical final triples") {
     val root = java.nio.file.Files.createTempDirectory("graft_resume").toString
     val docs = CorpusGen.docs(spark, N, parts = 4)
