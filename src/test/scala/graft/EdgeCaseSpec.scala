@@ -135,4 +135,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got(0).getTimestamp(got(0).fieldIndex("asof_t")) == t(50))
   }
 
+  test("round-7 curation ops survive degenerate input") {
+    import org.apache.spark.sql.functions.col
+    // semanticDedup: singleton (one vector, no pair) and zero-norm
+    val one = Seq((1L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    val r1 = graft.ops.Dedup.semanticDedup(one, k = 2).collect()
+    assert(r1.length == 1 && r1(0).getLong(2) == 0L)
+    val zeros = Seq((1L, Array.fill(64)(0.0f)), (2L, Array.fill(64)(0.0f)))
+      .toDF("vec_id", "embedding")
+    // two zero vectors: dot = 0 → never "similar", both kept
+    assert(graft.ops.Dedup.semanticDedup(zeros, k = 1)
+      .where(col("is_dup") === 1L).count() == 0)
+    // dsirSelect: empty target set (tt = 0) must not throw — weights
+    // become log2((raw_b+1)/(R+1))-shaped, still a total order
+    val d = Seq((1L, "a b c", "s"), (2L, "d e f", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(graft.ops.Filters.dsirSelect(d, col("doc_id") < 0L).count() == 2)
+    // curationFunnel: empty corpus and an empty-text doc (zero words →
+    // length stage, never a divide-by-zero in the repetition rule)
+    assert(graft.ops.Filters.curationFunnel(emptyDocs).count() == 0)
+    val et = Seq((1L, "", "s")).toDF("doc_id", "text", "source")
+    val v = graft.ops.Filters.curationFunnel(et).collect()
+    assert(v.length == 1 && v(0).getString(1) == "length")
+  }
 }
