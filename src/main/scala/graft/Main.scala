@@ -77,6 +77,32 @@ object Main {
                         limit: Option[Int]): org.apache.spark.sql.Dataset[T] =
     limit.fold(ds)(ds.limit)
 
+  /** The `curate` verb body: funnel verdicts to `out`, return the stage
+    * histogram (desc by count, ties by stage for a stable print).
+    */
+  private[graft] def runCurate(spark: org.apache.spark.sql.SparkSession,
+                               input: String, out: String, lang: String,
+                               minWords: Long,
+                               limit: Option[Int]): Seq[(String, Long)] = {
+    import spark.implicits._
+    val txt: org.apache.spark.sql.DataFrame =
+      if (input.startsWith("gen:"))
+        capped(CorpusGen.docs(spark, input.stripPrefix("gen:").toLong,
+            spark.sparkContext.defaultParallelism * 4), limit)
+          .map(d => (d.doc_id, d.spans.filter(_.kind == "text")
+            .sortBy(_.offset).map(_.text).mkString(" ")))
+          .toDF("doc_id", "text")
+      else {
+        val raw = spark.read.parquet(input).select("doc_id", "text")
+        limit.map(raw.limit).getOrElse(raw)
+      }
+    graft.ops.Filters.curationFunnel(txt, lang, minWords)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    spark.read.parquet(out).groupBy("drop_stage").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, n) => (-n, s) }.toSeq
+  }
+
   /** The `cv` verb body: per fold, re-tag the GT to CV-TRAIN/CV-TEST
     * (GroupKFold over contiguous sentence blocks, bert.py:452-468), run
     * the production detect stage (gazetteer tagger) on the TEST
@@ -144,10 +170,10 @@ object Main {
   private val minArgs = Map(
     "run" -> 3, "stream" -> 4, "mlm" -> 3, "compact" -> 2, "dict" -> 3,
     "lookup" -> 3, "serve" -> 1, "status" -> 2, "verify" -> 3,
-    "bench" -> 1, "cv" -> 2)
+    "bench" -> 1, "cv" -> 2, "curate" -> 3)
 
   private def usage(): Nothing = {
-    System.err.println("usage: graft.Main run|stream|mlm|compact|dict|lookup|cv|serve|verify|bench|status ... [--limit N]")
+    System.err.println("usage: graft.Main run|stream|mlm|compact|dict|lookup|cv|curate|serve|verify|bench|status ... [--limit N]")
     sys.exit(2)
   }
 
@@ -298,6 +324,18 @@ object Main {
         val canon = graft.streaming.StreamIngest.readCanonMap(spark, root)
         println(s"canonical map: ${canon.count()} entities")
       }
+      spark.stop()
+
+    case Some("curate") =>
+      // curate <docsParquet|gen:N> <outDir> [lang] [minWords] — run the
+      // CCNet-style curation funnel over a (doc_id, text) corpus, write
+      // the per-doc verdict table and print the stage histogram (the
+      // funnel report a corpus pipeline publishes per ingest batch).
+      val spark = session("graft-curate")
+      runCurate(spark, args(1), args(2),
+        if (args.length > 3) args(3) else "de",
+        if (args.length > 4) args(4).toLong else 5L, limit)
+        .foreach { case (stage, n) => println(f"$stage%-12s $n") }
       spark.stop()
 
     case Some("cv") =>

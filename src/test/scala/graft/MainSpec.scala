@@ -45,6 +45,20 @@ class MainSpec extends AnyFunSuite {
     }
   }
 
+  test("curate verb: verdict table written, histogram totals the corpus") {
+    val out = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    val hist = Main.runCurate(spark, "gen:100", out, "de", 5L, None)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 100L)
+    assert(hist.map(_._2).sum == 100L)
+    val stages = hist.map(_._1).toSet
+    assert(stages.contains("kept") && stages.subsetOf(
+      Set("kept", "lang", "length", "repetition", "pii", "duplicate")))
+    // --limit caps the generated corpus
+    val histL = Main.runCurate(spark, "gen:100", out, "de", 5L, Some(20))
+    assert(histL.map(_._2).sum == 20L)
+  }
+
   test("graft.limit caps every driver-table read (smoke verify/bench)") {
     val sf = "/root/testdata/sf0.001"
     val full = SparkEntry.queries("q02_filter")(spark, sf).count()
