@@ -70,7 +70,8 @@ object Bench {
       "q95_audio_stats", "q97_pq_adc", "q98_dup_spans", "q99_sq8_ann",
       "q101_subj_lookup", "q105_spo_lookup", "q106_obj_lookup",
       "q102_ctx_linking", "q103_ivf_pq", "q107_ivf_pq_refine",
-      "q108_semantic_dedup", "q109_dsir_select", "q110_curation_funnel")
+      "q108_semantic_dedup", "q109_dsir_select", "q110_curation_funnel",
+      "q111_semantic_clusters")
     headline.foreach { q => SparkEntry.queries(q)(spark, sfDir).count() }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     headline.foreach { q =>

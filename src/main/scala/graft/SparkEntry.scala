@@ -587,6 +587,17 @@ object SparkEntry {
       graft.ops.Dedup.semanticDedup(emb.unionByName(copies))
         .orderBy("vec_id")
     }),
+    // ---- SemDeDup cluster-keeper variant: the same within-cell pairs
+    //      become ε-graph edges, connected components collapse each
+    //      similar group (TRANSITIVE) to its min-id keeper ----
+    "q111_semantic_clusters" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val copies = emb.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      graft.ops.Dedup.semanticClusters(emb.unionByName(copies))
+        .orderBy("vec_id")
+    }),
     // ---- DSIR importance-resampling selection: hashed-unigram
     //      target/raw distributions (target = lang='en'), fixed-point
     //      log2 importance weights, deterministic top-k ----
@@ -1010,6 +1021,56 @@ object SparkEntry {
     * `scored`. Integer math + (dist, smaller id) tie-breaks +
     * truncating // throughout, so both engines agree bit-for-bit.
     */
+  /** Shared CTE chain for the SemDeDup oracles (q108 first-wins /
+    * q111 CC keeper): planted copies (every fifth vector) → quantize
+    * at scale 100 → q62's unrolled 2-update Lloyd over the planted set
+    * → per-vector cell (`cellof`), squared norm (`n2`) and within-cell
+    * integer dot products (`dotp`). Callers append the pruning rule.
+    */
+  private def semanticPairCtes: String =
+    """planted AS (
+      |   SELECT vec_id::BIGINT AS vec_id, embedding FROM embeddings
+      |   UNION ALL
+      |   SELECT (vec_id + 1000000)::BIGINT, embedding FROM embeddings
+      |   WHERE vec_id % 5 = 0),
+      | e AS (SELECT vec_id, j,
+      |   CAST(round(CAST(embedding[j+1] AS DOUBLE) * 100) AS BIGINT) AS v
+      |   FROM planted, range(0, 64) t(j)),
+      | ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+      |   FROM (SELECT vec_id FROM planted ORDER BY vec_id LIMIT 4)),
+      | cc0 AS (SELECT ids.cell, e.j, e.v FROM ids JOIN e USING (vec_id)),
+      | cd1 AS (SELECT e.vec_id, c.cell,
+      |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+      |   FROM e JOIN cc0 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
+      | ca1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+      |   FROM cd1) WHERE rn = 1),
+      | cc1 AS (SELECT ca1.cell, e.j,
+      |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
+      |   FROM ca1 JOIN e USING (vec_id) GROUP BY ca1.cell, e.j),
+      | cd2 AS (SELECT e.vec_id, c.cell,
+      |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+      |   FROM e JOIN cc1 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
+      | ca2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+      |   FROM cd2) WHERE rn = 1),
+      | cc2 AS (SELECT ca2.cell, e.j,
+      |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
+      |   FROM ca2 JOIN e USING (vec_id) GROUP BY ca2.cell, e.j),
+      | cd3 AS (SELECT e.vec_id, c.cell,
+      |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
+      |   FROM e JOIN cc2 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
+      | cellof AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+      |   FROM cd3) WHERE rn = 1),
+      | n2 AS (SELECT vec_id, sum(v*v)::BIGINT AS nn FROM e GROUP BY vec_id),
+      | dotp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      |   sum(a.v*b.v)::BIGINT AS dot
+      |   FROM e a JOIN e b ON a.j = b.j AND a.vec_id < b.vec_id
+      |   JOIN cellof ca ON ca.vec_id = a.vec_id
+      |   JOIN cellof cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+      |   GROUP BY 1, 2)""".stripMargin
+
   private def ivfPqScoredCtes: String =
     """WITH e AS (SELECT vec_id, j,
         |   CAST(round(CAST(embedding[j+1] AS DOUBLE) * 1000) AS BIGINT) AS v
@@ -2004,49 +2065,8 @@ object SparkEntry {
         |           JOIN sz sb ON sb.doc_id = doc_b
         |WHERE 1000000 * i >= 700000 * (sa.s + sb.s - i)
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "q108_semantic_dedup" ->
-      """WITH planted AS (
-        |   SELECT vec_id::BIGINT AS vec_id, embedding FROM embeddings
-        |   UNION ALL
-        |   SELECT (vec_id + 1000000)::BIGINT, embedding FROM embeddings
-        |   WHERE vec_id % 5 = 0),
-        | e AS (SELECT vec_id, j,
-        |   CAST(round(CAST(embedding[j+1] AS DOUBLE) * 100) AS BIGINT) AS v
-        |   FROM planted, range(0, 64) t(j)),
-        | ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
-        |   FROM (SELECT vec_id FROM planted ORDER BY vec_id LIMIT 4)),
-        | cc0 AS (SELECT ids.cell, e.j, e.v FROM ids JOIN e USING (vec_id)),
-        | cd1 AS (SELECT e.vec_id, c.cell,
-        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
-        |   FROM e JOIN cc0 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
-        | ca1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        |   FROM cd1) WHERE rn = 1),
-        | cc1 AS (SELECT ca1.cell, e.j,
-        |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
-        |   FROM ca1 JOIN e USING (vec_id) GROUP BY ca1.cell, e.j),
-        | cd2 AS (SELECT e.vec_id, c.cell,
-        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
-        |   FROM e JOIN cc1 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
-        | ca2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        |   FROM cd2) WHERE rn = 1),
-        | cc2 AS (SELECT ca2.cell, e.j,
-        |   (sum(e.v)::BIGINT // count(*))::BIGINT AS v
-        |   FROM ca2 JOIN e USING (vec_id) GROUP BY ca2.cell, e.j),
-        | cd3 AS (SELECT e.vec_id, c.cell,
-        |   sum((e.v - c.v)*(e.v - c.v))::BIGINT AS dist
-        |   FROM e JOIN cc2 c ON c.j = e.j GROUP BY e.vec_id, c.cell),
-        | cellof AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-        |   FROM cd3) WHERE rn = 1),
-        | n2 AS (SELECT vec_id, sum(v*v)::BIGINT AS nn FROM e GROUP BY vec_id),
-        | dotp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-        |   sum(a.v*b.v)::BIGINT AS dot
-        |   FROM e a JOIN e b ON a.j = b.j AND a.vec_id < b.vec_id
-        |   JOIN cellof ca ON ca.vec_id = a.vec_id
-        |   JOIN cellof cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
-        |   GROUP BY 1, 2),
+    "q108_semantic_dedup" -> ("WITH " + semanticPairCtes +
+      """,
         | dups AS (SELECT DISTINCT d.vb AS vec_id
         |   FROM dotp d JOIN n2 na ON na.vec_id = d.va
         |   JOIN n2 nb ON nb.vec_id = d.vb
@@ -2055,7 +2075,22 @@ object SparkEntry {
         |SELECT c.vec_id, c.cell::BIGINT AS cell,
         | (CASE WHEN dups.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_dup
         |FROM cellof c LEFT JOIN dups USING (vec_id)
-        |ORDER BY vec_id""".stripMargin,
+        |ORDER BY vec_id""".stripMargin),
+    "q111_semantic_clusters" -> ("WITH RECURSIVE " + semanticPairCtes +
+      """,
+        | edges AS (SELECT d.va AS a, d.vb AS b
+        |   FROM dotp d JOIN n2 na ON na.vec_id = d.va
+        |   JOIN n2 nb ON nb.vec_id = d.vb
+        |   WHERE d.dot > 0
+        |     AND 1000000 * d.dot * d.dot >= 950*950 * na.nn * nb.nn),
+        | sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+        | conn(a, b) AS (SELECT a, b FROM sym
+        |   UNION SELECT c.a, s.b FROM conn c JOIN sym s ON c.b = s.a),
+        | keep AS (SELECT a AS vec_id, least(a, min(b)) AS keeper
+        |   FROM conn GROUP BY a)
+        |SELECT c.vec_id, coalesce(k.keeper, c.vec_id) AS keeper
+        |FROM cellof c LEFT JOIN keep k USING (vec_id)
+        |ORDER BY vec_id""".stripMargin),
     "q109_dsir_select" ->
       """WITH toks AS (SELECT doc_id, is_tgt,
         |   ('0x'||substr(md5(w),1,15))::BIGINT % 64 AS bucket FROM (

@@ -492,34 +492,70 @@ object Dedup {
     * explicit zeros, the same totality contract as
     * [[duplicateSpanCoverage]].
     */
-  def semanticDedup(emb: DataFrame, k: Int = 4, updates: Int = 2,
-                    tPm: Long = 950L, scale: Int = 100): DataFrame = {
+  /** Shared by [[semanticDedup]] and [[semanticClusters]]: (cells,
+    * within-cell near-dup pairs). Per-VECTOR norm once (not per pair);
+    * the per-PAIR dot runs through the codegen'd [[AnnKernels.dotLong]]
+    * kernel — the HOF fold evaluates interpreted per boxed element and
+    * dominates the within-cell O(pairs·d) work otherwise.
+    */
+  private def semanticPairs(emb: DataFrame, k: Int, updates: Int,
+                            tPm: Long, scale: Int)
+      : (DataFrame, DataFrame) = {
     require(scale <= 100 && tPm <= 1000L,
       s"scale=$scale/tPm=$tPm can overflow the Long-safe predicate bound")
     val spark = emb.sparkSession
     val cells = Kmeans.assignQuantized(emb, k, updates, scale)
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
-    // per-VECTOR norm once (not per pair); the per-PAIR dot runs
-    // through the codegen'd [[AnnKernels.dotLong]] kernel — the HOF
-    // fold evaluates interpreted per boxed element and dominates the
-    // within-cell O(pairs·d) work otherwise
     val v = Kmeans.quantized(emb, scale).toDF("vec_id", "v")
       .join(cells, Seq("vec_id"))
       .withColumn("n2",
         aggregate(transform(col("v"), x => x * x),
           lit(0L), (acc, x) => acc + x))
     val dot = AnnKernels.dotLongCol(spark, col("a.v"), col("b.v"))
-    val dups = v.as("a").join(v.as("b"),
+    val pairs = v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("b.vec_id").as("vec_id"), dot.as("dot"),
-        col("a.n2").as("na2"), col("b.n2").as("nb2"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        dot.as("dot"), col("a.n2").as("na2"), col("b.n2").as("nb2"))
       .where(col("dot") > 0 &&
         col("dot") * col("dot") * lit(1000000L) >=
           lit(tPm * tPm) * col("na2") * col("nb2"))
-      .select("vec_id").distinct()
+      .select("vec_a", "vec_b")
+    (cells, pairs)
+  }
+
+  def semanticDedup(emb: DataFrame, k: Int = 4, updates: Int = 2,
+                    tPm: Long = 950L, scale: Int = 100): DataFrame = {
+    val (cells, pairs) = semanticPairs(emb, k, updates, tPm, scale)
+    val dups = pairs.select(col("vec_b").as("vec_id")).distinct()
     cells.join(dups.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+  }
+
+  /** SemDeDup's cluster-keeper variant: the within-cell near-dup PAIRS
+    * of [[semanticDedup]] become edges of an ε-graph and connected
+    * components collapse each similar group to its min-id keeper —
+    * TRANSITIVE (a~b, b~c ⇒ one keeper for all three even when a, c are
+    * not directly similar), where first-wins keeps per-pair. Returns one
+    * row per vector: (vec_id, keeper), keeper = itself when unpaired.
+    * Scale shape: edges stay within-cell (never corpus²), and the CC
+    * runs on near-dup edges only — tiny next to the corpus; same
+    * star-contraction engine as the KG canonicalization.
+    */
+  def semanticClusters(emb: DataFrame, k: Int = 4, updates: Int = 2,
+                       tPm: Long = 950L, scale: Int = 100): DataFrame = {
+    val spark = emb.sparkSession
+    val (cells, pairs) = semanticPairs(emb, k, updates, tPm, scale)
+    // zero-pad so the CC engine's string-min representative is the
+    // numeric min (non-negative ids; the duplicateClusters encoding)
+    def enc(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 20, "0")
+    val cc = graft.kg.ConnectedComponents.run(spark,
+        pairs.select(enc(col("vec_a")).as("src"), enc(col("vec_b")).as("dst")))
+      .select(col("node").cast("long").as("vec_id"),
+        col("component").cast("long").as("keeper"))
+    cells.select("vec_id").join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("keeper"), col("vec_id")).as("keeper"))
   }
 
   /** Exact SUBSTRING-level duplication coverage (Lee, Ippolito et al.

@@ -1110,6 +1110,42 @@ class SetSimJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Dedup.semanticDedup(emb, tPm = 1000L)
       .where(col("is_dup") === 1L).count() == 1)
   }
+
+  test("semanticClusters: transitive chain collapses to one keeper") {
+    import org.apache.spark.sql.functions.col
+    def vec(parts: (Int, Double)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a
+    }
+    // ids 0-3 seed 4 cells; 4→5→6 is a similarity CHAIN in cell 0's
+    // region: cos(4,5) ≈ cos(5,6) ≈ cos 18° ≈ 0.95+, cos(4,6) ≈
+    // cos 36° ≈ 0.81 < 0.95 — NOT directly similar
+    val rows = Seq(
+      0L -> vec(0 -> 1.0), 1L -> vec(0 -> -1.0),
+      2L -> vec(1 -> 1.0), 3L -> vec(1 -> -1.0),
+      4L -> vec(0 -> 1.0),
+      5L -> vec(0 -> 0.951, 1 -> 0.309),
+      6L -> vec(0 -> 0.809, 1 -> 0.588))
+    val emb = rows.toDF("vec_id", "embedding")
+    val keepers = Dedup.semanticClusters(emb, tPm = 940L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers.size == 7)
+    // seed 0 ~ 4 (exact direction) ~ 5 ~ 6: one component, keeper 0;
+    // isolated vectors keep themselves
+    assert(keepers(4L) == 0L && keepers(5L) == 0L && keepers(6L) == 0L,
+      s"got $keepers")
+    assert(Seq(1L, 2L, 3L).forall(i => keepers(i) == i))
+    // first-wins q108 semantics on the same input flag 4/5/6 as dups
+    // but via PAIRS: 6 is flagged because of 5, not 0 — the CC variant
+    // is the transitive closure of exactly those pairs
+    val dups = Dedup.semanticDedup(emb, tPm = 940L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dups.filter(_._2 == 1L).keySet == Set(4L, 5L, 6L))
+    // partitioning must not change the components
+    assert(Dedup.semanticClusters(emb.repartition(5), tPm = 940L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == keepers)
+  }
 }
 
 /** MinHash family on a STRING-keyed corpus (the KG doc table shape) —
