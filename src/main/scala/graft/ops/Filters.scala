@@ -263,4 +263,32 @@ object Filters {
           when(col("doc_id") =!= col("keep_doc_id"), "duplicate")
             .otherwise("kept")).as("drop_stage"))
   }
+
+  /** Streaming twin of [[curationFunnel]]: stages 1-4 are stateless
+    * row-local predicates evaluated per micro-batch (zero state); the
+    * duplicate stage is the watermark-bounded FIRST-WINS state of
+    * [[Dedup.streamingExact]] over survivors' content hashes — bounded
+    * state at an unbounded ingest rate, deduping within the watermark
+    * window (the guarantee a stream can honestly offer; the batch
+    * funnel's dedup is corpus-global instead). Emits the KEPT docs
+    * (doc_id, ts, content_hash); drop accounting is a stateless
+    * side-aggregation the caller attaches. Input needs an event-time
+    * `ts` column.
+    */
+  def curationFunnelStreaming(docs: DataFrame, lang: String = "en",
+                              minWords: Long = 20,
+                              dupPpmMax: Long = 700000L,
+                              watermark: String = "1 hour"): DataFrame = {
+    val ws = filter(split(col("text"), " "), w => w =!= "")
+    docs
+      .where(TextOps.langPredCol(col("text")) === lang)
+      .where(size(ws).cast("long") >= minWords)
+      .where((size(ws) - size(array_distinct(ws))).cast("long") * 1000000L
+        <= lit(dupPpmMax) * size(ws).cast("long"))
+      .where(size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+        + size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))) === 0)
+      .select(col("doc_id"), col("ts"), md5(col("text")).as("content_hash"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
 }

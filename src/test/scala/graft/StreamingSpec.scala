@@ -161,6 +161,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming curation funnel: kept set equals the batch funnel on ordered arrival") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_sfunnel").toString
+    val en20 = (0 until 20).map(i => s"wort$i").mkString(" ") + " the and is"
+    // b0: keep / lang-drop / pii-drop; b1: exact copy of doc 1 (state
+    // crosses the batch boundary) + a fresh keeper
+    val b0 = Seq(
+      (1L, en20),
+      (2L, "der und das der und das der und das der und das der und das der und das der und das"),
+      (3L, en20 + " extra mail me a@b.de"))
+    val b1 = Seq((4L, en20), (5L, en20 + " neu"))
+    def write(rows: Seq[(Long, String)], p: String) =
+      spark.createDataset(rows).toDF("doc_id", "text")
+        .withColumn("ts", to_timestamp(lit("2026-01-01 10:00:00")))
+        .coalesce(1).write.parquet(p)
+    write(b0, s"$dir/in/b0"); Thread.sleep(1100); write(b1, s"$dir/in/b1")
+    val schema = spark.read.parquet(s"$dir/in/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+    val q = graft.ops.Filters.curationFunnelStreaming(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sfunnel")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val kept = spark.sql("SELECT doc_id FROM sfunnel")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L), s"got $kept")
+    // parity: the batch funnel over the union keeps the same set
+    // (arrival order == id order, so first-wins == min-id keeper)
+    val batchKept = graft.ops.Filters.curationFunnel(
+        spark.createDataset(b0 ++ b1).toDF("doc_id", "text"))
+      .where(col("drop_stage") === "kept")
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKept == kept)
+  }
+
   test("streaming exact dedup: duplicates across micro-batches collapse within the watermark") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_sdedup").toString
