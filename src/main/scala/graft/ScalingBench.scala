@@ -145,7 +145,7 @@ object ScalingBench {
             col(idCol) + lit(i * 1000000000L)))
           .reduce(_ unionByName _).repartition(256).localCheckpoint()
       val needDocs = opFilter.forall(f => f("dsir") || f("funnel"))
-      val needEmb = opFilter.forall(_.contains("semdedup"))
+      val needEmb = opFilter.forall(f => f("semdedup") || f("semclusters"))
       val docs = if (needDocs) repl(spark.read
           .parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id").cast("long").as("doc_id"), col("text"),
@@ -161,6 +161,8 @@ object ScalingBench {
       val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
         // k scales with N (the SemDeDup discipline: bounded cell size)
         "semdedup" -> (() => graft.ops.Dedup.semanticDedup(emb,
+          k = math.max(4, (nE / 1250L).toInt))),
+        "semclusters" -> (() => graft.ops.Dedup.semanticClusters(emb,
           k = math.max(4, (nE / 1250L).toInt))),
         "dsir" -> (() => graft.ops.Filters.dsirSelect(docs,
           col("lang") === "en", topDocs = 100)),
