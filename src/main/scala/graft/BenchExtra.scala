@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Guide-§1 profiling harness (SEPARATE from the frozen graft.Bench):
+  * per-query stage attribution — construction time (eager
+  * localCheckpoints run at plan-build time) vs action time, per-stage
+  * wall/tasks/shuffle bytes, and a noop-sink run that forces every
+  * column (count() lets the optimizer prune — guide §1.4).
+  *
+  * Usage: runMain graft.BenchExtra [query ...]   (default: headline set)
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS as in Bench.
+  */
+object BenchExtra {
+
+  private class StageLog extends SparkListener {
+    case class Row(stage: Int, name: String, ms: Long, tasks: Int,
+                   shufRead: Long, shufWrite: Long, input: Long)
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    @volatile var jobs = 0
+    override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val si = sc.stageInfo
+      val ms = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s).getOrElse(-1L)
+      rows.add(Row(si.stageId, si.name.takeWhile(_ != '\n').take(60), ms,
+        si.numTasks, si.taskMetrics.shuffleReadMetrics.totalBytesRead,
+        si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+        si.taskMetrics.inputMetrics.bytesRead))
+    }
+    def reset(): Unit = { rows.clear(); jobs = 0 }
+    def dump(tag: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val rs = rows.asScala.toSeq.sortBy(_.stage)
+      println(f"  [$tag] jobs=$jobs stages=${rs.size} stageWallSum=${rs.map(_.ms).sum}ms")
+      rs.foreach { r =>
+        println(f"    stage ${r.stage}%4d ${r.ms}%6dms tasks=${r.tasks}%3d in=${r.input}%9d sr=${r.shufRead}%9d sw=${r.shufWrite}%9d  ${r.name}")
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark: SparkSession = Bench.session(cpus)
+    val log = new StageLog
+    spark.sparkContext.addSparkListener(log)
+    val qs = if (args.nonEmpty) args.toSeq else Seq(
+      "q18_minhash_sig", "q20_simhash", "q23_ann_top1", "q27_lsh_jaccard",
+      "q73_setsim_prefix", "q104_setsim_dedup_first", "q92_novelty",
+      "q98_dup_spans", "q34_mlm_pairs", "q105_spo_lookup",
+      "q101_subj_lookup", "q106_obj_lookup", "q103_ivf_pq", "q87_bm25",
+      "q11_grouped_topk", "q36_ann_recall", "q61_bloom_prune",
+      "q111_semantic_clusters", "q12_dedup_exact")
+    qs.foreach {
+      case kg @ ("kg_pipeline" | "kg_pipeline_salted" | "kg_detect_dense") =>
+        // mirror Bench's kg protocol (docs scaled by sf dir name)
+        import graft.gen.CorpusGen
+        import graft.pipeline.KgPipeline
+        val nDocs: Long =
+          if (sfDir.contains("0.01")) 6000L
+          else if (sfDir.contains("0.1")) 60000L else 600L
+        val parts = 256
+        // context / dict-store prep ONCE, outside the measured runs —
+        // Bench's protocol
+        lazy val bctx = Some(KgPipeline.prepareLinkContext(spark, CorpusGen.aliases(spark)))
+        lazy val dictRoot = java.nio.file.Files
+          .createTempDirectory("graft_extra_dict").toString
+        lazy val saltedCfg = KgPipeline.Config(broadcastLink = false,
+          dictStore = Some(dictRoot))
+        lazy val saltedCtx = Some(KgPipeline.prepareSaltedContext(spark,
+          CorpusGen.aliases(spark), dictRoot))
+        def run(): Long = kg match {
+          case "kg_pipeline" =>
+            Bench.kgRun(spark, nDocs, parts, bctx)._2
+          case "kg_pipeline_salted" =>
+            spark.catalog.clearCache()
+            KgPipeline.run(spark, CorpusGen.docs(spark, nDocs, parts),
+              CorpusGen.aliases(spark), cfg = saltedCfg, ctx = saltedCtx).count()
+          case _ =>
+            KgPipeline.detectMentions(spark,
+              KgPipeline.sentences(spark, CorpusGen.docs(spark, nDocs, parts)),
+              new graft.tag.DenseStubTagger(graft.text.Vocab.tokenToId.size)).count()
+        }
+        run() // warm
+        spark.sparkContext.setJobDescription(s"$kg profiled")
+        log.reset()
+        val t0 = System.nanoTime()
+        val n = run()
+        val t1 = System.nanoTime()
+        println(f"$kg%-24s total=${(t1 - t0) / 1e9}%6.3f rows=$n")
+        log.dump("count")
+        spark.sparkContext.setJobDescription(null)
+      case "storeprobe" =>
+        // phase-level driver-time attribution for the lookup queries
+        SparkEntry.queries("q101_subj_lookup")(spark, sfDir).count() // warm + build
+        val root = {
+          val f = SparkEntry.getClass.getDeclaredField("q101Root")
+          f.setAccessible(true); f.get(SparkEntry).asInstanceOf[String]
+        }
+        def ph[T](name: String)(f: => T): T = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"  storeprobe $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+          r
+        }
+        (1 to 2).foreach { i =>
+          println(s"  --- pass $i ---")
+          val subj = ph("minSubject")(
+            graft.store.LineageStore.minSubject(spark, root).get)
+          val lookupDf = ph("lookup construct")(
+            graft.store.LineageStore.lookupBySubject(spark, root, subj))
+          ph("lookup agg(min pred) head")(
+            lookupDf.toDF().agg(org.apache.spark.sql.functions.min("pred")).head)
+          val df2 = ph("lookupBySubjectPred construct")(
+            graft.store.LineageStore.lookupBySubjectPred(spark, root, subj, "mentions"))
+          ph("count")(df2.count())
+        }
+
+      case q =>
+        // warm (JIT + store builds) exactly like Bench's warm pass
+        SparkEntry.queries(q)(spark, sfDir).count()
+        spark.sparkContext.setJobDescription(s"$q profiled")
+        log.reset()
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        val t1 = System.nanoTime()
+        val n = df.count()
+        val t2 = System.nanoTime()
+        println(f"$q%-24s construct=${(t1 - t0) / 1e9}%6.3f action=${(t2 - t1) / 1e9}%6.3f total=${(t2 - t0) / 1e9}%6.3f rows=$n")
+        log.dump("count")
+        spark.sparkContext.setJobDescription(null)
+    }
+    spark.stop()
+  }
+}

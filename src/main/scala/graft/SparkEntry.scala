@@ -480,8 +480,12 @@ object SparkEntry {
       import s.implicits._
       val smallKeys = t(s, dir, "customer").where(col("c_nationkey") < 5)
         .select(col("c_custkey").cast("string")).distinct().as[String]
-      val large = t(s, dir, "orders").select(col("o_orderkey"),
-        col("o_custkey"), col("o_custkey").cast("string").as("key"))
+      // fan the single-file fact scan out before the per-row md5
+      // membership probes; barrier form — the bloom predicate is a
+      // pushable filter that would otherwise sink below the repartition
+      val large = graft.ops.Par.fanOutBarrier(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_custkey").cast("string").as("key")))
       graft.ops.Bloom.prune(large, "key", smallKeys, m = 1 << 12, k = 4)
         .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
     }),
@@ -804,8 +808,10 @@ object SparkEntry {
       // store — a bench iterating this entry must measure the read
       // path, not re-pay the store build every round
       val root = q101StoreRoot(() => buildLookupStore(s))
-      val subj = graft.store.LineageStore.readTriples(s, root)
-        .toDF().agg(min("subj")).head.getString(0)
+      // metadata-only min from the file manifest (Iceberg-style; exact
+      // scan fallback inside) — the full-store scan this replaced was
+      // the query's dominant cost, not the pruned lookup itself
+      val subj = graft.store.LineageStore.minSubject(s, root).get
       graft.store.LineageStore.lookupBySubject(s, root, subj).toDF()
         .select(col("subj"), col("pred"), col("obj"), col("doc_id"),
           col("bucket").cast("long").as("bucket"), col("conf"))
@@ -817,8 +823,7 @@ object SparkEntry {
     "q105_spo_lookup" -> ((s, dir) => {
       graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
       val root = q101StoreRoot(() => buildLookupStore(s))
-      val subj = graft.store.LineageStore.readTriples(s, root)
-        .toDF().agg(min("subj")).head.getString(0)
+      val subj = graft.store.LineageStore.minSubject(s, root).get
       val pred = graft.store.LineageStore.lookupBySubject(s, root, subj)
         .toDF().agg(min("pred")).head.getString(0)
       graft.store.LineageStore.lookupBySubjectPred(s, root, subj, pred).toDF()
@@ -833,8 +838,7 @@ object SparkEntry {
     "q106_obj_lookup" -> ((s, dir) => {
       graft.gen.Goldens.writeTriples(s, 500, KgPipeline.Config().buckets)
       val root = q101StoreRoot(() => buildLookupStore(s))
-      val obj = graft.store.LineageStore.readTriples(s, root)
-        .toDF().agg(min("obj")).head.getString(0)
+      val obj = graft.store.LineageStore.minObject(s, root).get
       graft.store.LineageStore.lookupByObject(s, root, obj).toDF()
         .select(col("subj"), col("pred"), col("obj"), col("doc_id"),
           col("bucket").cast("long").as("bucket"), col("conf"))

@@ -34,8 +34,54 @@ object Triples {
   case class SlimRelation(span_offset: Int, sentence_idx: Int,
                           subj: String, rel: String, obj: String)
 
-  /** One per-doc unit for the cogroup: exactly one of m / r non-null. */
-  case class DocUnit(doc_id: String, m: SlimMention, r: SlimRelation)
+  /** A doc's media span, slim for the shuffle (r8: media rides the
+    * units stream off the single detect pass instead of a second
+    * doc-table scan + cogroup input).
+    */
+  case class SlimMedia(span_offset: Int, media_ref: String)
+
+  /** One LINKED relation endpoint (role "s" or "o"), slim for the
+    * shuffle — re-paired with its partner INSIDE the per-doc group
+    * ([[pairEndpoints]]): the pairing key (span, sentence, rel_key) is
+    * doc-local, so carrying endpoints through the doc-keyed grouping
+    * replaces a corpus-wide re-pairing shuffle (r8).
+    */
+  case class SlimEndpoint(span_offset: Int, sentence_idx: Int,
+                          role: String, rel_key: String, entity_id: String)
+
+  /** One per-doc unit for the grouping: exactly one of m / r / md / ep
+    * non-null.
+    */
+  case class DocUnit(doc_id: String, m: SlimMention, r: SlimRelation,
+                     md: SlimMedia = null, ep: SlimEndpoint = null)
+
+  /** Spark's StringType max = UTF8 binary order; Java String max is
+    * UTF-16 code-unit order — they disagree on supplementary-plane vs
+    * U+E000—U+FFFF mixes, so the in-group merge compares UTF-8 bytes to
+    * replay the previous max(when(role…)) aggregate bit-for-bit.
+    */
+  private def maxUtf8(a: String, b: String): String =
+    if (java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >= 0) a else b
+
+  /** Re-pair linked endpoints within one doc: per (span, sentence,
+    * rel_key), subj = max entity among role-"s" rows, obj = max among
+    * role-"o" (exactly the old corpus-wide groupBy + max(when…)
+    * aggregate); a candidate missing either endpoint is dropped (its
+    * endpoint failed the inner link join). rel = first field of the
+    * packed rel_key.
+    */
+  private def pairEndpoints(eps: Seq[SlimEndpoint]): Seq[SlimRelation] =
+    eps.groupBy(e => (e.span_offset, e.sentence_idx, e.rel_key)).toSeq
+      .flatMap { case ((so, si, rk), es) =>
+        val subj = es.filter(_.role == "s").map(_.entity_id)
+          .reduceOption(maxUtf8)
+        val obj = es.filter(_.role == "o").map(_.entity_id)
+          .reduceOption(maxUtf8)
+        for (s <- subj; o <- obj)
+          yield SlimRelation(so, si, s, rk.split('\u0001')(0), o)
+      }
 
   /** All triples of a document, computed from its canonically-linked
     * mentions and media adjacency rows. Pure per-doc function → used
@@ -91,7 +137,11 @@ object Triples {
     buildUnits(spark, units, mediaSpans, buckets)
   }
 
-  /** Unit-level variant: mentions AND relations in one cogroup. */
+  /** Unit-level variant with a SEPARATE media-span input — kept for
+    * callers that read media from a pruned column scan; the pipeline
+    * itself now threads media through the units stream and uses the
+    * single-input overload below (one shuffle input instead of two).
+    */
   def buildUnits(spark: SparkSession,
                  units: Dataset[DocUnit],
                  mediaSpans: Dataset[(String, Int, String)],
@@ -104,6 +154,25 @@ object Triples {
           all.filter(_.m != null).map(_.m),
           media.map(m => (m._2, m._3)).toSeq,
           all.filter(_.r != null).map(_.r))
+      }
+  }
+
+  /** Single-stream form: mentions, relations (pre-paired OR as raw
+    * linked endpoints) AND media in ONE grouped input — the cogroup's
+    * second shuffle input and the corpus-wide endpoint re-pairing
+    * shuffle both disappear; per-doc assembly is unchanged.
+    */
+  def buildUnits(spark: SparkSession, units: Dataset[DocUnit],
+                 buckets: Int): Dataset[Triple] = {
+    import spark.implicits._
+    units.groupByKey(_.doc_id)
+      .flatMapGroups { (docId, us) =>
+        val all = us.toSeq
+        triplesOfDoc(docId, buckets,
+          all.filter(_.m != null).map(_.m),
+          all.filter(_.md != null).map(u => (u.md.span_offset, u.md.media_ref)),
+          all.filter(_.r != null).map(_.r) ++
+            pairEndpoints(all.filter(_.ep != null).map(_.ep)))
       }
   }
 }

@@ -75,10 +75,18 @@ case class RelationCandidate(
     rel: String,
     obj_surface: String, obj_type: String)
 
-/** One output row of the fused detect stage: exactly one of mention /
-  * relation is non-null (sum-type encoding for a single-pass stage).
+/** A media span carried THROUGH the detect pass (r8): media rows ride
+  * the same single doc scan as sentences so triple assembly never pays
+  * a second pass over the doc table.
   */
-case class DetectRow(mention: Mention, relation: RelationCandidate)
+case class MediaSpanRow(doc_id: String, offset: Int, media_ref: String)
+
+/** One output row of the fused detect stage: exactly one of mention /
+  * relation / media is non-null (sum-type encoding for a single-pass
+  * stage; `media` rows bypass the tagger untouched).
+  */
+case class DetectRow(mention: Mention, relation: RelationCandidate,
+                     media: MediaSpanRow = null)
 
 /** Generator-side gold mention (plant-time knowledge, FIXTURES.md §1). */
 case class GoldMention(

@@ -54,7 +54,9 @@ object Ann {
   }
 
   private def scoredBrute(emb: DataFrame, queryMod: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), vcol.as("v"))
+    // the corpus side carries the O(Q·N·d) cosine work of the
+    // broadcast-nested-loop join — fan a narrow scan out first
+    val e = Par.fanOut(emb.select(col("vec_id"), vcol.as("v")))
     val q = e.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     broadcast(q).join(e, col("q_id") =!= col("vec_id"))
@@ -92,8 +94,8 @@ object Ann {
       : org.apache.spark.sql.Dataset[(String, Array[Double], Array[Boolean])] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    emb.select(col("vec_id").cast("string"),
-        transform(col("embedding"), x => x.cast("double")))
+    Par.fanOut(emb.select(col("vec_id").cast("string"),
+        transform(col("embedding"), x => x.cast("double"))))
       .as[(String, Array[Double])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -169,7 +171,8 @@ object Ann {
 
   private def centroidAssign(emb: DataFrame, centroidMod: Int,
                              probes: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), vcol.as("v"))
+    // assignment scores every vector against every centroid — fan out
+    val e = Par.fanOut(emb.select(col("vec_id"), vcol.as("v")))
     val cents = e.where(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     assignCells(e, cents, probes)
@@ -235,7 +238,7 @@ object Ann {
 
   private def scoredIvf(emb: DataFrame, centroidMod: Int, queryMod: Int,
                         probes: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), vcol.as("v"))
+    val e = Par.fanOut(emb.select(col("vec_id"), vcol.as("v")))
       .join(ivfCells(emb, centroidMod), "vec_id")
     // multi-probe: each query searches its `probes` nearest cells; corpus
     // vectors live in exactly one cell, so candidates never duplicate
@@ -666,7 +669,8 @@ object Ann {
       if (m == 0.0) transform(col("embedding"), _ => lit(0L))
       else transform(col("embedding"),
         x => round(x.cast("double") * lit(127.0) / lit(m)).cast("long"))
-    val q = emb.select(col("vec_id").cast("long").as("vec_id"), qcol.as("qv"))
+    val q = Par.fanOut(
+        emb.select(col("vec_id").cast("long").as("vec_id"), qcol.as("qv")))
       .localCheckpoint() // scale scan done; codes read by both join sides
     val queries = q.orderBy("vec_id").limit(nQueries)
       .select(col("vec_id").as("q_id"), col("qv").as("a"))

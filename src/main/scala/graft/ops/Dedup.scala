@@ -58,7 +58,9 @@ object Dedup {
     require(nHashes <= 8,
       s"K-M minhash family supports at most 8 functions (got $nHashes): " +
         "h1 + 7*h2 is the largest sum that cannot overflow Long")
-    docs.select(col("doc_id").cast("string"), col("text"))
+    // the signature kernel is the dominant CPU of the whole dedup family:
+    // fan a narrow scan out before it ([[Par.fanOut]], identity at scale)
+    Par.fanOut(docs.select(col("doc_id").cast("string"), col("text")))
       .as[(String, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -177,11 +179,18 @@ object Dedup {
     val cand = minhashPairs(docs, bands, rows).localCheckpoint()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = docs.join(candDocs, Seq("doc_id"), "left_semi")
+    // the empty-set filter sits ABOVE the checkpoint: as a plain where()
+    // Catalyst pushes it through the fan-out repartition and the
+    // substituted `size(array_distinct(shingles3(text))) > 0` drags the
+    // whole shingle kernel back into the single-task scan stage
+    // (measured: 2×1.5 s); the checkpoint is a pushdown barrier, and
+    // filtering the materialized candidate-sized table is trivial
+    val sets = Par.fanOut(docs.select(col("doc_id"), col("text")))
+      .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(TextOps.shingles3(col("text"))).as("shs"))
-      .where(size(col("shs")) > 0)
       .localCheckpoint() // candidate-sized; read by both joins below
+      .where(size(col("shs")) > 0)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), "doc_b")
@@ -228,7 +237,8 @@ object Dedup {
     * twice).
     */
   def simhash(docs: DataFrame, nBits: Int = 16): DataFrame =
-    docs.select(col("doc_id"),
+    Par.fanOut(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
         transform(split(col("text"), " "), w => hexInt(w)).as("hs"))
       .select(col("doc_id"), expr(
         s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, j) -> acc +
@@ -313,7 +323,8 @@ object Dedup {
   def setSimJoinPrefix(docs: DataFrame, tPpm: Long = 700000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = docs.select(col("doc_id"),
+    val sh = Par.fanOut(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
         explode(array_distinct(TextOps.shingles3(col("text")))).as("g"))
       .localCheckpoint() // reused: frequency pass + per-doc sets
     // dictionary-encode shingles as DENSE INT IDS in rarest-first order
@@ -503,23 +514,49 @@ object Dedup {
       : (DataFrame, DataFrame) = {
     require(scale <= 100 && tPm <= 1000L,
       s"scale=$scale/tPm=$tPm can overflow the Long-safe predicate bound")
+    // ADVICE r7: the static guard assumed ~64-dim unit-ball vectors; the
+    // REAL bound is d·scale² ≤ floor(sqrt(Long.Max/10⁶)) = 3,036,999
+    // (|dot| ≤ d·scale² for unit-ball input, so both dot²·10⁶ and
+    // tPm²·|a|²·|b|² stay under 2⁶³). Check it against the actual
+    // vector length: 384/768/1024-dim embeddings at scale=100 would
+    // otherwise overflow SILENTLY into wrong is_dup/keeper bits. One
+    // single-row peek; empty input needs no guard.
+    emb.select(size(col("embedding"))).take(1).foreach { r =>
+      val d = r.getInt(0).toLong
+      require(d * scale * scale <= 3036999L,
+        s"dim=$d at scale=$scale overflows the Long-safe cosine " +
+          "predicate (need d*scale^2 <= 3036999): lower scale or " +
+          "evaluate via decimal")
+    }
     val spark = emb.sparkSession
     val cells = Kmeans.assignQuantized(emb, k, updates, scale)
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    // pinned cell partitioning (explicit numPartitions — AQE leaves
+    // user-numbered repartitions alone): the within-cell pair join's
+    // exchanges carry only O(N·d) bytes, so byte-based AQE coalescing
+    // collapsed them to ONE partition — while the join OUTPUT is
+    // O(pairs·d) dot-product work, serialized onto one core (measured
+    // 440 ms single-task). Hash-partitioning both sides by the join key
+    // keeps the pair work spread over the cells.
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
     val v = Kmeans.quantized(emb, scale).toDF("vec_id", "v")
       .join(cells, Seq("vec_id"))
       .withColumn("n2",
         aggregate(transform(col("v"), x => x * x),
           lit(0L), (acc, x) => acc + x))
+      .repartition(parts, col("cell"))
     val dot = AnnKernels.dotLongCol(spark, col("a.v"), col("b.v"))
+    // pairs carry the (shared) cell so consumers can stay cell-local —
+    // edges NEVER cross cells by construction (the join key)
     val pairs = v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         dot.as("dot"), col("a.n2").as("na2"), col("b.n2").as("nb2"))
       .where(col("dot") > 0 &&
         col("dot") * col("dot") * lit(1000000L) >=
           lit(tPm * tPm) * col("na2") * col("nb2"))
-      .select("vec_a", "vec_b")
+      .select("cell", "vec_a", "vec_b")
     (cells, pairs)
   }
 
@@ -538,21 +575,52 @@ object Dedup {
     * TRANSITIVE (a~b, b~c ⇒ one keeper for all three even when a, c are
     * not directly similar), where first-wins keeps per-pair. Returns one
     * row per vector: (vec_id, keeper), keeper = itself when unpaired.
-    * Scale shape: edges stay within-cell (never corpus²), and the CC
-    * runs on near-dup edges only — tiny next to the corpus; same
-    * star-contraction engine as the KG canonicalization.
+    *
+    * Scale shape (r8): the ε-graph's edges are confined WITHIN k-means
+    * cells by construction ([[semanticPairs]] joins on a.cell ===
+    * b.cell), so no component can ever span two cells — a global
+    * fixpoint CC (per-round shuffle barriers + localCheckpoints) is
+    * structurally unnecessary. Components are found by a CELL-LOCAL
+    * union-find inside one flatMapGroups: ONE shuffle on the cell key
+    * (edge-sized, tiny next to the corpus), zero iterative stages; cell
+    * populations are bounded by the SemDeDup k-scaling discipline, so
+    * the per-group walk is O(cell·α). Keeper = min vec_id per component
+    * — identical to the global-CC result (q111 hash unchanged).
     */
   def semanticClusters(emb: DataFrame, k: Int = 4, updates: Int = 2,
                        tPm: Long = 950L, scale: Int = 100): DataFrame = {
     val spark = emb.sparkSession
+    import spark.implicits._
     val (cells, pairs) = semanticPairs(emb, k, updates, tPm, scale)
-    // zero-pad so the CC engine's string-min representative is the
-    // numeric min (non-negative ids; the duplicateClusters encoding)
-    def enc(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 20, "0")
-    val cc = graft.kg.ConnectedComponents.run(spark,
-        pairs.select(enc(col("vec_a")).as("src"), enc(col("vec_b")).as("dst")))
-      .select(col("node").cast("long").as("vec_id"),
-        col("component").cast("long").as("keeper"))
+    val cc = pairs.select(col("cell"), col("vec_a"), col("vec_b"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, edges) =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        edges.foreach { case (_, a, b) =>
+          parent.putIfAbsent(a, a)
+          parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(ra, rb)
+        }
+        val minOf = new java.util.HashMap[Long, Long]()
+        parent.keySet().forEach { n =>
+          val r = find(n)
+          // containsKey first: get() on a missing key is null and would
+          // NPE on primitive unboxing
+          if (!minOf.containsKey(r) || n < minOf.get(r)) minOf.put(r, n)
+        }
+        import scala.jdk.CollectionConverters._
+        parent.keySet().iterator().asScala.map(n => (n, minOf.get(find(n))))
+      }
+      .toDF("vec_id", "keeper")
     cells.select("vec_id").join(cc, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("keeper"), col("vec_id")).as("keeper"))
@@ -579,7 +647,7 @@ object Dedup {
     * exact).
     */
   def duplicateSpanCoverage(docs: DataFrame, n: Int = 8): DataFrame = {
-    val grams = docs
+    val grams = Par.fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id").cast("long").as("doc_id"),
         posexplode(TextOps.shinglesN(col("text"), n)))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "gram")
@@ -776,10 +844,16 @@ object Dedup {
     val hadOld = fs.exists(oldP)
     if ((hadOld || fs.exists(tmpP)) && !fs.exists(livP)) {
       // -1 existed before (it was moved aside) or a merge was staged:
-      // reinstall the staging if complete, else the original
-      if (fs.exists(tmpP)) require(fs.rename(tmpP, livP),
+      // reinstall the staging ONLY when its write completed (_SUCCESS —
+      // ADVICE r7: a first-ever compaction crash mid-staging-write
+      // leaves a PARTIAL tmp with no prior -1 to fall back to; rolling
+      // that forward would install an undercounting -1), else the
+      // original
+      val tmpComplete = fs.exists(tmpP) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS"))
+      if (tmpComplete) require(fs.rename(tmpP, livP),
         s"recovery: could not roll the compacted gate state forward ($tmpP)")
-      else require(fs.rename(oldP, livP),
+      else if (hadOld) require(fs.rename(oldP, livP),
         s"recovery: could not roll the original gate state back ($oldP)")
     }
     fs.delete(tmpP, true)

@@ -26,7 +26,7 @@ object Filters {
   def repetitionStats(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    Par.fanOut(docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -101,9 +101,10 @@ object Filters {
     */
   def contamination(docs: DataFrame, benchMaxId: Long = 20, n: Int = 8): DataFrame = {
     val grams = array_distinct(TextOps.shinglesN(col("text"), n))
-    val bench = docs.where(col("doc_id") < benchMaxId)
+    val fanned = Par.fanOut(docs.select(col("doc_id"), col("text")))
+    val bench = fanned.where(col("doc_id") < benchMaxId)
       .select(explode(grams).as("gram")).distinct()
-    val corpus = docs.where(col("doc_id") >= benchMaxId)
+    val corpus = fanned.where(col("doc_id") >= benchMaxId)
     val hits = corpus.select(col("doc_id"), explode(grams).as("gram"))
       .join(broadcast(bench), "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
@@ -197,7 +198,9 @@ object Filters {
     */
   def dsirSelect(docs: DataFrame, isTarget: Column, nBuckets: Int = 64,
                  topDocs: Int = 50): DataFrame = {
-    val toks = docs.select(col("doc_id"), isTarget.as("is_tgt"),
+    val toks = Par.fanOut(docs.select(col("doc_id"), isTarget.as("is_tgt"),
+        col("text")))
+      .select(col("doc_id"), col("is_tgt"),
         explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")
       .select(col("doc_id"), col("is_tgt"),
@@ -244,7 +247,7 @@ object Filters {
                      minWords: Long = 20,
                      dupPpmMax: Long = 700000L): DataFrame = {
     val ws = filter(split(col("text"), " "), w => w =!= "")
-    val staged = docs
+    val staged = Par.fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), md5(col("text")).as("content_hash"),
         when(TextOps.langPredCol(col("text")) =!= lang, "lang")
           .when(size(ws).cast("long") < minWords, "length")

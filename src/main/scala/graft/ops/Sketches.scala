@@ -170,7 +170,7 @@ object Sketches {
   def cmsWordCountsGrouped(docs: DataFrame, depth: Int = 4, width: Int = 64,
                            topK: Int = 5): DataFrame = {
     def bucket = pmod(hexInt(concat(col("j"), lit("_"), col("word"))), lit(width))
-    val wc = docs
+    val wc = Par.fanOut(docs.select(col("source"), col("text")))
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "") // buildVocab's empty-token guard
       .groupBy("source", "word").agg(count(lit(1)).as("cnt"))

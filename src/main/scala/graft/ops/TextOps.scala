@@ -175,7 +175,7 @@ object TextOps {
                 overlap: Int = 16): DataFrame = {
     val stride = chunkTokens - overlap
     require(stride > 0, s"overlap $overlap must be < chunkTokens $chunkTokens")
-    docs
+    Par.fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         filter(split(col("text"), " "), w => w =!= "").as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -221,19 +221,25 @@ object TextOps {
     * onto the corpus.
     */
   def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
-    val grams = docs
+    // r8: per-doc gram counts are ROW-LOCAL (size(array_distinct(...)))
+    // — the previous shape exploded grams into a localCheckpoint (a
+    // corpus-sized materialization at scale) and paid a doc-keyed
+    // shuffle + an extra join just to count them. Now the exploded
+    // stream has ONE consumer (the gram-keyed novelty aggregation), so
+    // no checkpoint; the fan-out parallelizes the shingle kernel on
+    // narrow inputs (identity at scale).
+    val base = Par.fanOut(docs.select(col("doc_id"), col("text")))
+    val novelPerDoc = base
       .select(col("doc_id").cast("long").as("doc_id"),
         explode(array_distinct(shinglesN(col("text"), n))).as("gram"))
-      .localCheckpoint() // both aggregations below read it
-    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val novelPerDoc = grams.groupBy("gram")
+      .groupBy("gram")
       .agg(min(col("doc_id")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    docs.select(col("doc_id").cast("long").as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+    base.select(col("doc_id").cast("long").as("doc_id"),
+        size(array_distinct(shinglesN(col("text"), n))).cast("long")
+          .as("n_grams"))
       .join(novelPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+      .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_grams"), col("n_novel"),
         when(col("n_grams") > 0,

@@ -68,7 +68,8 @@ object VocabOps {
     * (all of a term's postings co-located, ready for bucketed writes).
     */
   def invertedIndex(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    Par.fanOut(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("p0", "word")))
       .where(col("word") =!= "")
       .groupBy("word", "doc_id")

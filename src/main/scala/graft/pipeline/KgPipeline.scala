@@ -109,6 +109,32 @@ object KgPipeline {
     }
   }
 
+  /** [[sentences]] PLUS the doc's media spans as sentinel rows (guid =
+    * doc/offset/m, words = [media_ref]) — ONE pass over the doc table
+    * serves both the detect stage and triple assembly's media
+    * adjacency, instead of a second full scan/generation for
+    * [[mediaSpans]] (r8; the fused detect passes sentinels through
+    * untouched). Real sentence guids end in the sentence index, so the
+    * "/m" suffix cannot collide.
+    */
+  private def sentencesAndMedia(spark: SparkSession,
+                                docs: Dataset[Doc]): Dataset[Sentence] = {
+    import spark.implicits._
+    docs.flatMap { d =>
+      val texts = d.spans.filter(_.kind == "text").sortBy(_.offset)
+        .zipWithIndex.map { case (sp, sidx) =>
+          val words = TextCore.whitespaceTokenize(sp.text)
+          Sentence(s"${d.doc_id}/${sp.offset}/$sidx", words,
+            Array.fill(words.length)("O"))
+        }
+      val media = d.spans.filter(_.kind == "media").map { sp =>
+        Sentence(s"${d.doc_id}/${sp.offset}/m", Array(sp.media_ref),
+          Array.empty[String])
+      }
+      texts ++ media
+    }
+  }
+
   /** Raw-text ingestion (the reference's `/ner` entry point,
     * webapp/app.py:215-317): each doc's text spans concatenated into ONE
     * raw untokenized string, then word-tokenized and sentence-split by
@@ -152,7 +178,15 @@ object KgPipeline {
       // task-local word->pieces memo (Zipfian word frequency)
       val cache = new java.util.HashMap[String, Array[String]]()
       it.grouped(sentBatch).flatMap { group =>
-        val perSent = group.map { s =>
+        // media sentinels (guid suffix "/m") ride the same scan but
+        // bypass encode/tag/decode entirely — emitted as passthrough
+        // media rows for triple assembly (one doc pass total)
+        val (mediaSent, realSent) = group.partition(_.guid.endsWith("/m"))
+        val mediaRows = mediaSent.map { s =>
+          val p = s.guid.split('/')
+          DetectRow(null, null, MediaSpanRow(p(0), p(1).toInt, s.words(0)))
+        }
+        val perSent = realSent.map { s =>
           val (wins, counts) = enc.encodeWithCounts(s.guid, s.words, s.tags, cache)
           (s, wins, counts)
         }
@@ -161,7 +195,7 @@ object KgPipeline {
         val allWins = perSent.iterator.flatMap(_._2).toSeq
         val tagged = allWins.grouped(batchSize).flatMap(tag.tagBatch).toArray
         var cursor = 0
-        perSent.flatMap { case (s, wins, counts) =>
+        mediaRows ++ perSent.flatMap { case (s, wins, counts) =>
           val tws = tagged.slice(cursor, cursor + wins.length)
           cursor += wins.length
           // windows of one sentence were emitted in winIdx order
@@ -256,7 +290,8 @@ object KgPipeline {
   case class SaltedRow(doc_id: String, span_offset: Int, sentence_idx: Int,
                        surface_norm: String, entity_type: String,
                        rel: String, subj_norm: String, subj_type: String,
-                       obj_norm: String, obj_type: String)
+                       obj_norm: String, obj_type: String,
+                       media_ref: String = null)
 
   /** Incremented per [[prepareLinkContext]] call — lets tests assert the
     * salted path never materializes the driver-side dictionary.
@@ -310,11 +345,14 @@ object KgPipeline {
           cfg: Config = Config(),
           ctx: Option[LinkContext] = None): Dataset[Triple] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, element_at, lit, max, split, when}
+    import org.apache.spark.sql.functions.{array, coalesce, col, concat_ws, element_at, explode, lit, max, split, struct, when}
     import graft.kg.Triples.{DocUnit, SlimMention, SlimRelation}
     val inDocs = cfg.curate.map(c => curationKeep(spark, docs, c))
       .getOrElse(docs)
-    val sents = sentences(spark, inDocs)
+    // ONE doc pass: media spans ride the sentence stream as sentinels
+    // through detect (r8) — the previous shape re-scanned/regenerated
+    // the doc table a second time just for mediaSpans
+    val sents = sentencesAndMedia(spark, inDocs)
     val units: Dataset[DocUnit] =
       if (cfg.broadcastLink) {
         // broadcast regime: the dictionary fits in memory by premise, so
@@ -336,7 +374,10 @@ object KgPipeline {
         // single pass: fused detect emits mentions + relations; linking +
         // canonicalization inline via broadcast dictionary
         detectRows(spark, sents, new GazetteerTagger(gazetteer), cfg).flatMap { row =>
-          if (row.mention != null) {
+          if (row.media != null)
+            Some(DocUnit(row.media.doc_id, null, null,
+              Triples.SlimMedia(row.media.offset, row.media.media_ref)))
+          else if (row.mention != null) {
             val m = row.mention
             linkCanon(m.surface, m.entity_type).map { case (eid, conf) =>
               DocUnit(m.doc_id,
@@ -365,7 +406,10 @@ object KgPipeline {
         // aggregation.
         val slim = detectRows(spark, sents, new GazetteerTagger(gazetteer), cfg)
           .map { row =>
-            if (row.mention != null) {
+            if (row.media != null)
+              SaltedRow(row.media.doc_id, row.media.offset, -1, null, null,
+                null, null, null, null, null, row.media.media_ref)
+            else if (row.mention != null) {
               val m = row.mention
               SaltedRow(m.doc_id, m.span_offset, m.sentence_idx,
                 CorpusGen.normSurface(m.surface), m.entity_type,
@@ -409,7 +453,8 @@ object KgPipeline {
         // one tiny cache scan instead of a separate sampled detect pass
         // (which was a serial pre-job ahead of the main detect)
         val skew = Linker.inferSkewKeysNorm(spark,
-          cacheDF.where(col("rel").isNull).select("surface_norm"))
+          cacheDF.where(col("rel").isNull && col("media_ref").isNull)
+            .select("surface_norm"))
         // the full candidate tuple packed into ONE carry column: the
         // shuffle row of every MENTION (the overwhelming majority) pays
         // one null slot instead of five. \u0001 cannot occur in a
@@ -426,20 +471,31 @@ object KgPipeline {
         // one join input: mention rows + BOTH relation endpoints, each
         // endpoint row carrying the packed candidate tuple so the pair
         // re-assembles by grouping on it (identical duplicate candidates
-        // merge harmlessly — triple assembly dedups anyway)
-        val mentionSide = cacheDF.where(col("rel").isNull)
-          .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
-            col("surface_norm"), col("entity_type"), lit("m").as("role"),
-            lit(null).cast("string").as("rel_key"))
-        def endpoint(role: String, surf: String, typ: String) =
-          cacheDF.where(col("rel").isNotNull)
-            .select(col("doc_id"), col("span_offset"),
-              col("sentence_idx"), col(surf).as("surface_norm"),
-              col(typ).as("entity_type"), lit(role).as("role"),
-              relKey.as("rel_key"))
-        val joinIn = mentionSide
-          .unionByName(endpoint("s", "subj_norm", "subj_type"))
-          .unionByName(endpoint("o", "obj_norm", "obj_type"))
+        // merge harmlessly — triple assembly dedups anyway).
+        // r8: built as ONE explode over a single cache scan — the
+        // previous three-branch union scanned the (corpus-sized) detect
+        // cache once per branch (measured 2×136 MB of cache reads in
+        // the join stage alone); per-row fan-out is 1 (mention) or 2
+        // (endpoints), identical rows out.
+        def fld(role: String, surf: org.apache.spark.sql.Column,
+                typ: org.apache.spark.sql.Column,
+                rk: org.apache.spark.sql.Column) = struct(
+          col("doc_id"), col("span_offset"), col("sentence_idx"),
+          surf.as("surface_norm"), typ.as("entity_type"),
+          lit(role).as("role"), rk.as("rel_key"))
+        val joinIn = cacheDF.where(col("media_ref").isNull)
+          .select(explode(when(col("rel").isNull,
+              array(fld("m", col("surface_norm"), col("entity_type"),
+                lit(null).cast("string"))))
+            .otherwise(array(
+              fld("s", col("subj_norm"), col("subj_type"), relKey),
+              fld("o", col("obj_norm"), col("obj_type"), relKey)))).as("u"))
+          .select(col("u.doc_id").as("doc_id"),
+            col("u.span_offset").as("span_offset"),
+            col("u.sentence_idx").as("sentence_idx"),
+            col("u.surface_norm").as("surface_norm"),
+            col("u.entity_type").as("entity_type"),
+            col("u.role").as("role"), col("u.rel_key").as("rel_key"))
         val linked =
           if (cfg.contextualLink) {
             // contextual needs the raw candidate lists + the canon map
@@ -455,33 +511,40 @@ object KgPipeline {
           } else Linker.linkSaltedCarry(spark, joinIn, aliases,
             cfg.saltBuckets, Some(skew), bloomBits = ctx.flatMap(_.bloomBits),
             canon = canonOpt, scored = scoredOpt)
-        val mUnits = linked.where(col("role") === "m")
+        // ONE pass over the link output (r8): mention rows become
+        // mention units directly; relation ENDPOINTS ride the same
+        // doc-keyed grouping as slim endpoint units and are re-paired
+        // INSIDE the per-doc group by [[Triples.buildUnits]] — the
+        // re-pairing key (doc, span, sentence, rel_key) is doc-local,
+        // so the previous corpus-wide rUnits groupBy exchange AND the
+        // second evaluation of the whole link join (one per consumer —
+        // measured: the join stage scanned the detect cache twice)
+        // both disappear. Semantics unchanged: an unlinked endpoint
+        // (dropped by the inner join) still drops its candidate, and
+        // the per-key max-entity merge replays the old
+        // max(when(role…)) aggregate exactly (UTF8-binary max like
+        // Spark's — [[Triples.pairEndpoints]]).
+        val linkedUnits = linked
           .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
-            col("entity_id"), col("conf"))
-          .as[Linker.SlimLinked]
-          .map(lm => DocUnit(lm.doc_id,
-            SlimMention(lm.span_offset, lm.sentence_idx, lm.entity_id,
-              lm.conf), null))
-        // re-pair the two linked endpoints of each relation candidate;
-        // an unlinked endpoint (dropped by the inner join) drops the
-        // candidate — same semantics as the broadcast for-comprehension
-        val rUnits = linked.where(col("role") =!= "m")
-          .groupBy("doc_id", "span_offset", "sentence_idx", "rel_key")
-          .agg(
-            max(when(col("role") === "s", col("entity_id"))).as("subj"),
-            max(when(col("role") === "o", col("entity_id"))).as("obj"))
-          .where(col("subj").isNotNull && col("obj").isNotNull)
-          .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
-            col("subj"),
-            element_at(split(col("rel_key"), "\u0001"), 1).as("rel"),
-            col("obj"))
-          .as[(String, Int, Int, String, String, String)]
-          .map { case (d, so, si, s, r, o) =>
-            DocUnit(d, null, SlimRelation(so, si, s, r, o))
+            col("role"), col("rel_key"), col("entity_id"), col("conf"))
+          .as[(String, Int, Int, String, String, String, Double)]
+          .map { case (d, so, si, role, rk, eid, conf) =>
+            if (role == "m")
+              DocUnit(d, SlimMention(so, si, eid, conf), null)
+            else DocUnit(d, null, null, null,
+              Triples.SlimEndpoint(so, si, role, rk, eid))
           }
-        mUnits.unionByName(rUnits)
+        // media rows come straight off the detect cache — no link join,
+        // no second doc scan
+        val mediaUnits = cacheDF.where(col("media_ref").isNotNull)
+          .select(col("doc_id"), col("span_offset"), col("media_ref"))
+          .as[(String, Int, String)]
+          .map { case (d, off, ref) =>
+            DocUnit(d, null, null, Triples.SlimMedia(off, ref))
+          }
+        linkedUnits.unionByName(mediaUnits)
       }
-    Triples.buildUnits(spark, units, mediaSpans(spark, inDocs), cfg.buckets)
+    Triples.buildUnits(spark, units, cfg.buckets)
   }
 
   /** Per-row span-sequence invariant (BASELINE.json input_hint; the

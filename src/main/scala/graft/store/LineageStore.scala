@@ -269,11 +269,25 @@ object LineageStore {
     * memo (and reset-able between scenarios). */
   private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def manifestPrunedFilesAt(spark: SparkSession, manifestPath: String,
-                                    dataPath: String,
-                                    keyCols: (String, String),
-                                    key: String, pred: Option[String])
-      : Option[Seq[String]] = {
+  /** UTF-8 byte comparison matching Spark's UTF8String ordering — the
+    * order the manifest's min()/max() were computed in. Java String
+    * `<`/`>` compares UTF-16 code units, which DISAGREES with code-point
+    * order for keys mixing supplementary-plane characters with
+    * U+E000—U+FFFF: a file containing the subject could be wrongly
+    * pruned and the lookup would silently return missing rows.
+    */
+  private def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The manifest rows iff the manifest exists AND matches the live data
+    * file set (fresh); None otherwise — shared by file pruning and the
+    * metadata-only min queries, one staleness rule for both.
+    */
+  private def freshManifestRows(spark: SparkSession, manifestPath: String,
+                                dataPath: String, keyCols: (String, String))
+      : Option[Seq[ManifestRow]] = {
     if (!Fs.exists(spark, manifestPath)) return None
     val sig = Fs.signature(spark, manifestPath)
     val rows = Option(manifestMemo.get(manifestPath))
@@ -291,11 +305,52 @@ object LineageStore {
     // staleness guard on RELATIVE paths (base names repeat across
     // bucket dirs) — any commit since compaction invalidates the
     // manifest and drops lookups back to the full scan
-    if (rows.map(_.file).toSet != live) return None
-    Some(rows.filter { r =>
-      key >= r.kMin && key <= r.kMax &&
-        pred.forall(p => p >= r.pMin && p <= r.pMax)
-    }.map(_.file))
+    if (rows.map(_.file).toSet != live) None else Some(rows)
+  }
+
+  private def manifestPrunedFilesAt(spark: SparkSession, manifestPath: String,
+                                    dataPath: String,
+                                    keyCols: (String, String),
+                                    key: String, pred: Option[String])
+      : Option[Seq[String]] =
+    freshManifestRows(spark, manifestPath, dataPath, keyCols).map { rows =>
+      rows.filter { r =>
+        utf8Cmp(key, r.kMin) >= 0 && utf8Cmp(key, r.kMax) <= 0 &&
+          pred.forall(p => utf8Cmp(p, r.pMin) >= 0 && utf8Cmp(p, r.pMax) <= 0)
+      }.map(_.file)
+    }
+
+  /** Store-wide minimum subject — the Iceberg-style METADATA-ONLY query:
+    * with a fresh manifest the answer is min(subj_min) over the file
+    * rows (each file's subj_min was computed by Spark in UTF8 binary
+    * order; [[utf8Cmp]] reproduces it), zero data files opened, zero
+    * Spark jobs. Stale/absent manifest → one pushed full scan, the
+    * exact value `readTriples.agg(min("subj"))` returns either way.
+    */
+  def minSubject(spark: SparkSession, root: String): Option[String] = {
+    recoverCompaction(spark, root)
+    freshManifestRows(spark, fileManifestPath(root), triplesPath(root),
+        ("subj_min", "subj_max"))
+      .filter(_.nonEmpty)
+      .map(rows => rows.map(_.kMin).min(Ordering.comparatorToOrdering(
+        (a: String, b: String) => utf8Cmp(a, b))))
+      .orElse(Option(readTriples(spark, root).toDF()
+        .agg(min(col("subj"))).head.getString(0)))
+  }
+
+  /** Obj-side twin of [[minSubject]] over the inverted index's manifest;
+    * falls back to the PRIMARY store scan (the obj index may not exist —
+    * same fallback rule as [[lookupByObject]]).
+    */
+  def minObject(spark: SparkSession, root: String): Option[String] = {
+    recoverCompaction(spark, root)
+    freshManifestRows(spark, objManifestPath(root), objIndexPath(root),
+        ("obj_min", "obj_max"))
+      .filter(_.nonEmpty)
+      .map(rows => rows.map(_.kMin).min(Ordering.comparatorToOrdering(
+        (a: String, b: String) => utf8Cmp(a, b))))
+      .orElse(Option(readTriples(spark, root).toDF()
+        .agg(min(col("obj"))).head.getString(0)))
   }
 
   private def manifestPrunedFiles(spark: SparkSession, root: String,

@@ -78,30 +78,60 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
-  test("minhash signatures/bands and simhash plans are shuffle-free") {
+  /** r8 kernel-plan contract: the ONLY exchange a per-row kernel may
+    * carry is the GATED input fan-out (a round-robin repartition right
+    * above a narrow scan — [[graft.ops.Par.fanOut]]); no hash/range
+    * exchange, no keyed shuffle. On an input that already carries ≥
+    * defaultParallelism partitions the gate must not fire (asserted by
+    * counting round-robin exchanges on a pre-fanned input).
+    */
+  private def assertOnlyGatedFanOut(p: String, what: String): Unit = {
+    val exchanges = "Exchange [A-Za-z]+".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.startsWith("Exchange RoundRobinPartitioning")),
+      s"$what carries a keyed shuffle (only the gated round-robin fan-out " +
+        s"is allowed): $exchanges\n$p")
+  }
+  private def roundRobins(p: String): Int =
+    "RoundRobinPartitioning".r.findAllIn(p).length
+
+  test("minhash signatures/bands and simhash plans have no keyed shuffle; fan-out gated") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sig = graft.ops.Dedup.minhashSignatures(docs)
       .queryExecution.executedPlan.toString
-    assert(!sig.contains("Exchange"), s"minhash signatures shuffled:\n$sig")
+    assertOnlyGatedFanOut(sig, "minhash signatures")
     val bands = graft.ops.Dedup.minhashBands(docs)
       .queryExecution.executedPlan.toString
-    assert(!bands.contains("Exchange"), s"minhash bands shuffled:\n$bands")
+    assertOnlyGatedFanOut(bands, "minhash bands")
     val sim = graft.ops.Dedup.simhash(docs)
       .queryExecution.executedPlan.toString
-    assert(!sim.contains("Exchange"), s"simhash shuffled:\n$sim")
-    // the whole MinHash-LSH path's ONLY exchange is the band-bucket join
+    assertOnlyGatedFanOut(sim, "simhash")
+    // the gate: an input already at the session's parallelism gains NO
+    // additional exchange (the one round-robin is the input's own)
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    val sigW = graft.ops.Dedup.minhashSignatures(wide)
+      .queryExecution.executedPlan.toString
+    assert(roundRobins(sigW) <= roundRobins(
+      wide.queryExecution.executedPlan.toString),
+      s"fan-out fired on a well-partitioned input:\n$sigW")
+    // the whole MinHash-LSH path's ONLY keyed exchange is the band join
   }
 
-  test("LSH projection kernels are shuffle-free (one-pass, no fan-out)") {
+  test("LSH projection kernels: no keyed shuffle, no fan-out rows; repartition gated") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val b = graft.ops.Ann.lshBuckets(emb)
       .queryExecution.executedPlan.toString
-    assert(!b.contains("Exchange"), s"lshBuckets shuffled:\n$b")
+    assertOnlyGatedFanOut(b, "lshBuckets")
     assert(!b.toLowerCase.contains("generate"), s"lshBuckets fans out:\n$b")
     val bm = graft.ops.Ann.lshBucketsMulti(emb)
       .queryExecution.executedPlan.toString
-    assert(!bm.contains("Exchange"), s"lshBucketsMulti shuffled:\n$bm")
+    assertOnlyGatedFanOut(bm, "lshBucketsMulti")
     assert(!bm.toLowerCase.contains("generate"), s"lshBucketsMulti fans out:\n$bm")
+    val wide = emb.repartition(spark.sparkContext.defaultParallelism)
+    val bW = graft.ops.Ann.lshBuckets(wide)
+      .queryExecution.executedPlan.toString
+    assert(roundRobins(bW) <= roundRobins(
+      wide.queryExecution.executedPlan.toString),
+      s"fan-out fired on a well-partitioned input:\n$bW")
   }
 
   test("bloom prune: membership test is native codegen, no UDF, no join") {
@@ -152,7 +182,7 @@ class PlanSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val rep = graft.ops.Filters.repetitionStats(docs)
       .queryExecution.executedPlan.toString
-    assert(!rep.contains("Exchange"), s"repetition kernel shuffled:\n$rep")
+    assertOnlyGatedFanOut(rep, "repetition kernel")
     assert(!rep.toLowerCase.contains("generate"), s"repetition fans out:\n$rep")
     // as-of join: the union+window form shuffles ONCE on the key
     import org.apache.spark.sql.functions._
