@@ -51,11 +51,20 @@ object MlmGen {
     val spark = docs.sparkSession
     import spark.implicits._
     val parts = math.max(2, spark.sparkContext.defaultParallelism)
-    val ranged = docs
+    val sel = docs
       .select(col("doc_id").cast("long"),
         size(split(col("text"), " ")).cast("long").as("n"))
-      .repartitionByRange(parts, col("doc_id"))
-      .sortWithinPartitions("doc_id")
+    // adaptive physical choice (the CC smallInputEdges precedent, r8):
+    // a ≤2-partition input provably fits the volume a single task
+    // already holds, so ONE local sort replaces the range-sample job +
+    // full shuffle; the offsets/counts algebra below is identical (the
+    // per-partition collect just sees one partition). Gated on the
+    // OBSERVED scan partitioning — at scale the input carries many
+    // partitions and the distributed path runs unchanged.
+    val ranged = (if (sel.rdd.getNumPartitions <= 2)
+        sel.coalesce(1).sortWithinPartitions("doc_id")
+      else sel.repartitionByRange(parts, col("doc_id"))
+        .sortWithinPartitions("doc_id"))
       .as[(Long, Long)]
       .localCheckpoint()
     val perPart = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -102,9 +111,16 @@ object MlmGen {
     val parts = math.max(2, spark.sparkContext.defaultParallelism)
     // eager localCheckpoint: both passes read the same materialized
     // range-partitioned blocks (ties: kind 0 sorts before kind 1 —
-    // searchsorted-RIGHT counts equal cums)
-    val ranged = union.repartitionByRange(parts, col("v"), col("kind"))
-      .sortWithinPartitions("v", "kind")
+    // searchsorted-RIGHT counts equal cums).
+    // Small-input fast path gated on the CUMS side's partitioning (an
+    // RDD-backed frame in the sampler, so the probe plans no shuffle):
+    // one local sort instead of range-sample + shuffle; the running
+    // kind-0 count below is partition-count agnostic.
+    val small = cums.rdd.getNumPartitions <= 2
+    val ranged = (if (small)
+        union.coalesce(1).sortWithinPartitions("v", "kind")
+      else union.repartitionByRange(parts, col("v"), col("kind"))
+        .sortWithinPartitions("v", "kind"))
       .as[(Long, Int, Option[Long])]
       .localCheckpoint()
     val perPart = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
