@@ -170,7 +170,11 @@ object Sketches {
   def cmsWordCountsGrouped(docs: DataFrame, depth: Int = 4, width: Int = 64,
                            topK: Int = 5): DataFrame = {
     def bucket = pmod(hexInt(concat(col("j"), lit("_"), col("word"))), lit(width))
-    val wc = Par.fanOut(docs.select(col("source"), col("text")))
+    // NOT fanned out (r8): the split+count kernel is too light — the
+    // repartition's fixed cost exceeded the parallelism gain in a
+    // same-window A/B (0.29 -> 0.49 s); contrast the md5/shingle
+    // kernels where fan-out wins 4-10x
+    val wc = docs
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "") // buildVocab's empty-token guard
       .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
