@@ -327,27 +327,24 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(TextOps.shingles3(col("text")))).as("g"))
       .localCheckpoint() // reused: frequency pass + per-doc sets
-    // dictionary-encode shingles as DENSE INT IDS in rarest-first order
+    // dictionary-encode shingles as INT IDS in rarest-first order
     // ((freq asc, shingle asc) — the PPJoin global order): the order key
     // and the verify token become the same long, so the candidate join
     // and the intersection both run on integers, not 30-char strings.
-    // Exact ids via the two-pass range-partitioned scan (the
-    // Scans.zeroBasedRank shape): per-partition counts are an
-    // O(partitions) driver collect, never vocabulary data.
+    // r8: ids come from monotonically_increasing_id over the
+    // range-sorted table — (partition << 33 | local index) is
+    // order-preserving across range partitions and injective, which is
+    // ALL the algorithm needs (the prefix principle requires one global
+    // total order, not dense ranks); the previous exact dense ranks
+    // cost a localCheckpoint + an O(partitions) counts collect + a
+    // second RDD pass (three extra job barriers). Ids may differ
+    // between runs (range boundaries are sampled) — the PAIR OUTPUT is
+    // invariant to any injective order-preserving assignment.
     val parts = math.max(2, spark.sparkContext.defaultParallelism)
-    val ranged = sh.groupBy("g").agg(count(lit(1)).as("f"))
-      .select(col("f").cast("long"), col("g"))
+    val ids = sh.groupBy("g").agg(count(lit(1)).as("f"))
       .repartitionByRange(parts, col("f"), col("g"))
       .sortWithinPartitions("f", "g")
-      .as[(Long, String)].localCheckpoint()
-    val counts = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var c = 0L; it.foreach(_ => c += 1); Iterator.single((pid, c))
-    }.collect().sortBy(_._1).map(_._2)
-    val off = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
-    val ids = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var i = off.value(pid)
-      it.map { case (_, g) => val row = (g, i); i += 1; row }
-    }.toDF("g", "gid")
+      .select(col("g"), monotonically_increasing_id().as("gid"))
     val sets = sh.join(ids, "g")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("gid"))).as("arr"))
