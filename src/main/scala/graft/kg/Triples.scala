@@ -11,9 +11,11 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *   - (entity, depicted_in, ref)  entity in a text span ADJACENT to a
   *                                 media span of the same doc
   *
-  * Shuffle budget: one groupByKey on doc_id covers both the per-doc
-  * distinct and the pair expansion (entity sets per doc are tiny); the
-  * media adjacency is an equi-join co-partitioned on (doc_id, offset).
+  * Shuffle budget: one groupByKey on doc_id covers the per-doc
+  * distinct, the pair expansion (entity sets per doc are tiny), the
+  * media adjacency AND the relation-endpoint re-pairing — all of them
+  * doc-local (r8: media and endpoints ride the same units stream, so
+  * no cogroup second input and no corpus-wide re-pairing shuffle).
   * Output is bucketed by hash(doc_id) for stable lineage partition ids.
   */
 object Triples {
