@@ -163,11 +163,19 @@ object Triples {
     * linked endpoints) AND media in ONE grouped input — the cogroup's
     * second shuffle input and the corpus-wide endpoint re-pairing
     * shuffle both disappear; per-doc assembly is unchanged.
+    *
+    * Grouping is `groupBy(col).as[K, T]`, NOT `groupByKey(closure)`:
+    * the closure form plans an AppendColumns pass that deserializes
+    * and re-serializes EVERY unit row on the map side just to extract
+    * a key that already exists as a column; the column form feeds the
+    * exchange straight from codegen output (same key, same hash
+    * partitioning, same groups).
     */
   def buildUnits(spark: SparkSession, units: Dataset[DocUnit],
                  buckets: Int): Dataset[Triple] = {
     import spark.implicits._
-    units.groupByKey(_.doc_id)
+    units.groupBy(org.apache.spark.sql.functions.col("doc_id"))
+      .as[String, DocUnit]
       .flatMapGroups { (docId, us) =>
         val all = us.toSeq
         triplesOfDoc(docId, buckets,

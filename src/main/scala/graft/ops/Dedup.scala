@@ -420,16 +420,18 @@ object Dedup {
     * its only super-linear regime.
     */
   def setSimJoinDedupFirst(docs: DataFrame, tPpm: Long = 700000L): DataFrame = {
-    val withHash = docs.select(col("doc_id"), col("text"),
-      md5(col("text")).as("content_hash"))
-    val keepers = withHash.groupBy("content_hash")
-      .agg(min("doc_id").as("rep"))
     // family map: doc → representative (+ does-it-shingle flag, constant
-    // within a family); reused by the rep filter and both expansions
-    val members = withHash
-      .select(col("content_hash"), col("doc_id"),
+    // within a family); reused by the rep filter and both expansions.
+    // r8: rep = min(doc_id) OVER (PARTITION BY content_hash) — one
+    // hashed pass instead of the previous groupBy + join back, which
+    // scanned the corpus (and paid the md5 + split kernels) twice to
+    // re-attach the aggregate (guide §2.4: two operations keyed the
+    // same way share one exchange).
+    val members = docs
+      .select(col("doc_id"), md5(col("text")).as("content_hash"),
         (size(split(col("text"), " ")) >= 3).as("has_sh"))
-      .join(keepers, "content_hash")
+      .withColumn("rep", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
       .select(col("doc_id"), col("rep"), col("has_sh"))
       .localCheckpoint()
     val reps = docs.join(

@@ -533,24 +533,41 @@ object KgPipeline {
         // the per-key max-entity merge replays the old
         // max(when(role…)) aggregate exactly (UTF8-binary max like
         // Spark's — [[Triples.pairEndpoints]]).
-        val linkedUnits = linked
-          .select(col("doc_id"), col("span_offset"), col("sentence_idx"),
-            col("role"), col("rel_key"), col("entity_id"), col("conf"))
-          .as[(String, Int, Int, String, String, String, Double)]
-          .map { case (d, so, si, role, rk, eid, conf) =>
-            if (role == "m")
-              DocUnit(d, SlimMention(so, si, eid, conf), null)
-            else DocUnit(d, null, null, null,
-              Triples.SlimEndpoint(so, si, role, rk, eid))
-          }
+        // r8: COLUMNAR DocUnit construction — `when`/`struct` selects
+        // whose field names mirror the case classes, so the rows reach
+        // the doc-keyed exchange straight from whole-stage codegen. The
+        // previous typed `.map` closures paid a full decode-construct-
+        // encode object pass per row (measured: part of the one big
+        // 512-task stage that dominates the salted run).
+        val rNull = lit(null)
+          .cast(org.apache.spark.sql.Encoders.product[SlimRelation].schema)
+        val linkedUnits = linked.select(
+          col("doc_id"),
+          when(col("role") === "m",
+            struct(col("span_offset"), col("sentence_idx"),
+              col("entity_id"), col("conf"))).as("m"),
+          rNull.as("r"),
+          lit(null)
+            .cast(org.apache.spark.sql.Encoders
+              .product[Triples.SlimMedia].schema).as("md"),
+          when(col("role") =!= "m",
+            struct(col("span_offset"), col("sentence_idx"), col("role"),
+              col("rel_key"), col("entity_id"))).as("ep"))
+          .as[DocUnit]
         // media rows come straight off the detect cache — no link join,
         // no second doc scan
         val mediaUnits = cacheDF.where(col("media_ref").isNotNull)
-          .select(col("doc_id"), col("span_offset"), col("media_ref"))
-          .as[(String, Int, String)]
-          .map { case (d, off, ref) =>
-            DocUnit(d, null, null, Triples.SlimMedia(off, ref))
-          }
+          .select(
+            col("doc_id"),
+            lit(null)
+              .cast(org.apache.spark.sql.Encoders
+                .product[SlimMention].schema).as("m"),
+            rNull.as("r"),
+            struct(col("span_offset"), col("media_ref")).as("md"),
+            lit(null)
+              .cast(org.apache.spark.sql.Encoders
+                .product[Triples.SlimEndpoint].schema).as("ep"))
+          .as[DocUnit]
         linkedUnits.unionByName(mediaUnits)
       }
     Triples.buildUnits(spark, units, cfg.buckets)
