@@ -447,20 +447,26 @@ object KgPipeline {
             (None, Some(graft.kg.ConnectedComponents
               .canonicalMap(spark, aliases.toDF())))
         }
-        val cacheDF = slim.toDF()
+        // r8: consumer-side fan-in — the cache's partition count comes
+        // from the INPUT's partitioning (256 generated parts at bench
+        // scale → sub-MB blocks), and its two consumer scans below paid
+        // ~2.7 s of pure per-task fixed cost; size-gated coalesce from
+        // the materialized block sizes, identity at production scale
+        // (see [[graft.ops.Par.fanIn]]).
+        val cacheDF = graft.ops.Par.fanIn(slim.toDF())
         // skew keys from a sample OF THE CACHE — a Zipf head survives
         // heavy sampling. r8: the sample reads every 8th PARTITION
         // instead of row-sampling the full cache (a row sample still
         // scans every block; the partition subset never touches the
-        // skipped blocks — measured ~0.4 s of the salted run). Skew
-        // keys only steer salting, which is result-invariant
-        // (LinkerSpec), so a coarser head estimate cannot change
-        // output.
-        val skewSrc = {
-          import spark.implicits._
-          spark.createDataset(slim.rdd.mapPartitionsWithIndex(
-            (i, it) => if (i % 8 == 0) it else Iterator.empty))
-        }.toDF()
+        // skipped blocks — measured ~0.4 s of the salted run), and it
+        // reads the COALESCED cache so the sample job schedules
+        // parallelism-many tasks, not one per raw block. Skew keys
+        // only steer salting, which is result-invariant (LinkerSpec),
+        // so a coarser head estimate cannot change output.
+        val skewSrc = spark.createDataFrame(
+          cacheDF.rdd.mapPartitionsWithIndex(
+            (i, it) => if (i % 8 == 0) it else Iterator.empty),
+          cacheDF.schema)
         val skew = Linker.inferSkewKeysNorm(spark,
           skewSrc.where(col("rel").isNull && col("media_ref").isNull)
             .select("surface_norm"), sampleFraction = 0.08)
