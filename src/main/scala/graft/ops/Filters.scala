@@ -26,7 +26,10 @@ object Filters {
   def repetitionStats(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Par.fanOut(docs.select(col("doc_id").cast("long"), col("text")))
+    // fan-out REVERTED in the r8 second pass: the per-row kernel is
+    // light (0.22 s single-task in the r7 driver's contended window),
+    // so the repartition premium never pays; identity at scale anyway.
+    docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -101,7 +104,9 @@ object Filters {
     */
   def contamination(docs: DataFrame, benchMaxId: Long = 20, n: Int = 8): DataFrame = {
     val grams = array_distinct(TextOps.shinglesN(col("text"), n))
-    val fanned = Par.fanOut(docs.select(col("doc_id"), col("text")))
+    // fan-out REVERTED in the r8 second pass (light kernel — 0.16 s
+    // single-task in the r7 driver's contended window; premium > win)
+    val fanned = docs.select(col("doc_id"), col("text"))
     val bench = fanned.where(col("doc_id") < benchMaxId)
       .select(explode(grams).as("gram")).distinct()
     val corpus = fanned.where(col("doc_id") >= benchMaxId)
@@ -198,16 +203,32 @@ object Filters {
     */
   def dsirSelect(docs: DataFrame, isTarget: Column, nBuckets: Int = 64,
                  topDocs: Int = 50): DataFrame = {
-    val toks = Par.fanOut(docs.select(col("doc_id"), isTarget.as("is_tgt"),
-        col("text")))
+    // r8 second pass, measured BOTH ways and kept the two-pass form:
+    // the token kernel has two consumers (distribution fit + scoring
+    // join) whose pruning yields different exchanges, so it runs twice
+    // — but each pass is map-side-combined straight into a tiny
+    // exchange, and a shared doc×bucket pre-aggregate + checkpoint (the
+    // §2.3 alternative) measured 2× SLOWER locally (1.17 vs ~0.55 s)
+    // while shuffling/caching O(docs·nBuckets) ≈ the corpus re-scan it
+    // saves. Two streaming passes over a pruned scan is also DSIR's own
+    // production shape. The input fan-out (r8 first pass) was REVERTED:
+    // this kernel is light (≤ 0.55 s single-task even in the r7
+    // driver's contended window), so the repartition premium never pays
+    // — the fan-out stays on the heavy shingle/minhash kernels only.
+    val toks = docs.select(col("doc_id"), isTarget.as("is_tgt"),
+        col("text"))
       .select(col("doc_id"), col("is_tgt"),
         explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")
       .select(col("doc_id"), col("is_tgt"),
         pmod(hexInt(col("w")), lit(nBuckets.toLong)).as("bucket"))
     val bc = toks.groupBy("bucket").agg(
-      count(lit(1)).as("raw_b"),
-      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_b"))
+        count(lit(1)).as("raw_b"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_b"))
+      // bc is nBuckets rows but had TWO consumers (totals + weight
+      // table), each re-running the full token kernel below it; the
+      // lazy cut makes the distribution fit exactly one corpus pass
+      .localCheckpoint(eager = false)
     val tot = bc.agg(sum("raw_b").as("rr"), sum("tgt_b").as("tt"))
     def lg(x: String) =
       s"((length(bin($x)) - 1) * 65536 + (($x) * 65536) div " +
@@ -247,7 +268,9 @@ object Filters {
                      minWords: Long = 20,
                      dupPpmMax: Long = 700000L): DataFrame = {
     val ws = filter(split(col("text"), " "), w => w =!= "")
-    val staged = Par.fanOut(docs.select(col("doc_id"), col("text")))
+    // fan-out REVERTED in the r8 second pass (light kernel — 0.23 s
+    // single-task in the r7 driver's contended window; premium > win)
+    val staged = docs.select(col("doc_id"), col("text"))
       .select(col("doc_id"), md5(col("text")).as("content_hash"),
         when(TextOps.langPredCol(col("text")) =!= lang, "lang")
           .when(size(ws).cast("long") < minWords, "length")
@@ -258,6 +281,11 @@ object Filters {
               + size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
               > 0, "pii")
           .as("early_drop"))
+    // (a checkpoint between the two consumers was tried and measured
+    // SLOWER — their canonical plans are identical so the fan-out
+    // exchange is already shared via ReuseExchange; the cut only added
+    // a store + barrier. Contrast dsirSelect, whose consumers prune
+    // different columns and genuinely duplicated the kernel.)
     val keepers = staged.where(col("early_drop").isNull)
       .groupBy("content_hash").agg(min("doc_id").as("keep_doc_id"))
     staged.join(keepers, Seq("content_hash"), "left")
