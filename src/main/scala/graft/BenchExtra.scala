@@ -92,6 +92,40 @@ object BenchExtra {
         println(f"$kg%-24s total=${(t1 - t0) / 1e9}%6.3f rows=$n")
         log.dump("count")
         spark.sparkContext.setJobDescription(null)
+      case "kgprobe" =>
+        // phase decomposition of the broadcast KG pipeline's one big map
+        // stage: generation vs sentence split vs detect (±relations) vs
+        // the full linked run — each phase warmed once, best-of-2
+        import graft.gen.CorpusGen
+        import graft.pipeline.KgPipeline
+        import graft.tag.GazetteerTagger
+        val nDocs: Long =
+          if (sfDir.contains("0.01")) 6000L
+          else if (sfDir.contains("0.1")) 60000L else 600L
+        val parts = 256
+        val gaz = KgPipeline.defaultGazetteer
+        def ph(name: String)(f: => Any): Unit = {
+          f // warm
+          val best = (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }.min
+          println(f"  kgprobe $name%-22s $best%6.3f s")
+        }
+        def docs() = CorpusGen.docs(spark, nDocs, parts)
+        ph("gen_noop")(docs().toDF()
+          .write.format("noop").mode("overwrite").save())
+        ph("sentences_noop")(KgPipeline.sentences(spark, docs()).toDF()
+          .write.format("noop").mode("overwrite").save())
+        ph("detect_gaz_count")(KgPipeline.detectMentions(spark,
+          KgPipeline.sentences(spark, docs()),
+          new GazetteerTagger(gaz)).count())
+        ph("detect_rels_count")(KgPipeline.detectRows(spark,
+          KgPipeline.sentences(spark, docs()),
+          new GazetteerTagger(gaz)).count())
+        ph("full_run_count") {
+          spark.catalog.clearCache()
+          KgPipeline.run(spark, docs(), CorpusGen.aliases(spark)).count()
+        }
       case "storeprobe" =>
         // phase-level driver-time attribution for the lookup queries
         SparkEntry.queries("q101_subj_lookup")(spark, sfDir).count() // warm + build

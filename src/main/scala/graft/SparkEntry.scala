@@ -550,9 +550,15 @@ object SparkEntry {
     //      blocking + levenshtein verify (fuzzy linking primitive);
     //      universe = document vocabulary ∪ md5-derived OCR variants ----
     "q71_fuzzy_tokens" -> ((s, dir) => {
-      val words = t(s, dir, "documents")
+      // r8: fan the single-file scan out before the explode+regex token
+      // kernel (§2.5), and cut the two-consumer subtree (the clean union
+      // side AND ocrVariants read `words`) so the kernel runs once —
+      // profiled as two serialized single-task stages (111+313 ms)
+      val words = graft.ops.Par.fanOut(
+          t(s, dir, "documents").select(col("text")))
         .select(explode(split(col("text"), " ")).as("word"))
         .where(col("word").rlike("^[a-z]{4,}$")).distinct()
+        .localCheckpoint(eager = false)
       graft.ops.FuzzyJoin.nearTokenPairs(
           words.unionByName(graft.ops.FuzzyJoin.ocrVariants(words)))
         .orderBy("a", "b")

@@ -174,7 +174,22 @@ object Triples {
   def buildUnits(spark: SparkSession, units: Dataset[DocUnit],
                  buckets: Int): Dataset[Triple] = {
     import spark.implicits._
-    units.groupBy(org.apache.spark.sql.functions.col("doc_id"))
+    // pinned doc_id partitioning (explicit numPartitions — AQE leaves
+    // user-numbered repartitions alone, the q108 lesson applied to the
+    // triple-assembly exchange): the grouped stage's INPUT is a slim
+    // unit projection (~15 MB at bench scale, AQE-coalesced to 10
+    // partitions) but its OUTPUT is the per-doc triple expansion —
+    // co-occurrence pairs are quadratic in a doc's entity set — so
+    // byte-based coalescing serializes CPU-heavy assembly onto a
+    // fraction of the cores. The pin keeps the SAME pre-AQE partition
+    // count the groupBy exchange would get (shuffle.partitions,
+    // floored by the session parallelism) and hash(doc_id) satisfies
+    // the grouping's distribution, so no second exchange appears
+    // (plan-asserted in R8OptimSpec).
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    units.repartition(parts, org.apache.spark.sql.functions.col("doc_id"))
+      .groupBy(org.apache.spark.sql.functions.col("doc_id"))
       .as[String, DocUnit]
       .flatMapGroups { (docId, us) =>
         val all = us.toSeq

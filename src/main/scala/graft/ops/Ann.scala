@@ -357,15 +357,32 @@ object Ann {
     */
   def recallAtK(emb: DataFrame, k: Int = 5, planes: Int = 8,
                 probes: Int = 2, queryMod: Int = 25): DataFrame = {
-    val exact = bruteTopK(emb, k, queryMod).select(col("q_id"), col("nn_id"))
-    recallOf(exact, lshTopK(emb, k, planes, queryMod)
-        .select(col("q_id"), col("nn_id")), "lsh")
-      .unionByName(recallOf(exact,
-        ivfTopK(emb, k, probes, queryMod = queryMod)
-          .select(col("q_id"), col("nn_id")), s"ivf_p$probes"))
-      .unionByName(recallOf(exact,
-        lshTopKMulti(emb, k, queryMod = queryMod)
-          .select(col("q_id"), col("nn_id")), "lsh_multi"))
+    // the four searches are INDEPENDENT plans, but each bucketed search
+    // materializes its (non-eager) kernel checkpoint while its plan is
+    // BUILT — three serialized job barriers before the union ever runs.
+    // Build the branches concurrently so those materializations overlap
+    // (guide §2.6: actions are only sequential because the driver calls
+    // them sequentially); values are unaffected — each branch is the
+    // same deterministic plan, just constructed on another thread.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val exactF = Future(
+      bruteTopK(emb, k, queryMod).select(col("q_id"), col("nn_id")))
+    val lshF = Future(
+      lshTopK(emb, k, planes, queryMod).select(col("q_id"), col("nn_id")))
+    val ivfF = Future(
+      ivfTopK(emb, k, probes, queryMod = queryMod)
+        .select(col("q_id"), col("nn_id")))
+    val multiF = Future(
+      lshTopKMulti(emb, k, queryMod = queryMod)
+        .select(col("q_id"), col("nn_id")))
+    val exact = Await.result(exactF, Duration.Inf)
+    recallOf(exact, Await.result(lshF, Duration.Inf), "lsh")
+      .unionByName(recallOf(exact, Await.result(ivfF, Duration.Inf),
+        s"ivf_p$probes"))
+      .unionByName(recallOf(exact, Await.result(multiF, Duration.Inf),
+        "lsh_multi"))
   }
 
   /** Product-quantization ADC search (Jégou, Douze & Schmid 2011,

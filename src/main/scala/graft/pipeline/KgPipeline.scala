@@ -345,7 +345,7 @@ object KgPipeline {
           cfg: Config = Config(),
           ctx: Option[LinkContext] = None): Dataset[Triple] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{array, coalesce, col, concat_ws, element_at, explode, lit, max, split, struct, when}
+    import org.apache.spark.sql.functions.{array, coalesce, col, concat_ws, element_at, explode, lit, max, split, struct, udf, when}
     import graft.kg.Triples.{DocUnit, SlimMention, SlimRelation}
     val inDocs = cfg.curate.map(c => curationKeep(spark, docs, c))
       .getOrElse(docs)
@@ -372,26 +372,56 @@ object KgPipeline {
           }
         }
         // single pass: fused detect emits mentions + relations; linking +
-        // canonicalization inline via broadcast dictionary
-        detectRows(spark, sents, new GazetteerTagger(gazetteer), cfg).flatMap { row =>
-          if (row.media != null)
-            Some(DocUnit(row.media.doc_id, null, null,
-              Triples.SlimMedia(row.media.offset, row.media.media_ref)))
-          else if (row.mention != null) {
-            val m = row.mention
-            linkCanon(m.surface, m.entity_type).map { case (eid, conf) =>
-              DocUnit(m.doc_id,
-                SlimMention(m.span_offset, m.sentence_idx, eid, conf), null)
-            }
-          } else {
-            val r = row.relation
-            for {
-              (s, _) <- linkCanon(r.subj_surface, r.subj_type)
-              (o, _) <- linkCanon(r.obj_surface, r.obj_type)
-            } yield DocUnit(r.doc_id, null,
-              SlimRelation(r.span_offset, r.sentence_idx, s, r.rel, o))
-          }
-        }
+        // canonicalization inline via broadcast dictionary.
+        // r8 third pass: COLUMNAR unit assembly (the same codegen-path
+        // rebuild the salted branch got) — the previous typed flatMap
+        // deserialized every DetectRow, constructed a DocUnit and
+        // re-encoded it (decode–construct–encode per row over ~1.2M
+        // mention rows at bench scale; kgprobe: detect itself is 0.44 s
+        // while the full run was 1.95 s — the gap was this boundary plus
+        // assembly). Only the dictionary lookup itself stays Scala (it
+        // reads the broadcast maps), as ONE small udf over the two
+        // surface/type columns; everything around it is when()/struct
+        // selects that reach the doc-keyed exchange straight from
+        // whole-stage codegen. Marked nondeterministic so the keep
+        // filter below is not pushed past the projection and the udf
+        // is evaluated ONCE per row (guide §4.4).
+        val linkUdf = udf(linkCanon _).asNondeterministic()
+        val rows = detectRows(spark, sents, new GazetteerTagger(gazetteer), cfg)
+          .toDF()
+        val withLc = rows.select(col("mention"), col("relation"), col("media"),
+          when(col("mention").isNotNull,
+            linkUdf(col("mention.surface"), col("mention.entity_type")))
+            .as("lm"),
+          when(col("relation").isNotNull,
+            linkUdf(col("relation.subj_surface"), col("relation.subj_type")))
+            .as("ls"),
+          when(col("relation").isNotNull,
+            linkUdf(col("relation.obj_surface"), col("relation.obj_type")))
+            .as("lo"))
+        withLc.where(col("media").isNotNull ||
+            (col("mention").isNotNull && col("lm").isNotNull) ||
+            (col("relation").isNotNull && col("ls").isNotNull &&
+              col("lo").isNotNull))
+          .select(
+            coalesce(col("mention.doc_id"), col("relation.doc_id"),
+              col("media.doc_id")).as("doc_id"),
+            when(col("mention").isNotNull,
+              struct(col("mention.span_offset").as("span_offset"),
+                col("mention.sentence_idx").as("sentence_idx"),
+                col("lm._1").as("entity_id"), col("lm._2").as("conf")))
+              .as("m"),
+            when(col("relation").isNotNull,
+              struct(col("relation.span_offset").as("span_offset"),
+                col("relation.sentence_idx").as("sentence_idx"),
+                col("ls._1").as("subj"), col("relation.rel").as("rel"),
+                col("lo._1").as("obj"))).as("r"),
+            when(col("media").isNotNull,
+              struct(col("media.offset").as("span_offset"),
+                col("media.media_ref").as("media_ref"))).as("md"),
+            lit(null).cast(org.apache.spark.sql.Encoders
+              .product[Triples.SlimEndpoint].schema).as("ep"))
+          .as[DocUnit]
       } else {
         // salted path — the "dictionary does NOT fit in memory" regime:
         // NOTHING dictionary-sized ever reaches the driver. The fused

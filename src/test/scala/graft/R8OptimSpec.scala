@@ -76,6 +76,25 @@ class R8OptimSpec extends AnyFunSuite {
       .collect().count(_.pred == "met") == 0)
   }
 
+  test("buildUnits: pinned doc_id repartition reused by the grouping — one exchange, AQE-proof count") {
+    import spark.implicits._
+    val units = (1 to 50).map(i => DocUnit(s"d$i", SlimMention(0, 0, s"E$i", 1.0), null))
+    val df = Triples.buildUnits(spark, spark.createDataset(units), buckets = 8)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // hash(doc_id) from the pinned repartition satisfies the grouping's
+    // distribution: exactly ONE exchange, no second one for the groupBy
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly 1 exchange:\n$p")
+    // the pin keeps the pre-AQE count — byte-based coalescing must NOT
+    // shrink the CPU-heavy triple-assembly stage (tiny input bytes here
+    // would otherwise collapse it to one partition)
+    val want = math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    assert(df.rdd.getNumPartitions == want,
+      s"pinned exchange coalesced: ${df.rdd.getNumPartitions} != $want")
+  }
+
   test("minSubject/minObject: manifest metadata answer equals the scan answer") {
     val dir = java.nio.file.Files.createTempDirectory("graft_r8_minsubj").toString
     val docs = graft.gen.CorpusGen.docs(spark, 60, parts = 4)
