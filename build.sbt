@@ -27,4 +27,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Shuffle/spill local dirs (guide §1.2 step 3 — config AFTER the
+  // algorithm; §7.1-style evidence first): in-JVM stack sampling of the
+  // kg map stage showed 38% of RUNNABLE task-thread samples inside
+  // FileOutputStream.open0 + UnixFileSystem syscalls — this sandbox's
+  // root fs (ext4 on virtio) serializes concurrent file creates, so
+  // shuffle-file creation, not compute, dominated every shuffling
+  // stage. Default the local dirs to the memory-backed fs — the local
+  // analog of pointing spark.local.dir at fast local NVMe on a
+  // production node (shuffle data here is ≤ tens of MB; /dev/shm is
+  // 126 GiB). Parameterised: a deployment overrides via
+  // SPARK_GRAFT_LOCAL_DIR (e.g. an NVMe array path).
+  s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+    "/dev/shm/spark-local")}",
 )

@@ -126,6 +126,109 @@ object BenchExtra {
           spark.catalog.clearCache()
           KgPipeline.run(spark, docs(), CorpusGen.aliases(spark)).count()
         }
+      case "kgsample" =>
+        // in-JVM sampling profiler over the broadcast kg pipeline: a
+        // daemon thread snapshots all stacks every 200 ms during the
+        // measured runs and prints the hot-frame histogram of executor
+        // task threads (getting jstack onto the short-lived forked JVM
+        // from outside proved flaky)
+        import graft.gen.CorpusGen
+        import graft.pipeline.KgPipeline
+        val nDocs: Long =
+          if (sfDir.contains("0.01")) 6000L
+          else if (sfDir.contains("0.1")) 60000L else 600L
+        val ctx = Some(KgPipeline.prepareLinkContext(spark, CorpusGen.aliases(spark)))
+        Bench.kgRun(spark, nDocs, 256, ctx) // warm
+        val hist = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+        @volatile var sampling = true
+        val sampler = new Thread(() => {
+          while (sampling) {
+            val all = Thread.getAllStackTraces
+            all.forEach { (th, st) =>
+              if (th.getName.startsWith("Executor task launch") &&
+                  th.getState == Thread.State.RUNNABLE && st.nonEmpty) {
+                // first frame inside graft/spark user code, else the top
+                val interesting = st.find { f =>
+                  val c = f.getClassName
+                  c.startsWith("graft.") || c.contains("GeneratedClass") ||
+                    c.startsWith("org.apache.spark.sql.catalyst") ||
+                    c.startsWith("scala.collection")
+                }.getOrElse(st.head)
+                val key = st.head.getClassName + "." + st.head.getMethodName +
+                  " | " + interesting.getClassName + "." + interesting.getMethodName
+                hist.computeIfAbsent(key,
+                  _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+              }
+            }
+            Thread.sleep(200)
+          }
+        })
+        sampler.setDaemon(true); sampler.start()
+        (1 to 4).foreach(_ => Bench.kgRun(spark, nDocs, 256, ctx))
+        sampling = false; sampler.join(1000)
+        import scala.jdk.CollectionConverters._
+        hist.asScala.toSeq.sortBy(-_._2.get).take(30).foreach { case (k, v) =>
+          println(f"  kgsample ${v.get}%5d  $k")
+        }
+      case "kgab" =>
+        // same-JVM A/B of the broadcast-link unit assembly: the r8
+        // third-pass columnar/udf form (KgPipeline.run) vs the previous
+        // typed-flatMap form, alternating runs in one window
+        import graft.gen.CorpusGen
+        import graft.pipeline.KgPipeline
+        import graft.kg.{Linker, Triples}
+        import graft.kg.Triples.{DocUnit, SlimMention, SlimRelation}
+        import graft.tag.GazetteerTagger
+        import spark.implicits._
+        val nDocs: Long =
+          if (sfDir.contains("0.01")) 6000L
+          else if (sfDir.contains("0.1")) 60000L else 600L
+        val parts = 256
+        val ctx = KgPipeline.prepareLinkContext(spark, CorpusGen.aliases(spark))
+        val bcDict = spark.sparkContext.broadcast(ctx.dict)
+        val bcCanon = spark.sparkContext.broadcast(ctx.canon)
+        def linkCanon(surface: String, typ: String): Option[(String, Double)] = {
+          val cands = bcDict.value.getOrElse(CorpusGen.normSurface(surface), Seq.empty)
+          Linker.bestCandidate(cands, typ).map { a =>
+            (bcCanon.value.getOrElse(a.entity_id, a.entity_id), a.prior)
+          }
+        }
+        def oldFlat(): Long = {
+          val sents = KgPipeline.sentences(spark,
+            CorpusGen.docs(spark, nDocs, parts))
+          val units = KgPipeline.detectRows(spark, sents,
+            new GazetteerTagger(KgPipeline.defaultGazetteer)).flatMap { row =>
+            if (row.media != null)
+              Some(DocUnit(row.media.doc_id, null, null,
+                Triples.SlimMedia(row.media.offset, row.media.media_ref)))
+            else if (row.mention != null) {
+              val m = row.mention
+              linkCanon(m.surface, m.entity_type).map { case (eid, conf) =>
+                DocUnit(m.doc_id,
+                  SlimMention(m.span_offset, m.sentence_idx, eid, conf), null)
+              }
+            } else {
+              val r = row.relation
+              for {
+                (s, _) <- linkCanon(r.subj_surface, r.subj_type)
+                (o, _) <- linkCanon(r.obj_surface, r.obj_type)
+              } yield DocUnit(r.doc_id, null,
+                SlimRelation(r.span_offset, r.sentence_idx, s, r.rel, o))
+            }
+          }
+          Triples.buildUnits(spark, units, 64).count()
+        }
+        def newRun(): Long =
+          KgPipeline.run(spark, CorpusGen.docs(spark, nDocs, parts),
+            CorpusGen.aliases(spark), ctx = Some(ctx)).count()
+        oldFlat(); newRun() // warm both
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime(); val a = oldFlat()
+          val t1 = System.nanoTime(); val b = newRun()
+          val t2 = System.nanoTime()
+          println(f"  kgab pass $i old_flatmap=${(t1 - t0) / 1e9}%6.3f " +
+            f"(rows=$a) new_columnar=${(t2 - t1) / 1e9}%6.3f (rows=$b)")
+        }
       case "storeprobe" =>
         // phase-level driver-time attribution for the lookup queries
         SparkEntry.queries("q101_subj_lookup")(spark, sfDir).count() // warm + build

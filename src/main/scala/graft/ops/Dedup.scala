@@ -376,6 +376,14 @@ object Dedup {
         s"1 + least(vsa - pa, vsb - pb) >= (${tPpm}L * (vsa + vsb) + ${den - 1}L) div ${den}L"))
       .select(col("doc_a"), col("doc_b"))
     cand
+      // pinned spread of the verify stage (AQE-exempt user repartition,
+      // the q108 lesson): the candidate aggregation's exchange carries
+      // ~2 MB so AQE coalesces it to 2 partitions — but every surviving
+      // candidate then pays an array_intersect over the two full sorted
+      // shingle-id arrays (CPU ~O(|set|) per pair, measured 263 ms on
+      // 2 tasks). The round-robin exchange is candidate-sized (tiny —
+      // doc-id pairs only; both verify joins stay broadcast above it).
+      .repartition(parts)
       .join(sets.select(col("doc_id").as("doc_a"),
         col("arr").as("arr_a"), col("s").as("s_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"),
