@@ -345,7 +345,15 @@ object Dedup {
       .repartitionByRange(parts, col("f"), col("g"))
       .sortWithinPartitions("f", "g")
       .select(col("g"), monotonically_increasing_id().as("gid"))
+    // pinned doc_id partitioning for the per-doc set assembly (AQE-exempt
+    // user repartition): the sets cache otherwise inherits the exchange's
+    // AQE-coalesced ~2 partitions (2.6 MB), and BOTH its consumers — the
+    // prefix posexplode feeding the candidate self-join, and the
+    // candidate pair generation itself — then run on 2 tasks. collect_list
+    // has no map-side reduction (every gid ships regardless), so the
+    // complete aggregation over the pinned exchange moves the same bytes.
     val sets = sh.join(ids, "g")
+      .repartition(parts, col("doc_id"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("gid"))).as("arr"))
       .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("s"))
@@ -435,9 +443,16 @@ object Dedup {
     // scanned the corpus (and paid the md5 + split kernels) twice to
     // re-attach the aggregate (guide §2.4: two operations keyed the
     // same way share one exchange).
+    // pinned content_hash partitioning (AQE-exempt): the window's
+    // exchange carries ~2 MB so AQE coalesced the per-family min pass
+    // onto 2 tasks; hash(content_hash) satisfies the window's required
+    // distribution, so no second exchange appears
+    val mparts = math.max(2,
+      docs.sparkSession.sparkContext.defaultParallelism)
     val members = docs
       .select(col("doc_id"), md5(col("text")).as("content_hash"),
         (size(split(col("text"), " ")) >= 3).as("has_sh"))
+      .repartition(mparts, col("content_hash"))
       .withColumn("rep", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
       .select(col("doc_id"), col("rep"), col("has_sh"))
