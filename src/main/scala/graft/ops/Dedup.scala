@@ -567,18 +567,48 @@ object Dedup {
         aggregate(transform(col("v"), x => x * x),
           lit(0L), (acc, x) => acc + x))
       .repartition(parts, col("cell"))
-    val dot = AnnKernels.dotLongCol(spark, col("a.v"), col("b.v"))
     // pairs carry the (shared) cell so consumers can stay cell-local —
-    // edges NEVER cross cells by construction (the join key)
-    val pairs = v.as("a").join(v.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.cell").as("cell"),
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        dot.as("dot"), col("a.n2").as("na2"), col("b.n2").as("nb2"))
-      .where(col("dot") > 0 &&
-        col("dot") * col("dot") * lit(1000000L) >=
-          lit(tPm * tPm) * col("na2") * col("nb2"))
-      .select("cell", "vec_a", "vec_b")
+    // edges NEVER cross cells by construction (the grouping key).
+    // r8 third pass: the within-cell pairing is a TYPED per-cell kernel,
+    // not a self-join — the SQL join materialized every candidate pair
+    // as a row carrying BOTH full quantized vectors (≈ pairs·2·d·8 bytes
+    // of array copying, ~740 MB at bench scale) just to feed one dot
+    // product. The kernel deserializes each member once per cell and
+    // loops pairwise in primitive Longs (same integer predicate, same
+    // overflow envelope as the guarded column form), emitting ONLY the
+    // surviving (cell, min_id, max_id) rows. Cells stay bounded by the
+    // SemDeDup k-scaling discipline, so the per-group walk is
+    // O(|cell|²·d) in one task — exactly the parallelism the pinned
+    // cell repartition gave the join, minus the pair materialization.
+    import spark.implicits._
+    val vt = v.select(col("cell").cast("long").as("_1"),
+        col("vec_id").cast("long").as("_2"), col("v").as("_3"),
+        col("n2").as("_4"))
+      .as[(Long, Long, Array[Long], Long)]
+    val tPm2 = tPm * tPm
+    val pairs = vt.groupBy(col("_1")).as[Long, (Long, Long, Array[Long], Long)]
+      .flatMapGroups { (cell, it) =>
+        val ms = it.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var i = 0
+        while (i < ms.length) {
+          var j = i + 1
+          while (j < ms.length) {
+            val (a, b) =
+              if (ms(i)._2 < ms(j)._2) (ms(i), ms(j)) else (ms(j), ms(i))
+            val va = a._3; val vb = b._3
+            var d = 0L
+            var t = 0
+            while (t < va.length) { d += va(t) * vb(t); t += 1 }
+            if (d > 0 && d * d * 1000000L >= tPm2 * a._4 * b._4)
+              out += ((cell, a._2, b._2))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("cell", "vec_a", "vec_b")
     (cells, pairs)
   }
 
