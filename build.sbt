@@ -41,3 +41,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
     "/dev/shm/spark-local")}",
 )
+// Bypass-merge shuffle concatenation: FileChannel.transferTo on this
+// host mmaps+unmaps every per-partition spill file (stack-sampled:
+// copyFileStreamNIO -> transferToTrustedChannel -> map0/unmap0 was
+// ~50% of q73's runnable task samples; munmap TLB shootdowns hurt at
+// 32 threads). Stream-copy instead — Spark exposes the flag for
+// exactly such filesystems.
+javaOptions += "-Dspark.file.transferTo=false"

@@ -126,6 +126,62 @@ object BenchExtra {
           spark.catalog.clearCache()
           KgPipeline.run(spark, docs(), CorpusGen.aliases(spark)).count()
         }
+      case s if s.startsWith("sample:") =>
+        // generic in-JVM sampling profile of one query: run it in a
+        // loop under the 100 ms stack sampler, print the hot-frame
+        // histogram of executor task threads AND the driver main thread
+        val q = s.stripPrefix("sample:")
+        SparkEntry.queries(q)(spark, sfDir).count() // warm
+        val hist = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+        val fullStacks = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        @volatile var sampling = true
+        val mainTh = Thread.currentThread()
+        val sampler = new Thread(() => {
+          while (sampling) {
+            val all = Thread.getAllStackTraces
+            all.forEach { (th, st) =>
+              val isTask = th.getName.startsWith("Executor task launch")
+              if ((isTask || (th eq mainTh)) &&
+                  th.getState == Thread.State.RUNNABLE && st.nonEmpty) {
+                val interesting = st.find { f =>
+                  val c = f.getClassName
+                  c.startsWith("graft.") || c.contains("GeneratedClass") ||
+                    c.startsWith("org.apache.spark.sql.catalyst") ||
+                    c.startsWith("scala.collection")
+                }.getOrElse(st.head)
+                val tag = if (isTask) "task" else "driver"
+                val key = tag + " " + st.head.getClassName + "." +
+                  st.head.getMethodName + " | " +
+                  interesting.getClassName + "." + interesting.getMethodName
+                hist.computeIfAbsent(key,
+                  _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+                // one FULL exemplar stack per distinct top frame
+                fullStacks.computeIfAbsent(
+                  st.head.getClassName + "." + st.head.getMethodName,
+                  _ => st.take(18).map("      " + _).mkString("\n"))
+              }
+            }
+            Thread.sleep(100)
+          }
+        })
+        sampler.setDaemon(true); sampler.start()
+        val t0 = System.nanoTime()
+        var runs = 0
+        while ((System.nanoTime() - t0) / 1e9 < 20) {
+          SparkEntry.queries(q)(spark, sfDir).count(); runs += 1
+        }
+        sampling = false; sampler.join(1000)
+        println(f"  sampled $q over $runs runs, ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        import scala.jdk.CollectionConverters._
+        hist.asScala.toSeq.sortBy(-_._2.get).take(28).foreach { case (k, v) =>
+          println(f"  sample ${v.get}%5d  $k")
+        }
+        hist.asScala.toSeq.sortBy(-_._2.get).take(5).foreach { case (k, _) =>
+          val top = k.split(" \\| ")(0).split(" ")(1)
+          Option(fullStacks.get(top)).foreach { st =>
+            println(s"  exemplar stack for $top:\n$st")
+          }
+        }
       case "kgsample" =>
         // in-JVM sampling profiler over the broadcast kg pipeline: a
         // daemon thread snapshots all stacks every 200 ms during the

@@ -558,7 +558,7 @@ object SparkEntry {
           t(s, dir, "documents").select(col("text")))
         .select(explode(split(col("text"), " ")).as("word"))
         .where(col("word").rlike("^[a-z]{4,}$")).distinct()
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = false, graft.ops.Par.cutLevel)
       graft.ops.FuzzyJoin.nearTokenPairs(
           words.unionByName(graft.ops.FuzzyJoin.ocrVariants(words)))
         .orderBy("a", "b")

@@ -282,7 +282,7 @@ object Linker {
     // re-run the whole dict-side chain — canon join, two aggregations,
     // salt explode (verified: zero ReusedExchange across the branches).
     val bestSalted = explodeSalts(best, skewArr, saltBuckets)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     val salted = mIn.withColumn("salt", mentionSalt(skewArr, saltBuckets))
     val picked = coalesce(
       element_at(col("by_type"), col("entity_type")), col("any_best"))
@@ -425,7 +425,7 @@ object Linker {
     // salts-on-heads): both the join and — through it — the anchor
     // aggregation consume it
     val cands = explodeSalts(ctxCandidates(aliases, canon), skewArr,
-      saltBuckets).localCheckpoint(eager = false)
+      saltBuckets).localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     val salted = mIn.withColumn("salt", mentionSalt(skewArr, saltBuckets))
     val joined = salted.join(cands, Seq("surface_norm", "salt")).drop("salt")
     ctxPick(joined, m.columns.toIndexedSeq)

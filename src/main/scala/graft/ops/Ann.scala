@@ -268,7 +268,7 @@ object Ann {
     // sides read the materialized blocks; without it the broadcast build
     // side would re-run the full kernel). The bounded query side is then
     // broadcast, so the corpus side is never shuffled at all.
-    val e = lshBucketedVectors(emb, planes).localCheckpoint(eager = false)
+    val e = lshBucketedVectors(emb, planes).localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     val q = e.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
     broadcast(q).join(e, col("qb") === col("bucket") && col("q_id") =!= col("vec_id"))
@@ -321,7 +321,7 @@ object Ann {
                    tables: Int = 4, queryMod: Int = 25): DataFrame = {
     // bucket table materialized once — the self-join (query side vs
     // corpus side) must not re-run the projection kernel on both sides
-    val b = lshBucketsMulti(emb, planes, tables).localCheckpoint(eager = false)
+    val b = lshBucketsMulti(emb, planes, tables).localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     val e = emb.select(col("vec_id"), vcol.as("v"))
     val qb = b.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
@@ -688,7 +688,7 @@ object Ann {
         x => round(x.cast("double") * lit(127.0) / lit(m)).cast("long"))
     val q = Par.fanOut(
         emb.select(col("vec_id").cast("long").as("vec_id"), qcol.as("qv")))
-      .localCheckpoint(eager = false) // scale scan done; codes read by both join sides
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel) // scale scan done; codes read by both join sides
     val queries = q.orderBy("vec_id").limit(nQueries)
       .select(col("vec_id").as("q_id"), col("qv").as("a"))
     val scored = broadcast(queries).join(q, col("q_id") =!= col("vec_id"))

@@ -148,7 +148,7 @@ object Dedup {
     * self-join then reads the materialized blocks on both sides.
     */
   def minhashPairs(docs: DataFrame, bands: Int = 4, rows: Int = 2): DataFrame = {
-    val b = minhashBands(docs, bands, rows).localCheckpoint(eager = false)
+    val b = minhashBands(docs, bands, rows).localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     val l = b.select(col("band").as("b1"), col("band_key").as("k1"),
       col("doc_id").as("doc_a"))
     val r = b.select(col("band").as("b2"), col("band_key").as("k2"),
@@ -176,7 +176,7 @@ object Dedup {
     // candidate pair — a semi join prunes the corpus scan BEFORE the
     // expensive shingling (previously the full-corpus set table was
     // derived twice, once per join side). candidates ≪ corpus at scale.
-    val cand = minhashPairs(docs, bands, rows).localCheckpoint(eager = false)
+    val cand = minhashPairs(docs, bands, rows).localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     // the empty-set filter sits ABOVE the checkpoint: as a plain where()
@@ -189,7 +189,7 @@ object Dedup {
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(TextOps.shingles3(col("text"))).as("shs"))
-      .localCheckpoint(eager = false) // candidate-sized; read by both joins below
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel) // candidate-sized; read by both joins below
       .where(size(col("shs")) > 0)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), "doc_a")
@@ -258,7 +258,7 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
     val width = nBits / bands
-    val sig = simhash(docs, nBits).localCheckpoint(eager = false)
+    val sig = simhash(docs, nBits).localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     val banded = sig
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key",
@@ -326,7 +326,7 @@ object Dedup {
     val sh = Par.fanOut(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(array_distinct(TextOps.shingles3(col("text")))).as("g"))
-      .localCheckpoint(eager = false) // reused: frequency pass + per-doc sets
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel) // reused: frequency pass + per-doc sets
     // dictionary-encode shingles as INT IDS in rarest-first order
     // ((freq asc, shingle asc) — the PPJoin global order): the order key
     // and the verify token become the same long, so the candidate join
@@ -360,7 +360,7 @@ object Dedup {
       // prefix length |s| − ceil(t·|s|) + 1, all-integer ceil
       .withColumn("pfx",
         expr(s"s - ((${tPpm}L * s + 999999L) div 1000000L) + 1"))
-      .localCheckpoint(eager = false) // reused: prefix explode + both verify joins
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel) // reused: prefix explode + both verify joins
     val prefixes = sets.select(col("doc_id"), col("s"),
         posexplode(expr("slice(arr, 1, cast(pfx as int))")).as(Seq("p0", "gid")))
       .select(col("doc_id"), col("s"), (col("p0") + 1).cast("long").as("p"),
@@ -456,7 +456,7 @@ object Dedup {
       .withColumn("rep", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("content_hash")))
       .select(col("doc_id"), col("rep"), col("has_sh"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     val reps = docs.join(
       members.where(col("doc_id") === col("rep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
@@ -703,7 +703,7 @@ object Dedup {
       .select(col("doc_id").cast("long").as("doc_id"),
         posexplode(TextOps.shinglesN(col("text"), n)))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "gram")
-      .localCheckpoint(eager = false) // read by the dup aggregation AND the coverage side
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel) // read by the dup aggregation AND the coverage side
     val dup = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
       .where(col("occ") > 1).select("gram")
     val covered = grams.join(dup, Seq("gram"), "left_semi")
@@ -735,7 +735,7 @@ object Dedup {
     * Output: (doc_id, n_bands, n_first, kept 1/0).
     */
   def nearDupGate(docs: DataFrame, bands: Int = 4, rows: Int = 2): DataFrame = {
-    val b = minhashBands(docs, bands, rows).localCheckpoint(eager = false)
+    val b = minhashBands(docs, bands, rows).localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     val first = b.groupBy("band", "band_key")
       .agg(min(col("doc_id")).as("first_doc"))
     val perDoc = b.join(first, Seq("band", "band_key"))

@@ -20,7 +20,7 @@ object Diagnostics {
   def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.select(col(keyCol).cast("string").as("key"))
       .groupBy("key").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(eager = false) // reused: total + top-N read the same counts
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel) // reused: total + top-N read the same counts
     // sum over zero rows is NULL — empty input yields an empty report
     val totalRow = counts.agg(sum("cnt").cast("long")).head()
     if (totalRow.isNullAt(0)) return counts.limit(0)

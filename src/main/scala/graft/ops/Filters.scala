@@ -228,7 +228,7 @@ object Filters {
       // bc is nBuckets rows but had TWO consumers (totals + weight
       // table), each re-running the full token kernel below it; the
       // lazy cut makes the distribution fit exactly one corpus pass
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     val tot = bc.agg(sum("raw_b").as("rr"), sum("tgt_b").as("tt"))
     def lg(x: String) =
       s"((length(bin($x)) - 1) * 65536 + (($x) * 65536) div " +

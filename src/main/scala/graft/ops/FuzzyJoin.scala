@@ -43,7 +43,7 @@ object FuzzyJoin {
       .distinct()
       .select(col("word"), length(col("word")).as("len"),
         substring(col("word"), 1, 1).as("c1"))
-      .localCheckpoint(eager = false) // one token scan, reused by probe and build
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel) // one token scan, reused by probe and build
     def blk(lenCol: org.apache.spark.sql.Column) =
       concat(col("c1"), lit("_"), lenCol.cast("string"))
     val probe = toks.select(col("word").as("w1"), blk(col("len")).as("blk"))

@@ -38,3 +38,47 @@ case class H60Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): H60Expr =
     copy(child = newChild)
 }
+
+/** Native codegen'd word n-gram shingling: `ShinglesNExpr(text, n)` ≡
+  * the HOF form `when(size(w) >= n, transform(sequence(0, size(w)-n),
+  * i => concat_ws(" ", slice(w, i+1, n)))).otherwise(array())` with
+  * `w = split(text, " ")` — byte-identical output via one
+  * `UTF8String.split` + a single windowing pass. The HOF form evaluates
+  * interpreted and re-evaluates the embedded `split(text)` once PER
+  * output element (O(words²) per row — see [[TextOps.shinglesN]]).
+  * Never null: null/short text yields the empty array, matching the
+  * column form's otherwise-branch.
+  */
+case class ShinglesNExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shinglesN requires a string argument, got ${child.dataType}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextOps.shinglesNKernel(
+      child.eval(input).asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val javaType =
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = c.code + code"""
+        $javaType ${ev.value} = graft.ops.TextOps.shinglesNKernel(
+          ${c.isNull} ? null : ${c.value}, $n);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesNExpr =
+    copy(child = newChild)
+}

@@ -297,7 +297,7 @@ object Kmeans {
     val bc = spark.sparkContext.broadcast(cents)
     val assigned = q.map { case (id, v) => (id, nearest(bc.value, v)._1, v) }
       .toDF("vec_id", "cell", "qv")
-      .localCheckpoint(eager = false) // reused as both query and candidate side
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel) // reused as both query and candidate side
     val queries = assigned.orderBy("vec_id").limit(nQueries)
       .select(col("vec_id").as("q_id"), col("cell"), col("qv").as("q_qv"))
     val joined = queries.join(assigned, "cell")

@@ -66,7 +66,7 @@ object MlmGen {
       else sel.repartitionByRange(parts, col("doc_id"))
         .sortWithinPartitions("doc_id"))
       .as[(Long, Long)]
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     val perPart = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var cnt = 0L; var sum = 0L
       it.foreach { case (_, n) => cnt += 1; sum += n }
@@ -122,7 +122,7 @@ object MlmGen {
       else union.repartitionByRange(parts, col("v"), col("kind"))
         .sortWithinPartitions("v", "kind"))
       .as[(Long, Int, Option[Long])]
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     val perPart = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var c = 0L
       it.foreach { case (_, k, _) => if (k == 0) c += 1 }
@@ -228,7 +228,7 @@ object MlmGen {
   def negativeSamples(docs: DataFrame, k: Int = 4): DataFrame = {
     import org.apache.spark.sql.functions._
     val ranked = Scans.zeroBasedRank(docs.select("doc_id").distinct(), "doc_id")
-      .localCheckpoint(eager = false) // anchor side + rank-lookup side both read it
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel) // anchor side + rank-lookup side both read it
     val n = ranked.count()
     // no negatives exist for a 0/1-doc corpus: pmod by n=0 throws under
     // ANSI, and at n=1 the collision shift maps every draw back to the

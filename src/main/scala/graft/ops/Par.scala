@@ -24,6 +24,20 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
 
+  /** Storage level for multi-consumer localCheckpoint reuse cuts
+    * (r8 third pass): SERIALIZED, not the deserialized default. Storing
+    * deserialized blocks routes every put through
+    * `SizeTracker`/`SizeEstimator`, whose object-graph sampling walks
+    * were the TOP sampled frame of the checkpoint-heavy queries once
+    * shuffle I/O was fixed (379/≈1100 runnable task samples on q73);
+    * serialized blocks have exact byte sizes (no estimation — and
+    * [[fanIn]]'s size gate reads true bytes instead of an estimate) and
+    * UnsafeRow payloads serialize as length+bytes. Measured on q73:
+    * 17 → 19 runs per 20 s window.
+    */
+  val cutLevel: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   /** `df` redistributed to the session's parallelism iff its physical
     * plan yields fewer partitions (single-file scan, generated range);
     * identity otherwise. Results are partition-independent for every

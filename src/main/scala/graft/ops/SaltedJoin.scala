@@ -45,7 +45,7 @@ object SaltedJoin {
     val heavy = fact.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .where(col("n") >= heavyThreshold)
       .select(col(key), lit(true).as("_heavy"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     def flag(df: DataFrame): DataFrame =
       df.join(broadcast(heavy), Seq(key), "left")
         .withColumn("_heavy", coalesce(col("_heavy"), lit(false)))

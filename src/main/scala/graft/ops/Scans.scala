@@ -30,7 +30,7 @@ object Scans {
       .repartitionByRange(parts, col("v"))
       .sortWithinPartitions("v")
       .as[Long]
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     val counts = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var c = 0L; it.foreach(_ => c += 1); Iterator.single((pid, c))
     }.collect().sortBy(_._1).map(_._2)
@@ -117,7 +117,7 @@ object Scans {
       .repartitionByRange(parts, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
       .as[(String, Long)]
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel)
     val counts: Array[(Int, String, Long)] =
       ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -197,7 +197,7 @@ object Scans {
         expr(s"(cast($valueCol as bigint) - pmod(cast($valueCol as bigint), " +
           s"${binWidth}L)) div ${binWidth}L").as("bin"))
       .groupBy("grp", "bin").agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false) // reused: cumulative pass + per-group totals
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel) // reused: cumulative pass + per-group totals
     val cum = bins.withColumn("cum",
       sum("n").over(Window.partitionBy("grp").orderBy("bin")))
     val psDf = spark.createDataFrame(ps.map(Tuple1(_))).toDF("p")

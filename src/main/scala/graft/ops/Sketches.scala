@@ -77,7 +77,7 @@ object Sketches {
       .where(col("word") =!= "") // same guard as buildVocab: irregular
       // spacing must not let '' claim a top-k probe slot
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(eager = false) // counters AND the top-k probe set read it
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel) // counters AND the top-k probe set read it
     val seeded = wc
       .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
       .withColumn("h", bucket)
@@ -178,7 +178,7 @@ object Sketches {
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "") // buildVocab's empty-token guard
       .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(eager = false) // counters AND the probe set read it
+      .localCheckpoint(eager = false, graft.ops.Par.cutLevel) // counters AND the probe set read it
     val seeded = wc
       .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
       .withColumn("h", bucket)

@@ -137,13 +137,46 @@ object TextOps {
 
   /** Word n-gram shingles of a text column (slice is 1-based; DuckDB twin
     * uses 1-based list slicing over the same index range).
+    *
+    * r8: implemented as the native codegen'd [[ShinglesNExpr]]. The
+    * previous HOF form — `transform(sequence(0, size(w)-n), i =>
+    * concat_ws(" ", slice(w, i+1, n)))` with `w = split(text, " ")` —
+    * was hiding a QUADRATIC: higher-order functions evaluate
+    * interpreted, and every subtree inside the lambda is re-evaluated
+    * per element, including the full `split(text)` feeding the slice
+    * (stack-sampled: `StringSplit.nullSafeEval` under
+    * `ArrayTransform.eval` inside ConcatWs — one complete re-split of
+    * the document PER SHINGLE, O(words²) per row). The kernel splits
+    * once and windows in one pass; output arrays are byte-identical
+    * (same UTF8String.split, same concat-ws-with-space join, same
+    * empty-array contract for < n words and null text), so every
+    * oracle replays unchanged.
     */
-  def shinglesN(text: Column, n: Int): Column = {
-    val w = split(text, " ")
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  def shinglesN(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ShinglesNExpr(org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
+  /** JVM kernel of [[ShinglesNExpr]]: split once, window in one pass.
+    * Null text yields the empty array — replaying the old column form's
+    * `when(size(w) >= n, …).otherwise(array())`, where a null `w` fails
+    * the predicate and falls to the empty-array branch.
+    */
+  private val shingleSpace = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private val emptyShingles =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+  def shinglesNKernel(text: org.apache.spark.unsafe.types.UTF8String,
+                      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (text == null) return emptyShingles
+    val w = text.split(shingleSpace, -1)
+    if (w.length < n) return emptyShingles
+    val out = new Array[Any](w.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(shingleSpace,
+        java.util.Arrays.copyOfRange(w, i, i + n): _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Word-3-gram shingles (the dedup family's unit). */

@@ -105,7 +105,7 @@ object VocabOps {
     */
   def bm25(docs: DataFrame, nTerms: Int = 5, topDocs: Int = 50,
            k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
-    val idx = invertedIndex(docs).localCheckpoint(eager = false) // df stats + postings
+    val idx = invertedIndex(docs).localCheckpoint(eager = false, graft.ops.Par.cutLevel) // df stats + postings
     val dl = docs.select(col("doc_id"),
       size(filter(split(col("text"), " "), w => w =!= ""))
         .cast("long").as("dl"))

@@ -95,6 +95,30 @@ class R8OptimSpec extends AnyFunSuite {
       s"pinned exchange coalesced: ${df.rdd.getNumPartitions} != $want")
   }
 
+  test("ShinglesNExpr == the HOF column form on edge inputs (byte-identical arrays)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "a b c d e", "one two three", "two words", "", " ", "   ",
+      "a  b c", "tab\there space mix", "ünï çödé wörds here",
+      "x " * 200 + "x", // 201 words
+      null.asInstanceOf[String])
+    val df = texts.toDF("text")
+    def hof(text: org.apache.spark.sql.Column, n: Int) = {
+      val w = split(text, " ")
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    for (n <- Seq(2, 3, 5)) {
+      val a = df.select(graft.ops.TextOps.shinglesN(col("text"), n)).collect()
+        .map(_.getSeq[String](0))
+      val b = df.select(hof(col("text"), n)).collect().map(_.getSeq[String](0))
+      assert(a.toSeq == b.toSeq, s"n=$n mismatch")
+    }
+  }
+
   test("minSubject/minObject: manifest metadata answer equals the scan answer") {
     val dir = java.nio.file.Files.createTempDirectory("graft_r8_minsubj").toString
     val docs = graft.gen.CorpusGen.docs(spark, 60, parts = 4)
