@@ -459,7 +459,7 @@ object KgPipeline {
           // an explicit unpersist that no caller can sequence (run()
           // returns a LAZY plan), leaking one cached detect projection
           // per micro-batch on a long-running stream
-          .localCheckpoint()
+          .localCheckpoint(eager = true, graft.ops.Par.cutLevel)
         // dictionary side: with a DictStore root the scored+canonicalized
         // dictionary is READ from the snapshot-keyed table (built at most
         // once per dictionary snapshot — the canon CC job and both
